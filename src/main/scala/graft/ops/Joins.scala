@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2 J1-J3, plus the as-of generalization).
+  *
+  * J2 is the one operator the reference implements that Spark has no literal
+  * primitive for (2-D nearest-neighbor `sel(..., method='nearest')`,
+  * /root/reference/scripts/process_climate_amazon_monthly.py:244-261). On a
+  * REGULAR grid, nearest-neighbor is exactly equality on a snapped key
+  * (floor(x/g + 0.5)*g), which turns an O(points × cells) search into a plain
+  * hash equi-join — the only formulation that survives 100 TB. The general
+  * windowed rank-1 variant is kept as the correctness cross-check.
+  */
+object Joins {
+
+  /** J1 — index-alignment of N per-variable series into one wide frame
+    * (monthly.py:294-302). Spark-native: ONE shuffle via
+    * groupBy(key, date).pivot(variable) with an explicit value list (so no
+    * extra distinct-values job is run).
+    */
+  val pivotAlign: QueryDef = QueryDef(
+    "pivot_align",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", dayofmonth(col("ts")))
+        .groupBy(col("user_id"), col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Num.sum2(col("value")))
+        .orderBy(col("user_id"), col("day")),
+    Some(s"""
+      SELECT user_id, day(ts) AS day,
+             ${Num.sqlSum2("CASE WHEN event_type='click' THEN value END")} AS click,
+             ${Num.sqlSum2("CASE WHEN event_type='error' THEN value END")} AS error,
+             ${Num.sqlSum2("CASE WHEN event_type='purchase' THEN value END")} AS purchase,
+             ${Num.sqlSum2("CASE WHEN event_type='signup' THEN value END")} AS signup,
+             ${Num.sqlSum2("CASE WHEN event_type='view' THEN value END")} AS view
+      FROM events GROUP BY 1, 2 ORDER BY user_id, day
+    """),
+    doc = "J1 7-series alignment as single-shuffle pivot")
+
+  /** J2 primary — snap-to-grid equi-join. Measurements are bucketed to a
+    * regular grid (cell size 25.0 over `events.value`); each "centroid"
+    * (customer account balance) is snapped to its nearest cell and
+    * equi-joined. Hash join, no cross product, broadcastable dim.
+    */
+  val snapJoin: QueryDef = QueryDef(
+    "snap_grid_join",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(Num.snap(col("value"), 25.0).as("cell"))
+        .agg(Num.avg2(col("value")).as("cell_avg"), count(lit(1)).as("cell_n"))
+      val pts = Tables.customer(s, d)
+        .filter(col("c_acctbal").between(0, 600))
+        .select(col("c_custkey"), Num.snap(col("c_acctbal"), 25.0).as("cell"))
+      pts.join(grid, Seq("cell"))
+        .select(col("c_custkey"), col("cell"), col("cell_avg"), col("cell_n"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      WITH grid AS (
+        SELECT ${Num.sqlSnap("value", 25.0)} AS cell,
+               ${Num.sqlAvg2("value")} AS cell_avg, count(*) AS cell_n
+        FROM events GROUP BY 1)
+      SELECT c.c_custkey, g.cell, g.cell_avg, g.cell_n
+      FROM (SELECT c_custkey, ${Num.sqlSnap("c_acctbal", 25.0)} AS cell
+            FROM customer WHERE c_acctbal BETWEEN 0 AND 600) c
+      JOIN grid g USING (cell)
+      ORDER BY c.c_custkey
+    """),
+    doc = "J2 nearest-neighbor as snapped-key hash equi-join (scale path)")
+
+  /** J2 cross-check — general rank-1-nearest via a bounded range join +
+    * window. Candidates are limited to the 3 cells within ±1 grid step of
+    * the snapped key (so the join stays band-limited, never a full cross
+    * join), then row_number()=1 by (distance, cell) picks the nearest with a
+    * deterministic tie-break.
+    */
+  val nearestWindow: QueryDef = QueryDef(
+    "nearest_rank1_window",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(Num.snap(col("value"), 25.0).as("cell"))
+        .agg(Num.avg2(col("value")).as("cell_avg"))
+      val pts = Tables.customer(s, d)
+        .filter(col("c_acctbal").between(0, 600))
+        .select(col("c_custkey"), col("c_acctbal"),
+          Num.snap(col("c_acctbal"), 25.0).as("cell0"))
+      val cand = pts
+        .join(grid, abs(col("cell") - col("cell0")) <= 25.0)
+        .withColumn("dist", abs(col("c_acctbal") - col("cell")))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("dist").asc, col("cell").asc)
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("cell"), col("cell_avg"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      WITH grid AS (
+        SELECT ${Num.sqlSnap("value", 25.0)} AS cell,
+               ${Num.sqlAvg2("value")} AS cell_avg
+        FROM events GROUP BY 1),
+      pts AS (
+        SELECT c_custkey, c_acctbal, ${Num.sqlSnap("c_acctbal", 25.0)} AS cell0
+        FROM customer WHERE c_acctbal BETWEEN 0 AND 600),
+      cand AS (
+        SELECT p.c_custkey, g.cell, g.cell_avg,
+               abs(p.c_acctbal - g.cell) AS dist,
+               row_number() OVER (PARTITION BY p.c_custkey
+                                  ORDER BY abs(p.c_acctbal - g.cell) ASC, g.cell ASC) AS rn
+        FROM pts p JOIN grid g ON abs(g.cell - p.cell0) <= 25.0)
+      SELECT c_custkey, cell, cell_avg FROM cand WHERE rn = 1
+      ORDER BY c_custkey
+    """),
+    doc = "J2 cross-check: band-limited range join + rank-1 window")
+
+  /** J3 — broadcast dimension enrichment (monthly.py:420-427):
+    * customer → nation → region, then grouped rollup stats.
+    */
+  val dimEnrich: QueryDef = QueryDef(
+    "dim_enrich_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Num.avg2(col("c_acctbal")).as("avg_bal"))
+        .orderBy(col("r_name"), col("n_name")),
+    Some(s"""
+      SELECT r.r_name, n.n_name, count(*) AS n_cust,
+             ${Num.sqlAvg2("c.c_acctbal")} AS avg_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "J3 two-level broadcast hash join")
+
+  /** As-of join (temporal nearest — the 1-D analog of J2): for every signup,
+    * the most recent prior purchase by the same user. Spark-native scale
+    * formulation: tag + union both streams, ONE window pass with
+    * last(ignoreNulls) — no inequality join, no per-key loop.
+    */
+  val asof: QueryDef = QueryDef(
+    "asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val tagged = ev.filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "purchase", col("value")).as("pval"),
+          when(col("event_type") === "purchase", col("ts")).as("pts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tagged
+        .withColumn("last_purchase_us",
+          unix_micros(last(col("pts"), ignoreNulls = true).over(w)))
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("last_purchase_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT s.event_id, s.user_id,
+             epoch_us(max(p.ts)) AS last_purchase_us
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = s.user_id AND (p.ts < s.ts OR (p.ts = s.ts AND p.event_id < s.event_id))
+      GROUP BY s.event_id, s.user_id
+      ORDER BY s.event_id
+    """),
+    doc = "as-of join via union + window last(ignoreNulls) — single shuffle")
+
+  val all: Seq[QueryDef] = Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof)
+}

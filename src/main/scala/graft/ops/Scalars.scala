@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar / projection operators (SURVEY.md §2 P1-P6).
+  *
+  * Everything here is pure Catalyst `Column` algebra — zero UDFs, so every
+  * expression stays inside whole-stage codegen (the reference's only scalar
+  * candidate, the VPD formula, is vectorized numpy:
+  * /root/reference/scripts/process_climate_amazon_monthly.py:103-125).
+  */
+object Scalars {
+
+  /** P2 — the reference's VPD (vapor-pressure deficit) formula
+    * (monthly.py:121-125, README.md:169-173):
+    *   tmean = (tmax+tmin)/2
+    *   es    = 0.6108 * exp(17.27*tmean / (tmean+237.3))
+    *   ea    = es * rh/100
+    *   vpd   = es - ea
+    * Pure built-in math → codegen'd, no UDF.
+    */
+  def vpd(tmax: Column, tmin: Column, rh: Column): Column = {
+    val tmean = (tmax + tmin) / lit(2.0)
+    val es    = lit(0.6108) * exp(lit(17.27) * tmean / (tmean + lit(237.3)))
+    val ea    = es * rh / lit(100.0)
+    es - ea
+  }
+
+  def sqlVpd(tmax: String, tmin: String, rh: String): String = {
+    val tmean = s"(($tmax + $tmin) / 2.0)"
+    val es    = s"(0.6108 * exp(17.27 * $tmean / ($tmean + 237.3)))"
+    s"($es - $es * $rh / 100.0)"
+  }
+
+  /** P2 applied to the fixture schema: tmax≅l_quantity, tmin≅l_quantity-10,
+    * rh≅l_tax*1000 (∈[0,80]) — same algebra, same shape.
+    */
+  val vpdQuery: QueryDef = QueryDef(
+    "vpd_scalar",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          bround(vpd(col("l_quantity"), col("l_quantity") - lit(10.0),
+            col("l_tax") * lit(1000.0)), 4).as("vpd"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some(s"""
+      SELECT l_orderkey, l_linenumber,
+             round(${sqlVpd("l_quantity", "(l_quantity - 10.0)", "(l_tax * 1000.0)")}, 4) AS vpd
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """),
+    doc = "P2 VPD column algebra (no UDF)")
+
+  /** P1 — projection with fixed column order (monthly.py:446-449). */
+  val projection: QueryDef = QueryDef(
+    "project_reorder",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """),
+    doc = "P1 column projection/reorder; prunes scan to 5 columns")
+
+  /** P3 — date-part derivation (monthly.py:312-313). */
+  val dateparts: QueryDef = QueryDef(
+    "date_parts",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("year"),
+          quarter(col("o_orderdate")).as("quarter"),
+          month(col("o_orderdate")).as("month"),
+          dayofmonth(col("o_orderdate")).as("day"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
+             month(o_orderdate) AS month, day(o_orderdate) AS day
+      FROM orders ORDER BY o_orderkey
+    """),
+    doc = "P3 year/quarter/month/day derivation")
+
+  /** P4 — half-even rounding parity: pandas round(2) is banker's rounding
+    * (monthly.py:452-455); Spark `bround` == DuckDB `round` == numpy.
+    */
+  val rounding: QueryDef = QueryDef(
+    "round_half_even",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          bround(col("l_extendedprice") / lit(7.0), 2).as("p7"),
+          bround(col("l_quantity") / lit(4.0), 1).as("q4"),
+          bround(col("l_discount") * lit(50.0), 0).as("d50"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice / 7.0, 2) AS p7,
+             round(l_quantity / 4.0, 1) AS q4,
+             round(l_discount * 50.0, 0) AS d50
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """),
+    doc = "P4 banker's rounding (bround) parity incl. .5 boundaries")
+
+  /** P6 — substring + dictionary map (UF from CD_MUN prefix,
+    * monthly.py:147-154): first digit of the customer key mapped through a
+    * small broadcast lookup (the Spark-native form of a dict `.map()`).
+    */
+  val substrMap: QueryDef = QueryDef(
+    "substr_dict_map",
+    (s, d) => {
+      val lookup = s.createDataFrame(
+        (0 to 9).map(i => (i.toString, s"G${i % 3}"))
+      ).toDF("prefix", "grp")
+      Tables.customer(s, d)
+        .withColumn("prefix", substring(col("c_custkey").cast("string"), 1, 1))
+        .join(broadcast(lookup), Seq("prefix"))
+        .select(col("c_custkey"), col("prefix"), col("grp"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, substr(CAST(c_custkey AS VARCHAR), 1, 1) AS prefix,
+             'G' || (CAST(substr(CAST(c_custkey AS VARCHAR), 1, 1) AS INT) % 3) AS grp
+      FROM customer ORDER BY c_custkey
+    """),
+    doc = "P6 substring + broadcast dictionary map")
+
+  val all: Seq[QueryDef] = Seq(vpdQuery, projection, dateparts, rounding, substrMap)
+}

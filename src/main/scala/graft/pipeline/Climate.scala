@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** The reference's three pipelines (SURVEY.md §3 EP1/EP2/EP3), each fused
+  * into ONE declarative Spark plan over the fixture star schema.
+  *
+  * Mapping (FIXTURES.md §B): `lineitem` plays the long-form measurement table
+  * (l_shipdate spans 1995-2001, so year/month bucketing is real);
+  * `supplier` ⋈ `nation` plays the municipality broadcast dimension
+  * (s_suppkey ≅ CD_MUN, s_name ≅ NM_MUN, n_name ≅ UF).
+  *
+  * Reference semantics re-expressed (file:line cites into /root/reference):
+  *  - monthly grouped multi-agg  scripts/process_climate_amazon_monthly.py:316-327 (G1)
+  *  - annual grouped multi-agg   scripts/process_climate_amazon_annual.py:346-357 (G2)
+  *  - dimension enrichment join  scripts/process_climate_amazon_monthly.py:420-427 (J3)
+  *  - column order + round(2)    scripts/process_climate_amazon_monthly.py:446-455 (P1/P4)
+  *  - multi-key sort             scripts/process_climate_amazon_monthly.py:458 (O1)
+  *  - per-municipality thread fan-out (annual.py:474-482, X2) is subsumed by
+  *    keeping the key in groupBy — Spark tasks ARE the fan-out.
+  *
+  * Scale posture: one shuffle for the aggregation (partial+final hash agg),
+  * the dimension join is an explicit broadcast (450-row analog), and the
+  * final sort is a range-partitioned global sort. No collect, no loops —
+  * this is the plan that survives 1000 executors × 100 TB.
+  */
+object Climate {
+
+  /** EP2 monthly: filter → groupBy(key, year, month) multi-agg → broadcast
+    * dim join → project/round → sort.
+    */
+  val monthly: QueryDef = QueryDef(
+    "climate_monthly",
+    (s, d) => {
+      val li  = Tables.lineitem(s, d)
+      val dim = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      li.filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("2001-01-01") &&
+          col("l_quantity").between(1, 50))
+        .withColumn("year", year(col("l_shipdate")))
+        .withColumn("month", month(col("l_shipdate")))
+        .groupBy(col("l_suppkey"), col("year"), col("month"))
+        .agg(
+          Num.sum2(col("l_quantity")).as("sum_qty"),
+          Num.sum2(col("l_extendedprice")).as("sum_price"),
+          Num.avg2(col("l_extendedprice")).as("avg_price"),
+          Num.avg2(col("l_discount") * lit(100)).as("avg_disc_pct"),
+          count(lit(1)).as("n_items"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").as("supp_id"), col("s_name").as("supp_name"),
+          col("n_name").as("nation_name"), col("year"), col("month"),
+          col("sum_qty"), col("sum_price"), col("avg_price"),
+          col("avg_disc_pct"), col("n_items"))
+        .orderBy(col("supp_id"), col("year"), col("month"))
+    },
+    Some(s"""
+      SELECT s.s_suppkey AS supp_id, s.s_name AS supp_name,
+             n.n_name AS nation_name,
+             year(l.l_shipdate) AS year, month(l.l_shipdate) AS month,
+             ${Num.sqlSum2("l.l_quantity")} AS sum_qty,
+             ${Num.sqlSum2("l.l_extendedprice")} AS sum_price,
+             ${Num.sqlAvg2("l.l_extendedprice")} AS avg_price,
+             ${Num.sqlAvg2("l.l_discount * 100")} AS avg_disc_pct,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate < TIMESTAMP '2001-01-01'
+        AND l.l_quantity BETWEEN 1 AND 50
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY supp_id, year, month
+    """),
+    doc = "EP2 monthly pipeline fused (G1+P3+J3+P1+P4+O1)")
+
+  /** EP1 annual: same shape keyed by year only. The reference leaves this
+    * output order-nondeterministic (annual.py:477 as_completed); we order
+    * deterministically for the oracle.
+    */
+  val annual: QueryDef = QueryDef(
+    "climate_annual",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.withColumn("year", year(col("l_shipdate")))
+        .groupBy(col("l_suppkey"), col("year"))
+        .agg(
+          Num.sum2(col("l_quantity")).as("sum_qty"),
+          Num.sum2(col("l_extendedprice")).as("sum_price"),
+          Num.avg2(col("l_quantity")).as("avg_qty"),
+          Num.avg2(col("l_tax") * lit(100)).as("avg_tax_pct"),
+          count(lit(1)).as("n_items"))
+        .withColumnRenamed("l_suppkey", "supp_id")
+        .orderBy(col("supp_id"), col("year"))
+    },
+    Some(s"""
+      SELECT l_suppkey AS supp_id, year(l_shipdate) AS year,
+             ${Num.sqlSum2("l_quantity")} AS sum_qty,
+             ${Num.sqlSum2("l_extendedprice")} AS sum_price,
+             ${Num.sqlAvg2("l_quantity")} AS avg_qty,
+             ${Num.sqlAvg2("l_tax * 100")} AS avg_tax_pct,
+             count(*) AS n_items
+      FROM lineitem GROUP BY 1, 2 ORDER BY supp_id, year
+    """),
+    doc = "EP1 annual pipeline (G2)")
+
+  /** The reference computes annual and monthly in two separate full passes —
+    * `rollup(year, month)` produces both groupings in ONE pass (SURVEY.md §2
+    * G-note): at 100 TB this halves the scan volume.
+    */
+  val rollup: QueryDef = QueryDef(
+    "climate_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("year", year(col("l_shipdate")))
+        .withColumn("month", month(col("l_shipdate")))
+        .rollup(col("year"), col("month"))
+        .agg(Num.sum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("year").asc_nulls_first, col("month").asc_nulls_first),
+    Some(s"""
+      SELECT year(l_shipdate) AS year, month(l_shipdate) AS month,
+             ${Num.sqlSum2("l_quantity")} AS sum_qty, count(*) AS n_items
+      FROM lineitem GROUP BY ROLLUP (1, 2)
+      ORDER BY year ASC NULLS FIRST, month ASC NULLS FIRST
+    """),
+    doc = "annual+monthly fused in one pass via ROLLUP")
+
+  /** EP3 split-by-state (split_by_state.py:53-62): the reference loops states
+    * and writes one CSV per state; Spark-native is a single partitioned
+    * write. The query round-trips: partitioned CSV write → read back →
+    * per-partition counts, proving the partition layout is a lossless split
+    * of the union (SNK1+SNK2+F2+SRC3).
+    */
+  val splitByState: QueryDef = QueryDef(
+    "split_partitioned_write",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_split").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.write.mode("overwrite")
+        .option("header", "true")
+        .partitionBy("o_orderstatus")
+        .csv(out)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+        .csv(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), Num.sum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             ${Num.sqlSum2("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+    doc = "EP3 partitioned sink + CSV scan round-trip (SNK1/SNK2/SRC3/F2)")
+
+  val all: Seq[QueryDef] = Seq(monthly, annual, rollup, splitByState)
+}
