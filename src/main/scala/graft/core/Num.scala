@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *   std:  exact decimal sums of x and x*x, variance computed in double from
   *         identical operands.
   *
-  * Rounding is half-even everywhere: Spark `bround` == DuckDB `round`
+  * Rounding is half-even everywhere: Spark `bround` == DuckDB `round_even`
   * (pandas/numpy `round(2)` is also half-even, so this matches the
   * reference's output semantics exactly).
   *
@@ -37,8 +37,16 @@ object Num {
   /** sum rounded half-even to 2 dp (reference output precision). */
   def sum2(c: Column): Column = bround(dsum(c), 2)
 
-  /** mean rounded half-even to 2 dp, exact-sum based. */
-  def avg2(c: Column): Column = bround(dsum(c) / count(c), 2)
+  /** mean rounded to 2 dp, exact-sum based. Rounding is HALF-UP via
+    * floor(x*100 + 0.5)/100 rather than bround: an exact-decimal sum divided
+    * by a count lands on TRUE 2-dp midpoints (e.g. 649452.45/10 =
+    * 64945.245), where Spark's bround (rounds the shortest decimal
+    * representation of the double) and DuckDB's round_even (rounds the
+    * binary value) disagree. floor(x*100+0.5)/100 is a chain of IEEE ops
+    * each bit-identical on both engines — no midpoint ambiguity.
+    */
+  def avg2(c: Column): Column =
+    floor(dsum(c) * lit(100.0) / count(c) + lit(0.5)) / lit(100.0)
 
   /** Sample standard deviation from exact decimal sums, rounded to 4 dp. */
   def std4(c: Column): Column = {
@@ -51,11 +59,11 @@ object Num {
 
   /** SQL fragments with the same bit-exact semantics, for the DuckDB oracle. */
   def sqlSum2(x: String): String =
-    s"round(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE), 2)"
+    s"round_even(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE), 2)"
   def sqlAvg2(x: String): String =
-    s"round(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / count($x), 2)"
+    s"floor(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) * 100.0 / count($x) + 0.5) / 100.0"
   def sqlStd4(x: String): String =
-    s"round(sqrt((CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE) - " +
+    s"round_even(sqrt((CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE) - " +
       s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / count($x)) / (count($x) - 1.0)), 4)"
 
   /** Snap a continuous coordinate to the nearest multiple of `grid`.

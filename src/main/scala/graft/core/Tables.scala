@@ -12,8 +12,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * custom scan machinery is needed or wanted.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet is TIMESTAMP(NANOS); without this flag Spark 4 fails
+    // the read at analysis time ([PARQUET_TYPE_ILLEGAL]). Harmless for the
+    // other tables (no nanos columns anywhere else).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects at
+    * analysis time ([PARQUET_TYPE_ILLEGAL]). Read the nanos as LONG via the
+    * legacy flag and rebuild a proper µs timestamp — DuckDB reads the same
+    * file natively at ns and truncates to µs in epoch_us, so oracle parity
+    * holds. The cast is a codegen'd scalar; pushdown on the other columns
+    * is unaffected.
+    */
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    // Integer division, NOT `/` (which is double division and can be off
+    // by 1 µs at 1.7e18-ns magnitudes — DuckDB's epoch_us truncates exactly).
+    table(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -22,7 +42,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame     = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,191 @@
+package graft.ops
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation-breadth operators (SURVEY.md §2 G3-G7, O2, SNK3).
+  *
+  * Reference semantics (file:line cites into /root/reference):
+  *  - count distinct         scripts/process_climate_amazon_monthly.py:469, split_by_state.py:66,71
+  *  - summary statistics     scripts/process_climate_amazon_monthly.py:478, annual.py:522
+  *  - union-all (N-way)      scripts/process_climate_amazon_monthly.py:443, annual.py:491
+  *  - input pre-checks       scripts/process_climate_amazon_monthly.py:358-369 (SNK3)
+  *
+  * All single-shuffle partial+final hash aggregations; the distinct in G3 is
+  * the standard 2-shuffle expand (or a single pass with
+  * approx_count_distinct on the scale path).
+  */
+object Aggregates {
+
+  /** G3 — exact count-distinct per group (dedup-count of customers per
+    * order priority). At 100 TB this is the 2-shuffle partial-distinct
+    * expansion Catalyst plans automatically; the HLL variant below is the
+    * single-pass scale path.
+    */
+  val countDistinctQ: QueryDef = QueryDef(
+    "count_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+    doc = "G3 exact count-distinct (2-shuffle expand)")
+
+  /** G3 scale variant — HLL++ approximate distinct: ONE pass, no expand
+    * shuffle; the only formulation that survives 100 TB high-cardinality
+    * keys. No oracle (DuckDB's HLL differs from Spark's HLL++) → the driver
+    * records the weaker rows-only check; the ScalaTest suite bounds the
+    * relative error against the exact count instead.
+    */
+  val approxDistinctQ: QueryDef = QueryDef(
+    "approx_count_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"))
+        .orderBy(col("o_orderpriority")),
+    None,
+    doc = "G3 scale path: single-pass HLL++ (rows-only check; error bounded in tests)")
+
+  /** G4 — global min/max/count as a standalone query (the reference's
+    * whole-array `float(min())/float(max())` diagnostics, annual.py:522).
+    * Single partial+final agg, one row out.
+    */
+  val globalMinMax: QueryDef = QueryDef(
+    "global_minmax",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             count(*) AS n_rows
+      FROM lineitem
+    """),
+    doc = "G4 global min/max/count, one row")
+
+  /** G5 — summary statistics per group: n / mean / sample-std / min / max /
+    * exact quartiles (the reference's `df.describe()`-style block,
+    * monthly.py:478). Exact `percentile` matches DuckDB `quantile_cont`
+    * (both linear-interpolation); rounded to 4dp to absorb the last ulp.
+    * At 100 TB swap `percentile` → `approx_percentile` (single-pass sketch).
+    */
+  val summaryStats: QueryDef = QueryDef(
+    "summary_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          Num.avg2(col("l_extendedprice")).as("mean_price"),
+          Num.std4(col("l_extendedprice")).as("std_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          bround(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          bround(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          bround(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy(col("l_returnflag")),
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             ${Num.sqlAvg2("l_extendedprice")} AS mean_price,
+             ${Num.sqlStd4("l_extendedprice")} AS std_price,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             round_even(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             round_even(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round_even(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """),
+    doc = "G5 describe-style summary incl. exact quartiles")
+
+  /** O2 — N-way union-all (`pd.concat` of per-key frames, monthly.py:443).
+    * Spark-native: `unionByName` is a zero-shuffle plan union; the
+    * aggregation after it proves the split→union round-trip is lossless.
+    */
+  val unionAll: QueryDef = QueryDef(
+    "union_all",
+    (s, d) => {
+      val li   = Tables.lineitem(s, d)
+      val a    = li.filter(col("l_returnflag") === "A")
+      val n    = li.filter(col("l_returnflag") === "N")
+      val r    = li.filter(col("l_returnflag") === "R")
+      Seq(a, n, r).reduce(_ unionByName _)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), Num.sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT * FROM lineitem WHERE l_returnflag = 'A'
+        UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'N'
+        UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')
+      SELECT l_returnflag, count(*) AS n_rows,
+             ${Num.sqlSum2("l_quantity")} AS sum_qty
+      FROM u GROUP BY 1 ORDER BY 1
+    """),
+    doc = "O2 3-way unionByName, lossless split proof")
+
+  /** G7 — geometric reductions: per-group bounding box + centroid (the
+    * reference's `gdf.total_bounds` / centroid diagnostics, monthly.py:173).
+    * Coordinates: (c_acctbal, c_nationkey) as a 2-D point per customer.
+    */
+  val geoBounds: QueryDef = QueryDef(
+    "geo_bounds_centroid",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          min(col("c_acctbal")).as("x_min"),
+          max(col("c_acctbal")).as("x_max"),
+          min(col("c_nationkey")).as("y_min"),
+          max(col("c_nationkey")).as("y_max"),
+          Num.avg2(col("c_acctbal")).as("x_centroid"),
+          bround(avg(col("c_nationkey")), 4).as("y_centroid"))
+        .orderBy(col("c_mktsegment")),
+    Some(s"""
+      SELECT c_mktsegment,
+             min(c_acctbal) AS x_min, max(c_acctbal) AS x_max,
+             min(c_nationkey) AS y_min, max(c_nationkey) AS y_max,
+             ${Num.sqlAvg2("c_acctbal")} AS x_centroid,
+             round_even(avg(c_nationkey), 4) AS y_centroid
+      FROM customer GROUP BY 1 ORDER BY 1
+    """),
+    doc = "G7 per-group bounds + centroid")
+
+  /** SNK3 — fail-fast input existence/validity pre-checks
+    * (monthly.py:358-369): every fixture table must exist and be non-empty.
+    * As a query: one row per table with its row count and validity flag —
+    * the batch analog of the reference's `os.path.exists` guard, but
+    * distributed (parquet footer counts, no full scan).
+    */
+  val inputValidation: QueryDef = QueryDef(
+    "input_validation",
+    (s, d) => {
+      val counts = QueryDef.tables.map { t =>
+        Tables.table(s, d, t).agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("tbl"), col("n_rows"),
+            (col("n_rows") > 0).as("valid"))
+      }
+      counts.reduce(_ unionByName _).orderBy(col("tbl"))
+    },
+    Some(
+      QueryDef.tables
+        .map(t => s"SELECT '$t' AS tbl, count(*) AS n_rows, count(*) > 0 AS valid FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY tbl")),
+    doc = "SNK3 input existence/validity pre-checks, one row per table")
+
+  val all: Seq[QueryDef] = Seq(
+    countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
+    unionAll, geoBounds, inputValidation)
+}

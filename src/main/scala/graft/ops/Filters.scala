@@ -19,11 +19,13 @@ object Filters {
       Tables.lineitem(s, d)
         .filter(col("l_returnflag").isin("A", "R") && col("l_linestatus") === "F")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — sort on
+        // the full output tuple for cross-engine determinism.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
     Some("""
       SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
       WHERE l_returnflag IN ('A','R') AND l_linestatus = 'F'
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, l_returnflag
     """),
     doc = "F1 IN-list + F2 equality, pushed to parquet scan")
 

@@ -72,11 +72,11 @@ object Joins {
     """),
     doc = "J2 nearest-neighbor as snapped-key hash equi-join (scale path)")
 
-  /** J2 cross-check — general rank-1-nearest via a bounded range join +
-    * window. Candidates are limited to the 3 cells within ±1 grid step of
-    * the snapped key (so the join stays band-limited, never a full cross
-    * join), then row_number()=1 by (distance, cell) picks the nearest with a
-    * deterministic tie-break.
+  /** J2 cross-check — general rank-1-nearest, scale-safe formulation: each
+    * point EXPLODES into its 3 candidate cells (snapped ±1 grid step) and
+    * plain hash EQUI-joins the grid — never a non-equi/nested-loop join —
+    * then row_number()=1 by (distance, cell) picks the nearest with a
+    * deterministic tie-break. O(3·points) candidates at any scale.
     */
   val nearestWindow: QueryDef = QueryDef(
     "nearest_rank1_window",
@@ -89,7 +89,9 @@ object Joins {
         .select(col("c_custkey"), col("c_acctbal"),
           Num.snap(col("c_acctbal"), 25.0).as("cell0"))
       val cand = pts
-        .join(grid, abs(col("cell") - col("cell0")) <= 25.0)
+        .withColumn("cell",
+          explode(array(col("cell0") - 25.0, col("cell0"), col("cell0") + 25.0)))
+        .join(grid, Seq("cell"))
         .withColumn("dist", abs(col("c_acctbal") - col("cell")))
       val w = Window.partitionBy(col("c_custkey"))
         .orderBy(col("dist").asc, col("cell").asc)

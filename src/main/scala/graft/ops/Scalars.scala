@@ -44,11 +44,12 @@ object Scalars {
         .select(col("l_orderkey"), col("l_linenumber"),
           bround(vpd(col("l_quantity"), col("l_quantity") - lit(10.0),
             col("l_tax") * lit(1000.0)), 4).as("vpd"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // full-tuple sort: (l_orderkey, l_linenumber) is not unique
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("vpd")),
     Some(s"""
       SELECT l_orderkey, l_linenumber,
-             round(${sqlVpd("l_quantity", "(l_quantity - 10.0)", "(l_tax * 1000.0)")}, 4) AS vpd
-      FROM lineitem ORDER BY l_orderkey, l_linenumber
+             round_even(${sqlVpd("l_quantity", "(l_quantity - 10.0)", "(l_tax * 1000.0)")}, 4) AS vpd
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, vpd
     """),
     doc = "P2 VPD column algebra (no UDF)")
 
@@ -59,10 +60,12 @@ object Scalars {
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity")),
     Some("""
       SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity
-      FROM lineitem ORDER BY l_orderkey, l_linenumber
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
     """),
     doc = "P1 column projection/reorder; prunes scan to 5 columns")
 
@@ -95,13 +98,14 @@ object Scalars {
           bround(col("l_extendedprice") / lit(7.0), 2).as("p7"),
           bround(col("l_quantity") / lit(4.0), 1).as("q4"),
           bround(col("l_discount") * lit(50.0), 0).as("d50"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("p7"), col("q4"), col("d50")),
     Some("""
       SELECT l_orderkey, l_linenumber,
-             round(l_extendedprice / 7.0, 2) AS p7,
-             round(l_quantity / 4.0, 1) AS q4,
-             round(l_discount * 50.0, 0) AS d50
-      FROM lineitem ORDER BY l_orderkey, l_linenumber
+             round_even(l_extendedprice / 7.0, 2) AS p7,
+             round_even(l_quantity / 4.0, 1) AS q4,
+             round_even(l_discount * 50.0, 0) AS d50
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, p7, q4, d50
     """),
     doc = "P4 banker's rounding (bround) parity incl. .5 boundaries")
 

@@ -138,8 +138,8 @@ object Climate {
   val splitByState: QueryDef = QueryDef(
     "split_partitioned_write",
     (s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_split").toString
+      // Stable, per-run-overwritten sink dir (no temp-dir leak per run).
+      val out = new java.io.File("target/graft_split").getAbsolutePath
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       orders.write.mode("overwrite")
