@@ -1,11 +1,524 @@
 package graft.ops
 
-import graft.core.QueryDef
+import graft.core.{QueryDef, Tables, Text}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
-  * (builder brief; SURVEY.md §7 planned this as Extended.scala).
-  * Filled incrementally — see the individual QueryDefs.
+  * (builder brief; SURVEY.md §7 step 5 planned this file).
+  *
+  * Scale posture (the whole point of each formulation):
+  *  - exact dedup:    hash-groupBy on sha2(text) — the shuffle key is the
+  *                    32-byte digest, never the document body.
+  *  - MinHash+LSH:    banding turns near-dup detection into a plain hash
+  *                    EQUI-join on (band, band-key) buckets — candidate
+  *                    pairs only, NEVER an all-pairs cross join.
+  *  - SimHash:        one pass, zero shuffles for the signature itself
+  *                    (array aggregate per row, no explode).
+  *  - n-gram Jaccard: exact verification restricted to same-(lang, size)
+  *                    buckets — the verify stage of a dedup pipeline runs
+  *                    on candidates, not the corpus square.
+  *  - ANN:            brute-force top-k is the correctness baseline (query
+  *                    side broadcast); the sign-LSH variant equi-joins on a
+  *                    16-bucket code — the 100 TB path.
+  *
+  * Everything is Catalyst Column algebra (no UDFs, no RDDs, no collect);
+  * the md5-prefix hash (Text.h32) is the shared cross-engine hash that
+  * makes MinHash/SimHash/fingerprints DuckDB-oracle-checkable bit-for-bit.
   */
 object Extended {
-  val all: Seq[QueryDef] = Seq()
+  import Text.{P, MinhashA, minhashB, Bands, Rows, SigLen}
+
+  // ---- shared building blocks ----------------------------------------
+
+  /** documents → (doc_id, w: array<string>) with >= 3 words. */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+
+  private val sqlDocWords =
+    s"SELECT doc_id, lang, source, n_chars, text, ${Text.sqlWords("text")} AS w " +
+      "FROM documents"
+  private val sqlDocWords3 =
+    s"SELECT * FROM ($sqlDocWords) WHERE len(w) >= 3"
+
+  /** MinHash signature frame: doc_id, m0..m11. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val hs = docWords(s, d)
+      .select(col("doc_id"), Text.shingles("w").as("sh"))
+      .select(col("doc_id"),
+        expr(s"transform(sh, x -> ${sqlSparkH32("x")})").as("hs"))
+    val mins = (0 until SigLen).map { j =>
+      expr(s"CAST(array_min(transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT)")
+        .as(s"m$j")
+    }
+    hs.select(col("doc_id") +: mins: _*)
+  }
+
+  /** Spark-SQL fragment computing Text.h32 inside a lambda. */
+  private def sqlSparkH32(x: String): String =
+    s"CAST(conv(substr(md5($x), 1, 8), 16, 10) AS BIGINT)"
+
+  /** DuckDB CTEs: words → shingles → shingle hashes → signature m0..m11. */
+  private val sqlSignatures: String = {
+    val mins = (0 until SigLen).map { j =>
+      s"CAST(list_min(list_transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT) AS m$j"
+    }.mkString(", ")
+    s"""ws AS ($sqlDocWords3),
+       shs AS (SELECT doc_id, ${Text.sqlShingles("w")} AS sh FROM ws),
+       hss AS (SELECT doc_id, list_transform(sh, x -> ${Text.sqlH32("x")}) AS hs FROM shs),
+       sig AS (SELECT doc_id, $mins FROM hss)"""
+  }
+
+  // ---- 1. exact dedup --------------------------------------------------
+
+  /** Exact dedup: keep the lowest doc_id per identical text; the group key
+    * is sha2-256 of the body, so at 100 TB the shuffle carries 32-byte
+    * digests (+ the kept row), never the documents themselves twice.
+    */
+  val exactDedup: QueryDef = QueryDef(
+    "exact_dedup",
+    (s, d) => {
+      val h = Tables.documents(s, d)
+        .withColumn("h", sha2(col("text"), 256))
+      val w = Window.partitionBy(col("h"))
+      h.withColumn("n_dups", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, source, n_dups FROM (
+        SELECT doc_id, lang, source,
+               count(*) OVER (PARTITION BY text) AS n_dups,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id
+    """),
+    doc = "exact dedup via sha2 hash-group; keeps lowest doc_id")
+
+  // ---- 2. MinHash + LSH near-dup ---------------------------------------
+
+  /** MinHash near-dup with LSH banding: 12 minhashes (md5-prefix hash,
+    * affine perms mod 2^31-1) → 4 bands x 3 rows → candidate pairs are
+    * docs sharing ANY band key (plain equi-join on the band bucket).
+    * Output: candidate pair + how many of the 12 signature components
+    * match (n_match/12 estimates Jaccard).
+    */
+  val minhashLsh: QueryDef = QueryDef(
+    "minhash_lsh_pairs",
+    (s, d) => {
+      val sig = signatures(s, d)
+      val bandStructs = (0 until Bands).map { b =>
+        val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
+        s"struct($b AS band, concat(${ks.mkString(", '|', ")}) AS bkey)"
+      }.mkString(", ")
+      val bands = sig.select(col("doc_id"),
+          explode(expr(s"array($bandStructs)")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val nMatch = (0 until SigLen)
+        .map(j => when(col(s"s1.m$j") === col(s"s2.m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs
+        .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), nMatch.cast("int").as("n_match"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some {
+      val bands = (0 until Bands).map { b =>
+        val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
+        s"SELECT doc_id, $b AS band, concat(${ks.mkString(", '|', ")}) AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val nMatch = (0 until SigLen)
+        .map(j => s"CAST(s1.m$j = s2.m$j AS INT)").mkString(" + ")
+      s"""
+      WITH $sqlSignatures,
+      bands AS ($bands),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT p.d1, p.d2, $nMatch AS n_match
+      FROM pairs p
+      JOIN sig s1 ON s1.doc_id = p.d1
+      JOIN sig s2 ON s2.doc_id = p.d2
+      ORDER BY d1, d2
+      """
+    },
+    doc = "MinHash(12) + LSH banding(4x3) near-dup candidates; equi-join, never all-pairs")
+
+  // ---- 3. SimHash -------------------------------------------------------
+
+  /** 16-bit SimHash per document, computed entirely inside one row (array
+    * aggregate over word hashes — zero shuffles, zero explodes). Bit b is
+    * set iff the +/-1 vote sum over words' hash-bit b is positive.
+    */
+  val simhash: QueryDef = QueryDef(
+    "simhash_docs",
+    (s, d) => {
+      val hs = docWords(s, d)
+        .select(col("doc_id"),
+          expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hs"))
+      val bits = (0 until 16).map { b =>
+        expr(s"aggregate(hs, 0L, (acc, x) -> acc + IF((shiftright(x, $b) & 1) = 1, 1L, -1L))")
+          .as(s"s$b")
+      }
+      val sim = (0 until 16)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      hs.select(col("doc_id") +: bits: _*)
+        .select(col("doc_id"), sim.as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bits = (0 until 16).map { b =>
+        s"CAST(list_sum(list_transform(hs, x -> CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) AS s$b"
+      }.mkString(", ")
+      val sim = (0 until 16)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH ws AS ($sqlDocWords3),
+      hss AS (SELECT doc_id, list_transform(w, x -> ${Text.sqlH32("x")}) AS hs FROM ws),
+      bits AS (SELECT doc_id, $bits FROM hss)
+      SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits ORDER BY doc_id
+      """
+    },
+    doc = "16-bit SimHash, one-pass array aggregate (no explode, no shuffle)")
+
+  // ---- 4. exact n-gram Jaccard on bucketed candidates --------------------
+
+  /** Exact 3-gram Jaccard between docs in the same (lang, n_chars/50)
+    * bucket — the verify stage after candidate generation: explode distinct
+    * shingles, equi-join on (shingle, bucket), count intersections.
+    * Never touches pairs outside a bucket.
+    */
+  val ngramJaccard: QueryDef = QueryDef(
+    "ngram_jaccard_pairs",
+    (s, d) => {
+      val sh = docWords(s, d)
+        .select(col("doc_id"), col("lang"), expr("n_chars div 50").as("bkt"),
+          array_distinct(Text.shingles("w")).as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+      val ex = sh.select(col("doc_id"), col("lang"), col("bkt"), col("n_sh"),
+        explode(col("sh")).as("s"))
+      val inter = ex.as("a")
+        .join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+            col("a.bkt") === col("b.bkt") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("a.n_sh")).as("n1"), first(col("b.n_sh")).as("n2"))
+      inter
+        .withColumn("jac",
+          Text.hround(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("inter"), col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      shs AS (SELECT doc_id, lang, n_chars // 50 AS bkt,
+                     list_distinct(${Text.sqlShingles("w")}) AS sh FROM ws),
+      ex AS (SELECT doc_id, lang, bkt, len(sh) AS n_sh, unnest(sh) AS s FROM shs),
+      i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                   any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
+            FROM ex a JOIN ex b
+              ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt
+                 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT d1, d2, inter, jac FROM (
+        SELECT d1, d2, inter,
+               ${Text.sqlHround("inter / (n1 + n2 - inter)", 4)} AS jac
+        FROM i)
+      WHERE jac >= 0.5 ORDER BY d1, d2
+    """),
+    doc = "exact 3-gram Jaccard >= 0.5 within (lang, size) buckets")
+
+  // ---- 5/6/7. embedding similarity ---------------------------------------
+
+  /** embeddings → (vec_id, v: array<double>, nrm). Cast to double BEFORE
+    * any arithmetic so both engines multiply/add identical operands.
+    */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr(sqlSparkDot("v", "v"))))
+
+  private def sqlSparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private val sqlVecs =
+    "SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+      "FROM embeddings"
+
+  /** Brute-force cosine top-k (k=10) for the query set vec_id % 100 == 0:
+    * the correctness baseline for ANN. The query side is tiny and
+    * broadcast; cosine is rounded to 6 dp (deterministic hround) before
+    * ranking so ties break identically cross-engine (then by vec_id).
+    */
+  val cosineTopK: QueryDef = QueryDef(
+    "embed_cosine_topk",
+    (s, d) => {
+      val all = vecs(s, d)
+      val q = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val cand = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""
+      WITH n AS ($sqlVecs),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      cand AS (
+        SELECT q.q_id, n.vec_id AS nn_id,
+               ${Text.sqlHround("list_dot_product(q.qv, n.v) / (q.qn * n.nrm)", 6)} AS cos6
+        FROM q, n WHERE n.vec_id <> q.q_id),
+      r AS (SELECT q_id, nn_id, cos6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
+            FROM cand)
+      SELECT q_id, nn_id, cos6, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn
+    """),
+    doc = "brute-force cosine top-10 baseline (query side broadcast)")
+
+  /** Sign-LSH bucket code: 4 sign bits at coordinates 1/17/33/49 (exact
+    * float comparisons — no arithmetic, no cross-engine ulp risk).
+    */
+  private def bucketCol(v: String): Column =
+    expr(s"IF(element_at($v, 1) >= 0, 8, 0) + IF(element_at($v, 17) >= 0, 4, 0) + " +
+      s"IF(element_at($v, 33) >= 0, 2, 0) + IF(element_at($v, 49) >= 0, 1, 0)")
+
+  private def sqlBucket(v: String): String =
+    s"(CASE WHEN $v[1] >= 0 THEN 8 ELSE 0 END + CASE WHEN $v[17] >= 0 THEN 4 ELSE 0 END + " +
+      s"CASE WHEN $v[33] >= 0 THEN 2 ELSE 0 END + CASE WHEN $v[49] >= 0 THEN 1 ELSE 0 END)"
+
+  /** ANN via sign-random-projection LSH: 16 buckets from 4 coordinate sign
+    * bits; each query equi-joins ONLY its bucket, then ranks top-5. The
+    * scale path: bucket count grows with more bits, the join stays an
+    * equi-join on the code. (Recall vs the brute-force baseline is checked
+    * in the ScalaTest suite.)
+    */
+  val annLsh: QueryDef = QueryDef(
+    "embed_ann_lsh",
+    (s, d) => {
+      val all = vecs(s, d).withColumn("bkt", bucketCol("v"))
+      val q = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bkt"))
+      val cand = all.join(broadcast(q), Seq("bkt"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("bkt"), col("vec_id").as("nn_id"),
+          col("cos6"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""
+      WITH n AS (SELECT *, ${sqlBucket("v")} AS bkt FROM ($sqlVecs)),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bkt FROM n WHERE vec_id % 100 = 0),
+      cand AS (
+        SELECT q.q_id, n.bkt, n.vec_id AS nn_id,
+               ${Text.sqlHround("list_dot_product(q.qv, n.v) / (q.qn * n.nrm)", 6)} AS cos6
+        FROM q JOIN n ON n.bkt = q.bkt AND n.vec_id <> q.q_id),
+      r AS (SELECT q_id, bkt, nn_id, cos6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
+            FROM cand)
+      SELECT q_id, bkt, nn_id, cos6, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """),
+    doc = "ANN: 4-bit sign-LSH bucket equi-join + top-5 rank (scale path)")
+
+  /** Embedding-cosine near-dup: pairs in the SAME LSH bucket with rounded
+    * cosine >= 0.2 (the fixture's max inter-vector cosine is ~0.45, so the
+    * threshold is calibrated to exercise the operator). Bucket-restricted —
+    * the all-pairs form never runs.
+    */
+  val embedNearDup: QueryDef = QueryDef(
+    "embed_near_dup",
+    (s, d) => {
+      val all = vecs(s, d).withColumn("bkt", bucketCol("v"))
+      all.as("a")
+        .join(all.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cos6") >= 0.2)
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos6"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH n AS (SELECT *, ${sqlBucket("v")} AS bkt FROM ($sqlVecs))
+      SELECT d1, d2, cos6 FROM (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+      WHERE cos6 >= 0.2 ORDER BY d1, d2
+    """),
+    doc = "embedding near-dup within LSH buckets, cosine >= 0.2")
+
+  // ---- 8/9/10/11. text analysis ------------------------------------------
+
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token statistics per (lang, source): whitespace tokens + a BPE-ish
+    * regex token count (letter runs / digit runs / single punctuation).
+    */
+  val tokenStats: QueryDef = QueryDef(
+    "token_stats",
+    (s, d) =>
+      docWords(s, d)
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("n_bpe", regexp_count(col("text"), lit(BpePattern)).cast("long"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          Text.hround(sum(col("n_tok")) / count(lit(1)), 2).as("avg_tok"),
+          sum(col("n_bpe")).as("sum_bpe"))
+        .orderBy(col("lang"), col("source")),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      t AS (SELECT lang, source, CAST(len(w) AS BIGINT) AS n_tok,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+            FROM ws)
+      SELECT lang, source, count(*) AS n_docs, sum(n_tok) AS sum_tok,
+             ${Text.sqlHround("sum(n_tok) / count(*)", 2)} AS avg_tok,
+             sum(n_bpe) AS sum_bpe
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "token counting: whitespace + BPE-ish regex, grouped by (lang, source)")
+
+  private val EnStop = Seq("the", "a", "of", "and", "in")
+  private val EsStop = Seq("el", "la", "de", "y", "en")
+  private val ZhStop = Seq("de5", "shi4", "zai4") // pinyin-ish markers
+
+  private def stopScore(w: String, stops: Seq[String]): String =
+    s"size(filter($w, x -> x IN (${stops.map("'" + _ + "'").mkString(", ")})))"
+  private def sqlStopScore(w: String, stops: Seq[String]): String =
+    s"CAST(len(list_filter($w, x -> x IN (${stops.map("'" + _ + "'").mkString(", ")}))) AS INT)"
+
+  /** Language-ID by stopword-hit heuristic (n-gram/lexicon scoring): count
+    * hits against tiny per-language lexicons, argmax with a fixed
+    * preference order. Row-parallel, no shuffle before the final sort.
+    */
+  val langId: QueryDef = QueryDef(
+    "lang_id",
+    (s, d) =>
+      docWords(s, d)
+        .withColumn("en_score", expr(stopScore("w", EnStop)))
+        .withColumn("es_score", expr(stopScore("w", EsStop)))
+        .withColumn("zh_score", expr(stopScore("w", ZhStop)))
+        .withColumn("pred",
+          when(col("en_score") >= col("es_score") &&
+            col("en_score") >= col("zh_score"), "en")
+            .when(col("es_score") >= col("zh_score"), "es")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("en_score"), col("es_score"),
+          col("zh_score"), col("pred"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3)
+      SELECT doc_id,
+             ${sqlStopScore("w", EnStop)} AS en_score,
+             ${sqlStopScore("w", EsStop)} AS es_score,
+             ${sqlStopScore("w", ZhStop)} AS zh_score,
+             CASE WHEN ${sqlStopScore("w", EnStop)} >= ${sqlStopScore("w", EsStop)}
+                   AND ${sqlStopScore("w", EnStop)} >= ${sqlStopScore("w", ZhStop)} THEN 'en'
+                  WHEN ${sqlStopScore("w", EsStop)} >= ${sqlStopScore("w", ZhStop)} THEN 'es'
+                  ELSE 'zh' END AS pred,
+             lang
+      FROM ws ORDER BY doc_id
+    """),
+    doc = "language-ID via stopword-lexicon scoring + argmax")
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * digit ratio → weighted composite in [0, 1]. All ratios use the
+    * deterministic floor-rounding (Text.hround) on both engines.
+    */
+  val qualityScore: QueryDef = QueryDef(
+    "quality_score",
+    (s, d) =>
+      docWords(s, d)
+        .withColumn("n_tok", size(col("w")))
+        .withColumn("n_alpha", length(regexp_replace(col("text"), "\\s+", "")))
+        .withColumn("stop_hits", expr(stopScore("w", EnStop)))
+        .withColumn("avg_len", Text.hround(col("n_alpha") / col("n_tok"), 4))
+        .withColumn("stop_ratio", Text.hround(col("stop_hits") / col("n_tok"), 4))
+        .withColumn("dig_ratio",
+          Text.hround(regexp_count(col("text"), lit("[0-9]")) / col("n_chars"), 4))
+        .withColumn("quality",
+          Text.hround(
+            least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.5) +
+              col("stop_ratio") * lit(0.3) +
+              (lit(1.0) - col("dig_ratio")) * lit(0.2), 4))
+        .select(col("doc_id"), col("n_tok"), col("avg_len"),
+          col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      m AS (SELECT doc_id, n_chars, CAST(len(w) AS INT) AS n_tok,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS n_alpha,
+                   ${sqlStopScore("w", EnStop)} AS stop_hits,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_dig
+            FROM ws)
+      SELECT doc_id, n_tok,
+             ${Text.sqlHround("n_alpha / n_tok", 4)} AS avg_len,
+             ${Text.sqlHround("stop_hits / n_tok", 4)} AS stop_ratio,
+             ${Text.sqlHround(
+               s"least(n_tok / 100.0, 1.0) * 0.5 + ${Text.sqlHround("stop_hits / n_tok", 4)} * 0.3 " +
+                 s"+ (1.0 - ${Text.sqlHround("n_dig / n_chars", 4)}) * 0.2", 4)} AS quality
+      FROM m ORDER BY doc_id
+    """),
+    doc = "doc quality composite: length/stopword/digit ratios")
+
+  /** Document fingerprint: position-weighted rolling hash of the word-hash
+    * sequence, mod P — order-sensitive (unlike a bag-of-words hash), one
+    * BIGINT per document, computed row-local (no shuffle).
+    */
+  val fingerprint: QueryDef = QueryDef(
+    "doc_fingerprint",
+    (s, d) =>
+      docWords(s, d)
+        .select(col("doc_id"),
+          expr(s"transform(w, (x, i) -> ((${sqlSparkH32("x")} % $P) * ((i % 64) + 1)) % $P)")
+            .as("terms"))
+        .select(col("doc_id"),
+          expr(s"aggregate(terms, 0L, (acc, x) -> acc + x) % $P").as("fp"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      h AS (SELECT doc_id,
+                   list_transform(generate_series(1, len(w)),
+                     i -> ((${Text.sqlH32("w[i]")} % $P) * (((i - 1) % 64) + 1)) % $P) AS terms
+            FROM ws)
+      SELECT doc_id, CAST(list_sum(terms) % $P AS BIGINT) AS fp
+      FROM h ORDER BY doc_id
+    """),
+    doc = "position-weighted rolling-hash fingerprint mod 2^31-1")
+
+  val all: Seq[QueryDef] = Seq(
+    exactDedup, minhashLsh, simhash, ngramJaccard,
+    cosineTopK, annLsh, embedNearDup,
+    tokenStats, langId, qualityScore, fingerprint)
 }
