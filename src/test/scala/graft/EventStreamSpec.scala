@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Ev, SessOut}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming: watermark windowed agg + custom sessionization
+  * state, driven with MemoryStream micro-batches.
+  */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("windowedAgg on a stream: watermark + tumbling window, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedAgg(df, withWatermark = true)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day 1 events, then a day-3 event to move the watermark past day 1
+      mem.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0),
+        (ts(30), "view", 5.0))
+      q.processAllAvailable()
+      mem.addData((ts(3 * 1440), "click", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select("event_type", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      // day-1 windows are closed and emitted exactly once
+      assert(out.contains(("click", 2L, 3.0)))
+      assert(out.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: state accumulates within gap, resets across gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(10), 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, ts(20), 4.0))  // within gap: same session
+      q.processAllAvailable()
+      mem.addData(Ev(1L, ts(120), 8.0)) // 100-minute gap: new session
+      q.processAllAvailable()
+      val hist = spark.table("sess_out").as[SessOut].collect()
+      val latest = hist.last
+      assert(hist.exists(o => o.n_events == 3L && math.abs(o.sum_value - 7.0) < 1e-9))
+      assert(latest.n_events === 1L)
+      assert(math.abs(latest.sum_value - 8.0) < 1e-9)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.{Aggregates, Extended, Scalars}
+import graft.pipeline.Climate
+import org.apache.spark.sql.functions._
+
+/** Operator-level semantics on the sf0.001 fixtures + literal frames. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vpd: matches published psychrometric value at T=25C, RH=60%") {
+    // es(25 C) ≈ 3.168 kPa (FAO-56 saturation vapor pressure); with RH=60,
+    // vpd = es * 0.4 ≈ 1.267 kPa. Formula: reference README VPD section.
+    val got = Seq((30.0, 20.0, 60.0)).toDF("tmax", "tmin", "rh")
+      .select(Scalars.vpd(col("tmax"), col("tmin"), col("rh")).as("v"))
+      .head().getDouble(0)
+    assert(math.abs(got - 1.267) < 0.005)
+  }
+
+  test("vpd: zero at 100% humidity, equals es at 0% humidity") {
+    val rows = Seq((30.0, 20.0, 100.0), (30.0, 20.0, 0.0))
+      .toDF("tmax", "tmin", "rh")
+      .select(Scalars.vpd(col("tmax"), col("tmin"), col("rh")).as("v"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(rows(0)) < 1e-12)
+    assert(math.abs(rows(1) - 3.168) < 0.005)
+  }
+
+  test("approx_count_distinct: within 10% of exact per group") {
+    val exact = Aggregates.countDistinctQ.fn(spark, sfDir)
+      .select("o_orderpriority", "n_cust").as[(String, Long)].collect().toMap
+    val approx = Aggregates.approxDistinctQ.fn(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.10,
+        s"group $k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("rollup: monthly rows re-aggregate to the annual rows") {
+    val r = Climate.rollup.fn(spark, sfDir)
+    val monthly = r.filter(col("month").isNotNull && col("year").isNotNull)
+      .groupBy("year").agg(sum("n_items").as("n"))
+      .as[(Int, Long)].collect().toMap
+    val annual = r.filter(col("month").isNull && col("year").isNotNull)
+      .select("year", "n_items").as[(Int, Long)].collect().toMap
+    assert(monthly === annual)
+  }
+
+  test("exact_dedup: keeps one row per distinct text, lowest doc_id") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kept = Extended.exactDedup.fn(spark, sfDir)
+    val nDistinct = docs.select("text").distinct().count()
+    assert(kept.count() === nDistinct)
+    assert(kept.agg(sum("n_dups")).head().getLong(0) === docs.count())
+  }
+
+  test("minhash LSH pairs: high n_match implies high true 3-gram Jaccard") {
+    val pairs = Extended.minhashLsh.fn(spark, sfDir)
+      .filter(col("n_match") >= 10).as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty, "fixture should contain near-dup docs")
+    // spot-verify the top pair's true Jaccard
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def grams(t: String): Set[String] =
+      t.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val (d1, d2, _) = pairs.maxBy(_._3)
+    val (g1, g2) = (grams(docs(d1)), grams(docs(d2)))
+    val jac = g1.intersect(g2).size.toDouble / g1.union(g2).size
+    assert(jac > 0.5, s"pair ($d1,$d2) true jaccard $jac")
+  }
+
+  test("ANN sign-LSH: recall vs brute-force top-5 is nontrivial") {
+    val topk = Extended.cosineTopK.fn(spark, sfDir)
+      .filter(col("rn") <= 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ann = Extended.annLsh.fn(spark, sfDir)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = (topk intersect ann).size.toDouble / topk.size
+    // 4-bit random-sign LSH on near-orthogonal vectors: expect partial
+    // recall — assert it beats the 1/16 random-bucket floor by a margin.
+    assert(recall > 0.15, s"recall@5 = $recall")
+  }
+
+  test("simhash: near-identical docs land within small Hamming distance") {
+    val sims = Extended.simhash.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val nearDups = Extended.ngramJaccard.fn(spark, sfDir)
+      .filter(col("jac") >= 0.8).as[(Long, Long, Long, Double)].collect()
+    assert(nearDups.nonEmpty)
+    nearDups.foreach { case (d1, d2, _, _) =>
+      val ham = java.lang.Long.bitCount(sims(d1) ^ sims(d2))
+      assert(ham <= 4, s"docs $d1,$d2 jac>=0.8 but hamming $ham")
+    }
+  }
+}
