@@ -284,15 +284,19 @@ object Extended {
 
   /** embeddings → (vec_id, v: array<double>, nrm). Cast to double BEFORE
     * any arithmetic so both engines multiply/add identical operands.
+    * The dot product is the native codegen'd graft.functions.DotProduct
+    * (same left-to-right summation as DuckDB's list_dot_product).
     */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(expr(sqlSparkDot("v", "v"))))
+  }
 
   private def sqlSparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    s"graft_dot($a, $b)"
 
   private val sqlVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v, " +

@@ -103,5 +103,26 @@ object Filters {
     """),
     doc = "LEFT SEMI complement of the quarantine")
 
-  val all: Seq[QueryDef] = Seq(inList, boxRange, antiQuarantine, semiKeep)
+  /** F2 + F3 — standalone equality / conjunctive-equality predicate (the
+    * reference's per-state slice `df[df['UF']==state]` split_by_state.py:54
+    * and the notebook's `(CD_MUN==code) & (year==2015)` spot-check). Both
+    * predicates push to the parquet scan.
+    */
+  val equality: QueryDef = QueryDef(
+    "equality_filter",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1995
+      ORDER BY o_orderkey
+    """),
+    doc = "F2/F3 equality + conjunctive predicate, pushed to scan")
+
+  val all: Seq[QueryDef] =
+    Seq(inList, equality, boxRange, antiQuarantine, semiKeep)
 }

@@ -132,5 +132,27 @@ object Scalars {
     """),
     doc = "P6 substring + broadcast dictionary map")
 
-  val all: Seq[QueryDef] = Seq(vpdQuery, projection, dateparts, rounding, substrMap)
+  /** P5 — literal/constant column attach (the reference tags each
+    * municipality's agg frame with `CD_MUN`/`NM_MUN`/`UF` constants,
+    * monthly.py:328,421-427): per-key agg rows with literal run metadata.
+    */
+  val literalAttach: QueryDef = QueryDef(
+    "literal_attach",
+    (s, d) =>
+      Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+        .withColumn("region_tag", lit("NORTH"))
+        .withColumn("run_year", lit(2024))
+        .select(col("s_nationkey"), col("n_supp"), col("region_tag"), col("run_year"))
+        .orderBy(col("s_nationkey")),
+    Some("""
+      SELECT s_nationkey, count(*) AS n_supp, 'NORTH' AS region_tag,
+             2024 AS run_year
+      FROM supplier GROUP BY 1 ORDER BY 1
+    """),
+    doc = "P5 literal/constant column attach on agg rows")
+
+  val all: Seq[QueryDef] =
+    Seq(vpdQuery, projection, dateparts, rounding, substrMap, literalAttach)
 }
