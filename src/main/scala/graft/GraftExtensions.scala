@@ -1,0 +1,26 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available to ANY session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the standard
+  * deployment path on a shared cluster (no per-session registration call
+  * needed). `VectorFunctions.register` remains for programmatic use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(
+        classOf[DotProduct].getName, null, "graft_dot",
+        "graft_dot(a, b) - dot product of two array<double> columns " +
+          "(codegen'd single fused loop).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+  }
+}

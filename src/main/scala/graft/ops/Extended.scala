@@ -555,8 +555,45 @@ object Extended {
     """),
     doc = "position-weighted rolling-hash fingerprint mod 2^31-1")
 
+  /** PII scrubbing: mask email-like tokens and digit runs (the standard
+    * pre-training scrub pass), report per-source mask counts. Row-parallel
+    * regexp_replace/regexp_count — codegen'd, no shuffle before the agg.
+    */
+  val piiScrub: QueryDef = QueryDef(
+    "pii_scrub",
+    (s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+      val digits = "[0-9]{3,}"
+      Tables.documents(s, d)
+        .withColumn("n_email", regexp_count(col("text"), lit(email)))
+        .withColumn("n_digit", regexp_count(col("text"), lit(digits)))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            digits, "<NUM>"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).cast("long").as("n_emails_masked"),
+          sum(col("n_digit")).cast("long").as("n_nums_masked"),
+          sum(length(col("scrubbed"))).cast("long").as("sum_scrubbed_len"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_digit,
+               regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                 '[0-9]{3,}', '<NUM>', 'g') AS scrubbed
+        FROM documents)
+      SELECT source, count(*) AS n_docs, sum(n_email) AS n_emails_masked,
+             sum(n_digit) AS n_nums_masked,
+             sum(length(scrubbed)) AS sum_scrubbed_len
+      FROM m GROUP BY 1 ORDER BY 1
+    """),
+    doc = "PII scrub: mask emails/digit-runs, per-source audit counts")
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, simhash, ngramJaccard,
     cosineTopK, annLsh, embedNearDup,
-    tokenStats, langId, qualityScore, fingerprint)
+    tokenStats, langId, qualityScore, fingerprint, piiScrub)
 }
