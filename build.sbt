@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked-run output RAW (no "[info] " prefix): the driver parses
+// Bench's single JSON stdout line, and sbt's default logger prefix would
+// otherwise wrap it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~90 queries/run x whole-stage-codegen classes overflow the default
+  // 240m code cache; when it fills, the JIT disables itself and random
+  // queries run interpreted (observed sporadic 10-25 s stalls on
+  // otherwise sub-second queries during the timed Bench pass).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -125,21 +125,27 @@ object Extended {
   }
 
   /** Distinct candidate pairs (d1 < d2) sharing any LSH band bucket.
-    * shuffle_hash hint: both sides are the same derived frame — a
-    * broadcast build here re-executes the whole signature subtree on the
-    * driver and stacks nested broadcast builds (observed multi-minute
-    * stalls); a partitioned hash join on (band, bkey) is the shape that
-    * scales anyway.
+    *
+    * Formulated as groupBy(bucket) + in-bucket pair expansion rather than
+    * a bands self-join: ONE shuffle on the band key, the signature
+    * pipeline executes once (a self-join re-executes it per side), and the
+    * size filter is an explicit skew guard — a pathological bucket
+    * (thousands of identical docs) caps at 1000 members instead of
+    * emitting millions of pairs from a single key. collect_list is safe
+    * here because LSH buckets are near-dup groups by construction, and
+    * array_sort makes pair order deterministic regardless of task order.
     */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = bandsOf(signatures(s, d))
-    bands.as("a")
-      .join(bands.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+    bandsOf(signatures(s, d))
+      .groupBy(col("band"), col("bkey"))
+      .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
+      .filter(size(col("ds")).between(2, 1000))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-  }
 
   /** DuckDB mirror of bandsOf (expects the `sig` CTE in scope). */
   private val sqlBandsFromSig: String = (0 until Bands).map { b =>
