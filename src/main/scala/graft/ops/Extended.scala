@@ -394,6 +394,99 @@ object Extended {
     """),
     doc = "ANN: 4-bit sign-LSH bucket equi-join + top-5 rank (scale path)")
 
+  /** ANN via IVF (inverted-file index): a true two-stage coarse-quantizer
+    * search — (1) per-label centroids (element-wise mean; exact
+    * DECIMAL(28,12) sums so both engines average identical operands in
+    * any partial-agg order), (2) every vector assigned to its nearest
+    * centroid → inverted lists, (3) each query probes its nprobe=2
+    * nearest centroids and ranks ONLY those lists. At 100 TB the centroid
+    * table is tiny and broadcast; the list search is an equi-join on the
+    * cluster id.
+    */
+  val annIvf: QueryDef = QueryDef(
+    "embed_ann_ivf",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // element-wise centroid per label, order-independent decimal sums
+      val ex = emb.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      val cent = ex.groupBy(col("label"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("c"))
+      val cvec = cent.groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), t -> t.c)").as("cv"))
+        .withColumn("cnrm", sqrt(expr(sqlSparkDot("cv", "cv"))))
+      // assign every vector to its nearest centroid (inverted lists)
+      val withN = emb.withColumn("nrm", sqrt(expr(sqlSparkDot("v", "v"))))
+      val assign = withN.crossJoin(broadcast(cvec.select(
+          col("label").as("cl"), col("cv"), col("cnrm"))))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("v", "cv")) / (col("nrm") * col("cnrm")), 6))
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos6").desc, col("cl").asc)
+      val lists = assign.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cl"))
+      // queries probe their nprobe=2 nearest centroids
+      val probes = lists.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cvec.select(col("label").as("cl"), col("cv"), col("cnrm"))))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("qv", "cv")) / (col("qn") * col("cnrm")), 6))
+      val wP = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("cl").asc)
+      val probed = probes.withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("qv"), col("qn"), col("cl"))
+      // search only the probed inverted lists
+      val cand = probed.join(lists.hint("shuffle_hash"), Seq("cl"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")), 6))
+      val wR = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)
+      cand.withColumn("rn", row_number().over(wR))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS pos FROM emb),
+      cent AS (SELECT label, pos,
+                      CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+               FROM ex GROUP BY 1, 2),
+      cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+      cvn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cvec),
+      wn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+      assign AS (
+        SELECT vec_id, v, nrm, cl FROM (
+          SELECT wn.vec_id, wn.v, wn.nrm, c.label AS cl,
+                 row_number() OVER (PARTITION BY wn.vec_id ORDER BY
+                   ${Text.sqlHround("list_dot_product(wn.v, c.cv) / (wn.nrm * c.cnrm)", 6)} DESC,
+                   c.label ASC) AS rn
+          FROM wn, cvn c) WHERE rn = 1),
+      probed AS (
+        SELECT q_id, qv, qn, cl FROM (
+          SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, c.label AS cl,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   ${Text.sqlHround("list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm)", 6)} DESC,
+                   c.label ASC) AS rn
+          FROM assign a, cvn c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+      cand AS (
+        SELECT p.q_id, l.vec_id AS nn_id,
+               ${Text.sqlHround("list_dot_product(p.qv, l.v) / (p.qn * l.nrm)", 6)} AS cos6
+        FROM probed p JOIN assign l ON l.cl = p.cl AND l.vec_id <> p.q_id),
+      r AS (SELECT q_id, nn_id, cos6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
+            FROM cand)
+      SELECT q_id, nn_id, cos6, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """),
+    doc = "ANN via IVF: decimal-exact centroids, inverted lists, nprobe=2")
+
   /** Embedding-cosine near-dup: pairs in the SAME LSH bucket with rounded
     * cosine >= 0.2 (the fixture's max inter-vector cosine is ~0.45, so the
     * threshold is calibrated to exercise the operator). Bucket-restricted —
@@ -600,6 +693,6 @@ object Extended {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, simhash, ngramJaccard,
-    cosineTopK, annLsh, embedNearDup,
+    cosineTopK, annLsh, annIvf, embedNearDup,
     tokenStats, langId, qualityScore, fingerprint, piiScrub)
 }

@@ -83,6 +83,26 @@ class OperatorSpec extends SparkSpec {
     assert(recall > 0.15, s"recall@5 = $recall")
   }
 
+  test("ANN IVF: probes 2 of 10 lists, sane output, nontrivial recall") {
+    val ivf = Extended.annIvf.fn(spark, sfDir)
+      .select("q_id", "nn_id", "cos6", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, n, c, r) => q != n && r >= 1 && r <= 5 && c >= -1.0 && c <= 1.0 })
+    // per query: rn is dense from 1 and cos6 non-increasing
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.size))
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse === sorted.map(_._3).toSeq)
+    }
+    val topk = Extended.cosineTopK.fn(spark, sfDir)
+      .filter(col("rn") <= 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val got = ivf.map(t => (t._1, t._2)).toSet
+    val recall = (topk intersect got).size.toDouble / topk.size
+    assert(recall > 0.2, s"IVF recall@5 = $recall")
+  }
+
   test("simhash: near-identical docs land within small Hamming distance") {
     val sims = Extended.simhash.fn(spark, sfDir)
       .as[(Long, Long)].collect().toMap
