@@ -174,5 +174,42 @@ object Joins {
     """),
     doc = "as-of join via union + window last(ignoreNulls) — single shuffle")
 
-  val all: Seq[QueryDef] = Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof)
+  /** Skew-mitigation join: the fact side's join key (event_type, 5 values
+    * over 100k+ rows) is pathologically skewed — a vanilla shuffle join
+    * puts each hot key on ONE reducer. Salting: fact rows get a
+    * deterministic salt (event_id % 8), the dim side explodes x8, and the
+    * join key becomes (event_type, salt) → each hot key spreads over 8
+    * reducers. Results are IDENTICAL to the unsalted join (the oracle is
+    * the plain join), which is the point: salting is a physical rewrite.
+    * (AQE skew-join handles sort-merge cases automatically; explicit
+    * salting is the portable form that also covers hash joins.)
+    */
+  val saltedSkewJoin: QueryDef = QueryDef(
+    "salted_skew_join",
+    (s, d) => {
+      val dim = Tables.events(s, d)
+        .select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("double"))
+      val dimSalted = dim
+        .withColumn("salt", explode(expr("sequence(0, 7)")))
+      val fact = Tables.events(s, d)
+        .withColumn("salt", (col("event_id") % 8).cast("int"))
+      fact.join(dimSalted, Seq("event_type", "salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Num.sum2(col("value") * col("w")).as("sum_wv"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH dim AS (SELECT DISTINCT event_type,
+                          CAST(length(event_type) AS DOUBLE) AS w FROM events)
+      SELECT e.event_type, count(*) AS n,
+             ${Num.sqlSum2("e.value * d.w")} AS sum_wv
+      FROM events e JOIN dim d USING (event_type)
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "skew salting: fact salt + dim explode x8; identical results to plain join")
+
+  val all: Seq[QueryDef] =
+    Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, saltedSkewJoin)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing: co-located join with NO shuffle — the pre-partitioned-join
+  * layout the engine prescribes for repeated big-big joins at 100 TB
+  * (write once bucketed by the join key; every subsequent join on that
+  * key skips both exchanges).
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is a static conf — the default (spark-warehouse under
+    // cwd = target of the forked test JVM) is fine; the db is dropped after.
+    val db = "graft_bktest"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at test scale both sides fit the broadcast threshold, which would
+    // bypass bucketing entirely; the demo is the big-big (shuffled) case
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+
+      val joined = spark.table(s"$db.lineitem_b")
+        .join(spark.table(s"$db.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+
+      // force execution so AQE finalizes, then inspect the final plan text
+      val expected = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey")).count()
+      val got = joined.collect().map(_.getLong(1)).sum
+      assert(got === expected)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        s"expected a shuffled join over bucketed scans:\n$planStr")
+      assert(planStr.contains("Bucketed: true"), s"scans not bucketed:\n$planStr")
+      // the ONLY exchange allowed is the groupBy on o_orderstatus; the join
+      // keys must never be repartitioned (bucket layout satisfies them)
+      assert(!planStr.contains("Exchange hashpartitioning(l_orderkey") &&
+        !planStr.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join keys were shuffled despite bucketing:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}
