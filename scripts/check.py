@@ -58,6 +58,13 @@ def main():
         if s_cols != o_cols:
             print(f"  X {name}: SCHEMA spark={s_cols} oracle={o_cols}")
             ok = False
+        else:
+            s_ty = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+            o_ty = dict(zip(ora_rel.columns, map(str, ora_rel.types)))
+            dt = {c: (s_ty[c], o_ty[c]) for c in s_cols if s_ty[c] != o_ty[c]}
+            if dt:
+                print(f"  X {name}: DTYPES {dt}")
+                ok = False
         if len(s_rows) != len(o_rows):
             print(f"  X {name}: ROWS spark={len(s_rows)} oracle={len(o_rows)}")
             ok = False

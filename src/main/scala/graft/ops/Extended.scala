@@ -340,7 +340,7 @@ object Extended {
       r AS (SELECT q_id, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
             FROM cand)
-      SELECT q_id, nn_id, cos6, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 10 ORDER BY q_id, rn
     """),
     doc = "brute-force cosine top-10 baseline (query side broadcast)")
 
@@ -390,7 +390,7 @@ object Extended {
       r AS (SELECT q_id, bkt, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
             FROM cand)
-      SELECT q_id, bkt, nn_id, cos6, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+      SELECT q_id, bkt, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """),
     doc = "ANN: 4-bit sign-LSH bucket equi-join + top-5 rank (scale path)")
 
@@ -483,7 +483,7 @@ object Extended {
       r AS (SELECT q_id, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
             FROM cand)
-      SELECT q_id, nn_id, cos6, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """),
     doc = "ANN via IVF: decimal-exact centroids, inverted lists, nprobe=2")
 
@@ -539,9 +539,9 @@ object Extended {
       t AS (SELECT lang, source, CAST(len(w) AS BIGINT) AS n_tok,
                    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
             FROM ws)
-      SELECT lang, source, count(*) AS n_docs, sum(n_tok) AS sum_tok,
+      SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
              ${Text.sqlHround("sum(n_tok) / count(*)", 2)} AS avg_tok,
-             sum(n_bpe) AS sum_bpe
+             CAST(sum(n_bpe) AS BIGINT) AS sum_bpe
       FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """),
     doc = "token counting: whitespace + BPE-ish regex, grouped by (lang, source)")
@@ -684,9 +684,9 @@ object Extended {
                regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
                  '[0-9]{3,}', '<NUM>', 'g') AS scrubbed
         FROM documents)
-      SELECT source, count(*) AS n_docs, sum(n_email) AS n_emails_masked,
-             sum(n_digit) AS n_nums_masked,
-             sum(length(scrubbed)) AS sum_scrubbed_len
+      SELECT source, count(*) AS n_docs, CAST(sum(n_email) AS BIGINT) AS n_emails_masked,
+             CAST(sum(n_digit) AS BIGINT) AS n_nums_masked,
+             CAST(sum(length(scrubbed)) AS BIGINT) AS sum_scrubbed_len
       FROM m GROUP BY 1 ORDER BY 1
     """),
     doc = "PII scrub: mask emails/digit-runs, per-source audit counts")

@@ -31,7 +31,7 @@ object Joins {
         .agg(Num.sum2(col("value")))
         .orderBy(col("user_id"), col("day")),
     Some(s"""
-      SELECT user_id, day(ts) AS day,
+      SELECT user_id, CAST(day(ts) AS INTEGER) AS day,
              ${Num.sqlSum2("CASE WHEN event_type='click' THEN value END")} AS click,
              ${Num.sqlSum2("CASE WHEN event_type='error' THEN value END")} AS error,
              ${Num.sqlSum2("CASE WHEN event_type='purchase' THEN value END")} AS purchase,

@@ -80,7 +80,7 @@ object Multimodal {
                         CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) AS n_frames
                  FROM documents),
       f AS (SELECT doc_id, ph, unnest(generate_series(0, n_frames - 1)) AS frame_i FROM m)
-      SELECT doc_id, frame_i,
+      SELECT doc_id, CAST(frame_i AS INTEGER) AS frame_i,
              substr(md5(substr(ph, frame_i * 64 + 1, 64)), 1, 8) AS frame_id
       FROM f WHERE frame_i % 4 = 0 ORDER BY doc_id, frame_i
     """),

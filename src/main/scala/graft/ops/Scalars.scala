@@ -81,8 +81,10 @@ object Scalars {
           dayofmonth(col("o_orderdate")).as("day"))
         .orderBy(col("o_orderkey")),
     Some("""
-      SELECT o_orderkey, year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
-             month(o_orderdate) AS month, day(o_orderdate) AS day
+      SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS year,
+             CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+             CAST(month(o_orderdate) AS INTEGER) AS month,
+             CAST(day(o_orderdate) AS INTEGER) AS day
       FROM orders ORDER BY o_orderkey
     """),
     doc = "P3 year/quarter/month/day derivation")

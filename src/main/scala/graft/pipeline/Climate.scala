@@ -60,7 +60,7 @@ object Climate {
     Some(s"""
       SELECT s.s_suppkey AS supp_id, s.s_name AS supp_name,
              n.n_name AS nation_name,
-             year(l.l_shipdate) AS year, month(l.l_shipdate) AS month,
+             CAST(year(l.l_shipdate) AS INTEGER) AS year, CAST(month(l.l_shipdate) AS INTEGER) AS month,
              ${Num.sqlSum2("l.l_quantity")} AS sum_qty,
              ${Num.sqlSum2("l.l_extendedprice")} AS sum_price,
              ${Num.sqlAvg2("l.l_extendedprice")} AS avg_price,
@@ -97,7 +97,7 @@ object Climate {
         .orderBy(col("supp_id"), col("year"))
     },
     Some(s"""
-      SELECT l_suppkey AS supp_id, year(l_shipdate) AS year,
+      SELECT l_suppkey AS supp_id, CAST(year(l_shipdate) AS INTEGER) AS year,
              ${Num.sqlSum2("l_quantity")} AS sum_qty,
              ${Num.sqlSum2("l_extendedprice")} AS sum_price,
              ${Num.sqlAvg2("l_quantity")} AS avg_qty,
@@ -122,7 +122,7 @@ object Climate {
           count(lit(1)).as("n_items"))
         .orderBy(col("year").asc_nulls_first, col("month").asc_nulls_first),
     Some(s"""
-      SELECT year(l_shipdate) AS year, month(l_shipdate) AS month,
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS year, CAST(month(l_shipdate) AS INTEGER) AS month,
              ${Num.sqlSum2("l_quantity")} AS sum_qty, count(*) AS n_items
       FROM lineitem GROUP BY ROLLUP (1, 2)
       ORDER BY year ASC NULLS FIRST, month ASC NULLS FIRST
