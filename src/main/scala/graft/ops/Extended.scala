@@ -691,8 +691,91 @@ object Extended {
     """),
     doc = "PII scrub: mask emails/digit-runs, per-source audit counts")
 
+  /** FLAGSHIP composition — the end-to-end training-data curation
+    * pipeline, fused into one declarative plan (the LLM-data analog of the
+    * reference's fused EP pipelines):
+    *
+    *   1. quality gate  — stopword/length composite >= 0.3 (row-local)
+    *   2. exact dedup   — keep lowest doc_id per sha2(text) group
+    *   3. near-dup drop — among survivors, LSH-bucketed embedding pairs
+    *                      (doc_id == vec_id) with cosine >= 0.2 drop the
+    *                      HIGHER id (bucket equi-join, never all-pairs)
+    *   4. report        — per-lang survivor counts + mean quality
+    *
+    * Every stage reuses an already-oracle-verified primitive; the value is
+    * proving they compose into ONE plan Catalyst can optimize end-to-end.
+    */
+  val curationPipeline: QueryDef = QueryDef(
+    "curation_pipeline",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      // 1+2: quality gate then exact dedup
+      val scored = docWords(s, d)
+        .withColumn("n_tok", size(col("w")))
+        .withColumn("stop_hits", expr(stopScore("w", EnStop)))
+        .withColumn("dig_ratio",
+          Text.hround(regexp_count(col("text"), lit("[0-9]")) / col("n_chars"), 4))
+        .withColumn("quality",
+          Text.hround(
+            least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.5) +
+              Text.hround(col("stop_hits") / col("n_tok"), 4) * lit(0.3) +
+              (lit(1.0) - col("dig_ratio")) * lit(0.2), 4))
+        .filter(col("quality") >= 0.3)
+      val w = Window.partitionBy(sha2(col("text"), 256))
+      val deduped = scored
+        .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("quality"))
+      // 3: embedding near-dup among survivors (vec_id == doc_id)
+      val vs = vecs(s, d).withColumn("bkt", bucketCol("v"))
+        .join(deduped.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      val drops = vs.as("a")
+        .join(vs.as("b").hint("shuffle_hash"),
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cos6") >= 0.2)
+        .select(col("b.vec_id").as("doc_id")).distinct()
+      // 4: survivor report per lang
+      deduped.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          Text.hround(sum(col("quality")) / count(lit(1)), 4).as("avg_quality"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      scored AS (
+        SELECT doc_id, lang, text,
+               ${Text.sqlHround(
+                 s"least(CAST(len(w) AS INT) / 100.0, 1.0) * 0.5 + " +
+                   s"${Text.sqlHround(s"${sqlStopScore("w", EnStop)} / CAST(len(w) AS INT)", 4)} * 0.3 + " +
+                   s"(1.0 - ${Text.sqlHround("CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) / n_chars", 4)}) * 0.2", 4)} AS quality
+        FROM ws),
+      gated AS (SELECT * FROM scored WHERE quality >= 0.3),
+      deduped AS (
+        SELECT doc_id, lang, quality FROM (
+          SELECT doc_id, lang, quality,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM gated) WHERE rn = 1),
+      vs AS (
+        SELECT n.vec_id, n.v, n.nrm, ${sqlBucket("n.v")} AS bkt
+        FROM ($sqlVecs) n JOIN deduped dd ON dd.doc_id = n.vec_id),
+      drops AS (
+        SELECT DISTINCT b.vec_id AS doc_id
+        FROM vs a JOIN vs b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.2)
+      SELECT dd.lang, count(*) AS n_docs,
+             ${Text.sqlHround("sum(dd.quality) / count(*)", 4)} AS avg_quality
+      FROM deduped dd LEFT JOIN drops dr ON dr.doc_id = dd.doc_id
+      WHERE dr.doc_id IS NULL
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "flagship curation: quality gate -> exact dedup -> bucketed near-dup drop -> report")
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, simhash, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup,
-    tokenStats, langId, qualityScore, fingerprint, piiScrub)
+    tokenStats, langId, qualityScore, fingerprint, piiScrub,
+    curationPipeline)
 }

@@ -210,6 +210,37 @@ object Joins {
     """),
     doc = "skew salting: fact salt + dim explode x8; identical results to plain join")
 
+  /** Big-big shuffle join: lineitem ⋈ part on partkey (neither side
+    * broadcastable at 100 TB) → brand-level revenue rollup. Plans as a
+    * shuffled join on the key both sides; with both tables bucketed by
+    * partkey the exchanges disappear entirely (proved in BucketingSpec).
+    */
+  val bigJoinBrand: QueryDef = QueryDef(
+    "big_join_brand",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          // exact decimal product (2dp x 2dp = exact 4dp), exact sum, then
+          // deterministic floor-rounding — a double product would hit the
+          // decimal-cast midpoint divergence between the engines
+          graft.core.Text.hround(
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(8,2)"))
+              .cast("double"), 2).as("revenue"))
+        .orderBy(col("p_brand")),
+    Some(s"""
+      SELECT p.p_brand, count(*) AS n_items,
+             ${graft.core.Text.sqlHround(
+               "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * " +
+                 "CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE)", 2)} AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "big-big shuffle join lineitem x part, brand revenue rollup")
+
   val all: Seq[QueryDef] =
-    Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, saltedSkewJoin)
+    Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, saltedSkewJoin,
+      bigJoinBrand)
 }
