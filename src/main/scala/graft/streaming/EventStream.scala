@@ -106,5 +106,42 @@ object EventStream {
       }
   }
 
+  final case class ClosedSession(
+      user_id: Long, n_events: Long, sum_value: Double,
+      start_ms: Long, end_ms: Long)
+
+  /** Open-session state for sessionizeClosed (top-level for its Encoder). */
+  final case class St(n: Long, sum: Double, start: Long, last: Long)
+
+  /** flatMapGroupsWithState sessionization emitting only CLOSED sessions
+    * (0..n outputs per invocation — the shape mapGroupsWithState can't
+    * express). A session closes when a later event arrives past `gapMs`;
+    * the open tail stays in state across micro-batches. Event-time driven
+    * for deterministic tests; production adds a state timeout to flush
+    * idle users.
+    */
+  def sessionizeClosed(ds: Dataset[Ev], gapMs: Long): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[St, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[St]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st == null) St(1L, e.value, t, t)
+              else if (t - st.last > gapMs) {
+                closed += ClosedSession(user, st.n, st.sum, st.start, st.last)
+                St(1L, e.value, t, t)
+              } else St(st.n + 1, st.sum + e.value, st.start, t)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
   val all: Seq[QueryDef] = Seq(tumblingWindow, sessionWindow)
 }

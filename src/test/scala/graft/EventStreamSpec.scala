@@ -38,6 +38,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeClosed: flatMapGroupsWithState emits only closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionizeClosed(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("closed_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(7L, ts(0), 1.0), Ev(7L, ts(10), 2.0))
+      q.processAllAvailable()
+      // nothing closed yet: session still open in state
+      assert(spark.table("closed_out").count() === 0)
+      mem.addData(Ev(7L, ts(100), 5.0)) // 90-min gap closes the first session
+      q.processAllAvailable()
+      val closed = spark.table("closed_out")
+        .as[EventStream.ClosedSession].collect()
+      assert(closed.length === 1)
+      assert(closed.head.n_events === 2L)
+      assert(math.abs(closed.head.sum_value - 3.0) < 1e-9)
+      assert(closed.head.start_ms === 0L)
+      assert(closed.head.end_ms === 10L * 60000L)
+    } finally q.stop()
+  }
+
   test("sessionize: state accumulates within gap, resets across gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
