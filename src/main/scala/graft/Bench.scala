@@ -10,17 +10,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup pass: run every query once untimed. Each query JITs its own
-    // codegen/HOF paths; measured effect is 2-5x on the first execution
-    // (e.g. embed_near_dup 7.6 s cold vs 1.9 s steady-state at sf0.1).
-    // The timed pass below reports steady-state throughput.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two passes; report per-query MIN. Pass 1 doubles as JIT warmup
+    // (codegen/HOF paths JIT per query: 2-5x on first execution — e.g.
+    // embed_near_dup 7.6 s cold vs 1.9 s steady-state at sf0.1); the min
+    // also shields a single run from sporadic environment pauses.
+    def pass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.map { case (name, t1) =>
+      val t2 = p2.getOrElse(name, -1.0)
+      // -1 marks failure; only take min over successful runs
+      val best = Seq(t1, t2).filter(_ >= 0) match {
+        case Nil => -1.0
+        case ts  => ts.min
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
