@@ -18,10 +18,12 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0 and format stably
+        # EXACT repr: every oracle is engineered to be bit-identical
+        # (deterministic IEEE op chains / exact decimal sums) — no
+        # tolerance, matching the strictest possible driver hash.
         if v == 0:
-            v = 0.0
-        return repr(round(v, 9))
+            v = 0.0  # collapse -0.0 vs 0.0 only
+        return repr(v)
     return repr(v)
 
 def main():
