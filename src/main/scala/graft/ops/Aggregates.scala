@@ -185,7 +185,56 @@ object Aggregates {
         .mkString("", " UNION ALL ", " ORDER BY tbl")),
     doc = "SNK3 input existence/validity pre-checks, one row per table")
 
+  /** CUBE — all 2^k grouping combinations in one pass (SURVEY.md §2
+    * G-note: grouping sets available free; rollup covers the reference's
+    * annual+monthly, cube generalizes to cross-dimension summaries).
+    */
+  val cubeAgg: QueryDef = QueryDef(
+    "cube_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("year", year(col("l_shipdate")))
+        .cube(col("year"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), Num.sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("year").asc_nulls_first, col("l_returnflag").asc_nulls_first),
+    Some(s"""
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS year, l_returnflag,
+             count(*) AS n_items, ${Num.sqlSum2("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY CUBE (1, 2)
+      ORDER BY year ASC NULLS FIRST, l_returnflag ASC NULLS FIRST
+    """),
+    doc = "CUBE over (year, returnflag): all grouping sets, one pass")
+
+  /** UNPIVOT / melt — wide → long (the inverse of J1's pivot; the
+    * reference's data model is exactly this long form). Zero-shuffle
+    * row-local expansion.
+    */
+  val unpivotQ: QueryDef = QueryDef(
+    "unpivot_melt",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), Num.sum2(col("val")).as("sum_val"))
+        .orderBy(col("metric")),
+    Some(s"""
+      WITH u AS (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+      SELECT metric, count(*) AS n, ${Num.sqlSum2("val")} AS sum_val
+      FROM u GROUP BY 1 ORDER BY 1
+    """),
+    doc = "unpivot/melt wide->long (inverse of J1 pivot), then rollup")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
-    unionAll, geoBounds, inputValidation)
+    unionAll, geoBounds, inputValidation, cubeAgg, unpivotQ)
 }
