@@ -155,6 +155,34 @@ object Scalars {
     """),
     doc = "P5 literal/constant column attach on agg rows")
 
+  /** Semi-structured: parse the events.props JSON-string column with an
+    * explicit schema (from_json — codegen'd Jackson parse, row-local, no
+    * UDF) and aggregate on the extracted field. The engine treatment for
+    * sidecar JSON payloads at scale: parse AFTER pushdown-able filters,
+    * with a typed schema so downstream stays columnar.
+    */
+  val jsonProps: QueryDef = QueryDef(
+    "json_props_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") =!= "error")
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          graft.core.Num.sum2(col("value")).as("sum_value"))
+        .orderBy(col("k_mod")),
+    Some(s"""
+      SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_mod, count(*) AS n,
+             ${graft.core.Num.sqlSum2("value")} AS sum_value
+      FROM events WHERE event_type <> 'error'
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "semi-structured: from_json typed parse of a JSON-string column + agg")
+
   val all: Seq[QueryDef] =
-    Seq(vpdQuery, projection, dateparts, rounding, substrMap, literalAttach)
+    Seq(vpdQuery, projection, dateparts, rounding, substrMap, literalAttach,
+      jsonProps)
 }

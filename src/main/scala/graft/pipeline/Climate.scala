@@ -160,5 +160,29 @@ object Climate {
     """),
     doc = "EP3 partitioned sink + CSV scan round-trip (SNK1/SNK2/SRC3/F2)")
 
-  val all: Seq[QueryDef] = Seq(monthly, annual, rollup, splitByState)
+  /** JSON-lines sink + source round-trip (completes the format matrix:
+    * parquet scans everywhere, CSV in split_partitioned_write, JSON here).
+    * Schema-on-read with an explicit schema — at scale, never infer.
+    */
+  val jsonRoundtrip: QueryDef = QueryDef(
+    "json_sink_roundtrip",
+    (s, d) => {
+      val out = new java.io.File("target/graft_json").getAbsolutePath
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE")
+        .json(out)
+        .groupBy((col("s_suppkey") % 10).as("key_mod"))
+        .agg(count(lit(1)).as("n"), Num.sum2(col("s_acctbal")).as("sum_bal"))
+        .orderBy(col("key_mod"))
+    },
+    Some(s"""
+      SELECT s_suppkey % 10 AS key_mod, count(*) AS n,
+             ${Num.sqlSum2("s_acctbal")} AS sum_bal
+      FROM supplier GROUP BY 1 ORDER BY 1
+    """),
+    doc = "JSON-lines sink + schema-on-read source round-trip")
+
+  val all: Seq[QueryDef] = Seq(monthly, annual, rollup, splitByState, jsonRoundtrip)
 }
