@@ -773,9 +773,62 @@ object Extended {
     """),
     doc = "flagship curation: quality gate -> exact dedup -> bucketed near-dup drop -> report")
 
+  /** Deterministic train/test split: hash-of-id bucketing (NEVER rand() —
+    * the split must be reproducible across runs, engines and re-shards;
+    * the md5-prefix hash makes it cross-engine checkable too). 80/20 by
+    * h32(doc_id) % 100. Row-local, zero shuffles before the audit agg.
+    */
+  val trainTestSplit: QueryDef = QueryDef(
+    "train_test_split",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          expr(s"${sqlSparkH32("CAST(doc_id AS STRING)")} % 100"))
+        .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          Text.hround(sum(col("n_chars")) / count(lit(1)), 2).as("avg_chars"))
+        .orderBy(col("split")),
+    Some(s"""
+      SELECT CASE WHEN ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             ${Text.sqlHround("sum(n_chars) / count(*)", 2)} AS avg_chars
+      FROM documents GROUP BY 1 ORDER BY 1
+    """),
+    doc = "deterministic 80/20 split via id-hash bucketing (reproducible, never rand)")
+
+  /** Stratified sample: exactly k=20 docs per language stratum, selected
+    * by hash rank (deterministic; independent of row order and partition
+    * count — the property rand()-based sampling lacks). One shuffle on the
+    * stratum key; WindowGroupLimit stops each group at k.
+    */
+  val stratifiedSample: QueryDef = QueryDef(
+    "stratified_sample",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(expr(s"${sqlSparkH32("CAST(doc_id AS STRING)")}").asc,
+          col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn").cast("int").as("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some(s"""
+      SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn <= 20 ORDER BY lang, rn
+    """),
+    doc = "stratified k-per-group sample by hash rank (order/partition independent)")
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, simhash, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
-    curationPipeline)
+    curationPipeline, trainTestSplit, stratifiedSample)
 }
