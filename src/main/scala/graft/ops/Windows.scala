@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.core.{Num, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Ordered-window time-series operators over the `events` stream table.
+  *
+  * The reference's time-series post-processing is pandas-side (month-over-
+  * month inspection and series plots in
+  * /root/reference/notebooks/validation_northern_capitals.ipynb cells 3-5,
+  * fed by the per-month frames built in
+  * scripts/process_climate_amazon_monthly.py:443-478); a user of the engine
+  * needs the same analytics as distributed operators. Each query here is a
+  * per-key Catalyst window — `Window.partitionBy(key).orderBy(...)` — so the
+  * work distributes across executors by key and no global ordered window
+  * exists anywhere (a global window would serialize 100 TB through one
+  * task).
+  *
+  * Cross-engine determinism rules (see graft.core.Num):
+  *  - every window ORDER BY ends in the unique `event_id` tiebreak
+  *    ((user_id, ts) ties would otherwise make lag/row_number ambiguous);
+  *  - windowed sums accumulate DECIMAL(18,2), never DOUBLE — Spark's frame
+  *    walk and DuckDB's segment-tree evaluation sum in different orders,
+  *    which is only safe when the accumulation is exact;
+  *  - frames are explicit ROWS (DuckDB's default with ORDER BY is RANGE).
+  */
+object Windows {
+  private val Dec = DecimalType(18, 2)
+
+  /** Per-key ordered delta: value minus previous value in the key's
+    * timeline (`lag`). The month-over-month change a climate analyst reads
+    * off the monthly series. One shuffle on user_id, sort within partitions.
+    */
+  val lagDelta: QueryDef = QueryDef(
+    "lag_delta",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("prev_value"), col("delta"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, value,
+             lag(value) OVER w AS prev_value,
+             value - lag(value) OVER w AS delta
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id
+    """),
+    doc = "lag(1) per-key delta; first row of each key NULL")
+
+  /** 3-month rolling mean of the per-type monthly sums. Two stages: the
+    * usual partial+final monthly agg (exact decimal sums), then a tiny
+    * per-type ROWS [-2, 0] window over the monthly series — the window input
+    * is months × types, already reduced, so the sort is negligible at any
+    * scale. Rolling mean = exact windowed decimal sum / frame row count,
+    * rounded with the midpoint-free floor form (Num.avg2 rationale).
+    */
+  val rollingAvg: QueryDef = QueryDef(
+    "rolling_avg",
+    (s, d) => {
+      val monthly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          year(col("ts")).cast("int").as("yr"),
+          month(col("ts")).cast("int").as("mo"))
+        .agg(sum(col("value").cast(Dec)).as("dsum"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("yr"), col("mo")).rowsBetween(-2, 0)
+      monthly
+        .withColumn("msum", col("dsum").cast(DoubleType))
+        .withColumn("roll_avg",
+          floor(sum(col("dsum")).over(w).cast(DoubleType) * lit(100.0)
+            / count(lit(1)).over(w) + lit(0.5)) / lit(100.0))
+        .select(col("event_type"), col("yr"), col("mo"), col("msum"), col("roll_avg"))
+        .orderBy(col("event_type"), col("yr"), col("mo"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_type, CAST(year(ts) AS INTEGER) AS yr,
+               CAST(month(ts) AS INTEGER) AS mo,
+               sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        FROM events GROUP BY 1, 2, 3)
+      SELECT event_type, yr, mo, CAST(dsum AS DOUBLE) AS msum,
+             floor(CAST(sum(dsum) OVER w AS DOUBLE) * 100.0
+                   / (count(*) OVER w) + 0.5) / 100.0 AS roll_avg
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY yr, mo
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, yr, mo
+    """),
+    doc = "3-month rolling mean over the monthly series (agg first, window after)")
+
+  /** Per-key running total (cumulative sum) — cumulative rainfall/degree-day
+    * style. Exact decimal accumulation under a ROWS UNBOUNDED PRECEDING
+    * frame; distributes by user_id.
+    */
+  val runningTotal: QueryDef = QueryDef(
+    "running_total",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("cum_value", sum(col("value").cast(Dec)).over(w).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("value"), col("cum_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, value,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """),
+    doc = "per-key cumulative sum, exact decimal accumulation")
+
+  /** Top-3 rows by value within each group via row_number (deterministic
+    * tiebreak on event_id). At 100 TB with few groups, Catalyst plans this
+    * as a rank-limit window (AQE inserts a per-partition top-k before the
+    * shuffle when it can prove the filter bound — the classic
+    * partial-then-final top-k); with high-cardinality keys the window
+    * distributes by key as usual.
+    */
+  val topkPerGroup: QueryDef = QueryDef(
+    "topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("rk"))
+    },
+    Some("""
+      SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id ASC) AS rk
+        FROM events) WHERE rk <= 3
+      ORDER BY event_type, rk
+    """),
+    doc = "top-3 per group, row_number rank-limit")
+
+  /** Z-score anomaly detection: flag events more than 3 sample standard
+    * deviations from their group mean. Deliberately NOT a window: the
+    * per-group moments (n, Σx, Σx²) are a tiny partial+final agg, broadcast
+    * back onto the fact — the two-pass form that scales regardless of group
+    * cardinality (a whole-partition window over 5 groups would funnel
+    * 100 TB through 5 tasks). Moments are exact decimal sums; z is then a
+    * chain of IEEE double ops bit-identical on both engines (Num.std4
+    * rationale).
+    */
+  val anomalyZscore: QueryDef = QueryDef(
+    "anomaly_zscore",
+    (s, d) => {
+      val dec = col("value").cast(Dec)
+      val stats = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(dec).cast(DoubleType).as("s1"),
+          sum(dec * dec).cast(DoubleType).as("s2"),
+          count(lit(1)).cast(DoubleType).as("n"))
+      val z = (col("value") - col("s1") / col("n")) /
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1.0)))
+      Tables.events(s, d)
+        .join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          bround(col("z"), 4).as("z"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1)
+      SELECT event_id, event_type, value,
+             round_even((value - s1/n) / sqrt((s2 - s1*s1/n) / (n - 1.0)), 4) AS z
+      FROM events JOIN s USING (event_type)
+      WHERE abs((value - s1/n) / sqrt((s2 - s1*s1/n) / (n - 1.0))) > 3.0
+      ORDER BY event_id
+    """),
+    doc = "|z| > 3 outliers; moments agg + broadcast back (no giant window)")
+
+  val all: Seq[QueryDef] =
+    Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore)
+}
