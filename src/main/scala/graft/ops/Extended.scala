@@ -826,9 +826,47 @@ object Extended {
     """),
     doc = "stratified k-per-group sample by hash rank (order/partition independent)")
 
+  /** TF-IDF term weighting over the corpus — the canonical text-analysis
+    * reduction a training-data pipeline runs before term-based filtering or
+    * keyword extraction. Three cascaded aggs, all key-partitioned:
+    * tf by (doc, term), df by term (broadcast back — the term dictionary is
+    * tiny relative to the corpus), N via a one-row count round-trip (the X1
+    * driver-scalar pattern, see Filters.boxRange). tfidf = tf·ln(N/df),
+    * half-up-rounded to 4 dp: ln is the one non-correctly-rounded IEEE op
+    * in the engine (Java intrinsic vs libm may differ in the last ulp), so
+    * the 4-dp round absorbs it — a mismatch would need a value within one
+    * ulp of a .00005 midpoint.
+    */
+  val tfidf: QueryDef = QueryDef(
+    "tfidf",
+    (s, d) => {
+      val ws = docWords(s, d)
+      val nDocs = ws.count().toDouble
+      val tf = ws.select(col("doc_id"), explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("term"))
+        .select(col("doc_id"), col("term"), col("tf"),
+          Text.hround(col("tf") * log(lit(nDocs) / col("df")), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      terms AS (SELECT doc_id, unnest(w) AS term FROM ws),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM ws)
+      SELECT doc_id, term, tf,
+             ${Text.sqlHround("tf * ln(nd / df)", 4)} AS tfidf
+      FROM tf JOIN df USING (term), n
+      ORDER BY doc_id, term
+    """),
+    doc = "TF-IDF: tf by (doc,term), df broadcast back, tf*ln(N/df) at 4dp")
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, simhash, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
-    curationPipeline, trainTestSplit, stratifiedSample)
+    curationPipeline, trainTestSplit, stratifiedSample, tfidf)
 }

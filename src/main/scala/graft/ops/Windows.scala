@@ -193,6 +193,36 @@ object Windows {
     """),
     doc = "|z| > 3 outliers; moments agg + broadcast back (no giant window)")
 
+  /** Per-group min-max feature scaling: x' = (x - min)/(max - min), the
+    * normalization step before a feature lands in a training set. Same
+    * two-pass shape as anomalyZscore — per-group extrema are a tiny agg
+    * broadcast back onto the fact. No rounding anywhere: min/max of 2-dp
+    * inputs are exact doubles and the subtract/divide chain is one IEEE op
+    * each over identical operands on both engines.
+    */
+  val minmaxScale: QueryDef = QueryDef(
+    "minmax_scale",
+    (s, d) => {
+      val ext = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      Tables.events(s, d)
+        .join(broadcast(ext), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("mn")) / (col("mx") - col("mn"))).as("scaled"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH ext AS (
+        SELECT event_type, min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 1)
+      SELECT event_id, event_type, value, (value - mn) / (mx - mn) AS scaled
+      FROM events JOIN ext USING (event_type)
+      ORDER BY event_id
+    """),
+    doc = "per-group min-max scaling; extrema agg + broadcast back")
+
   val all: Seq[QueryDef] =
-    Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore)
+    Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
+      minmaxScale)
 }
