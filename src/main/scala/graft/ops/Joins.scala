@@ -240,7 +240,54 @@ object Joins {
     """),
     doc = "big-big shuffle join lineitem x part, brand revenue rollup")
 
+  /** Range (interval-containment) join — count the orders falling inside
+    * each of a set of derived date windows (per-priority 46-day campaign
+    * windows starting at the priority's first order of the year). A naive
+    * formulation is a non-equi join that Catalyst can only plan as a
+    * nested-loop scan of every (row, interval) pair; the scale-safe
+    * formulation used here buckets BOTH sides — each interval explodes into
+    * the month buckets it overlaps (sequence + explode, bounded fan-out),
+    * the fact computes its month once, and the join is a plain hash
+    * equi-join on the bucket with the exact BETWEEN kept as a residual
+    * filter. ScaleSpec's no-nested-loop audit holds over this plan; with a
+    * 100 TB fact and millions of intervals the same plan shuffles by month
+    * bucket instead of broadcasting.
+    */
+  val rangeJoin: QueryDef = QueryDef(
+    "range_join",
+    (s, d) => {
+      // o_orderdate is a midnight TIMESTAMP in the fixture; work in DATE on
+      // both sides so interval arithmetic agrees.
+      val iv = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("iv_priority"),
+          year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(min(to_date(col("o_orderdate"))).as("lo"))
+        .withColumn("hi", date_add(col("lo"), 45))
+      val ivm = iv.withColumn("mth",
+        explode(sequence(trunc(col("lo"), "mm"), trunc(col("hi"), "mm"),
+          expr("interval 1 month"))))
+      Tables.orders(s, d)
+        .withColumn("mth", trunc(to_date(col("o_orderdate")), "mm"))
+        .join(broadcast(ivm), Seq("mth"))
+        .filter(to_date(col("o_orderdate")).between(col("lo"), col("hi")))
+        .groupBy(col("iv_priority"), col("yr"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("iv_priority"), col("yr"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT o_orderpriority AS iv_priority,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               min(CAST(o_orderdate AS DATE)) AS lo,
+               min(CAST(o_orderdate AS DATE)) + 45 AS hi
+        FROM orders GROUP BY 1, 2)
+      SELECT iv_priority, yr, lo, hi, count(*) AS n_orders
+      FROM iv JOIN orders o ON CAST(o.o_orderdate AS DATE) BETWEEN iv.lo AND iv.hi
+      GROUP BY 1, 2, 3, 4 ORDER BY iv_priority, yr
+    """),
+    doc = "interval-containment join, bucketed to a hash equi-join (no NLJ)")
+
   val all: Seq[QueryDef] =
     Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, saltedSkewJoin,
-      bigJoinBrand)
+      bigJoinBrand, rangeJoin)
 }
