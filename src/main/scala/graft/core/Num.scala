@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *   std:  exact decimal sums of x and x*x, variance computed in double from
   *         identical operands.
   *
-  * Rounding is half-even everywhere: Spark `bround` == DuckDB `round_even`
-  * (pandas/numpy `round(2)` is also half-even, so this matches the
-  * reference's output semantics exactly).
+  * Rounding: SUMS and std use half-even (Spark `bround` == DuckDB
+  * `round_even` == pandas/numpy `round(2)`, matching the reference's
+  * output semantics) — safe because an exact decimal sum never lands on a
+  * true 2-dp midpoint. MEANS (`avg2`/`sqlAvg2`) instead use the HALF-UP
+  * floor form floor(x*100+0.5)/100: a decimal sum divided by a count DOES
+  * land on true midpoints, where bround (rounds the shortest decimal
+  * rendering) and round_even (rounds the binary value) disagree — see the
+  * avg2 scaladoc. New operators: sums → sum2, means → avg2/Text.hround.
   *
   * At 100 TB these stay single-pass partial+final hash aggregations — decimal
   * sums are Tungsten-native and codegen'd; there is no extra shuffle.

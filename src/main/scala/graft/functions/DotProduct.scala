@@ -20,11 +20,20 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   * Summation order is left-to-right, IDENTICAL to the aggregate/zip_with
   * form and to DuckDB's list_dot_product, so the oracle parity of the
   * embedding queries is unchanged.
+  *
+  * Malformed input follows the HOF baseline's null-propagation: a length
+  * mismatch or a null element yields NULL (zip_with pads the short side
+  * with NULL and the aggregate then null-propagates) — never a silently
+  * truncated or nulls-as-zero dot product.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Result can be null even for non-null inputs (ragged / null-element
+  // arrays), so nullability can't be derived from the children.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -40,10 +49,12 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -56,12 +67,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $s = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $s += $a.getDouble($i) * $b.getDouble($i);
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $s = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $s += $a.getDouble($i) * $b.getDouble($i);
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $s; }
         |}
-        |${ev.value} = $s;
       """.stripMargin
     })
 

@@ -153,6 +153,21 @@ object Extended {
     s"SELECT doc_id, $b AS band, concat(${ks.mkString(", '|', ")}) AS bkey FROM sig"
   }.mkString(" UNION ALL ")
 
+  /** DuckDB mirror of lshCandidates INCLUDING the 2..1000 bucket-size cap
+    * (expects the `bands` CTE in scope). The cap must live on BOTH sides:
+    * Spark silently drops all pairs from buckets >1000 members (skew
+    * guard), so an oracle without the cap would diverge on exactly the
+    * pathological-dup data the cap targets.
+    */
+  private val sqlCappedPairs: String =
+    """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       FROM bands a
+       JOIN (SELECT band, bkey FROM bands
+             GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000) ok
+         ON a.band = ok.band AND a.bkey = ok.bkey
+       JOIN bands b
+         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+
   /** MinHash near-dup with LSH banding: 12 minhashes (md5-prefix hash,
     * affine perms mod 2^31-1) → 4 bands x 3 rows → candidate pairs are
     * docs sharing ANY band key (plain equi-join on the band bucket).
@@ -179,10 +194,7 @@ object Extended {
       s"""
       WITH $sqlSignatures,
       bands AS ($sqlBandsFromSig),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      pairs AS ($sqlCappedPairs)
       SELECT p.d1, p.d2, $nMatch AS n_match
       FROM pairs p
       JOIN sig s1 ON s1.doc_id = p.d1
@@ -263,10 +275,7 @@ object Extended {
     Some(s"""
       WITH $sqlSignatures,
       bands AS ($sqlBandsFromSig),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pairs AS ($sqlCappedPairs),
       sets AS (SELECT doc_id,
                       list_sort(list_distinct(list_transform(
                         ${Text.sqlShingles("w")}, x -> ${Text.sqlH32("x")}))) AS sh
@@ -830,8 +839,10 @@ object Extended {
     * reduction a training-data pipeline runs before term-based filtering or
     * keyword extraction. Three cascaded aggs, all key-partitioned:
     * tf by (doc, term), df by term (broadcast back — the term dictionary is
-    * tiny relative to the corpus), N via a one-row count round-trip (the X1
-    * driver-scalar pattern, see Filters.boxRange). tfidf = tf·ln(N/df),
+    * tiny relative to the corpus), N via an IN-PLAN one-row count agg
+    * broadcast-cross-joined in (the scalar-subquery shape, mirroring the
+    * oracle's `n` CTE) — the whole query is ONE lazy plan with no driver
+    * action. tfidf = tf·ln(N/df),
     * half-up-rounded to 4 dp: ln is the one non-correctly-rounded IEEE op
     * in the engine (Java intrinsic vs libm may differ in the last ulp), so
     * the 4-dp round absorbs it — a mismatch would need a value within one
@@ -841,14 +852,15 @@ object Extended {
     "tfidf",
     (s, d) => {
       val ws = docWords(s, d)
-      val nDocs = ws.count().toDouble
+      val nDocs = ws.agg(count(lit(1)).cast("double").as("nd"))
       val tf = ws.select(col("doc_id"), explode(col("w")).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("term"), col("tf"),
-          Text.hround(col("tf") * log(lit(nDocs) / col("df")), 4).as("tfidf"))
+          Text.hround(col("tf") * log(col("nd") / col("df")), 4).as("tfidf"))
         .orderBy(col("doc_id"), col("term"))
     },
     Some(s"""

@@ -173,12 +173,15 @@ object Scalars {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"),
           graft.core.Num.sum2(col("value")).as("sum_value"))
-        .orderBy(col("k_mod")),
+        // explicit NULLS FIRST on both sides: Spark ASC defaults to nulls
+        // first, DuckDB to nulls last — an unparseable props row would
+        // otherwise flip the positional row order between engines
+        .orderBy(col("k_mod").asc_nulls_first),
     Some(s"""
       SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_mod, count(*) AS n,
              ${graft.core.Num.sqlSum2("value")} AS sum_value
       FROM events WHERE event_type <> 'error'
-      GROUP BY 1 ORDER BY 1
+      GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST
     """),
     doc = "semi-structured: from_json typed parse of a JSON-string column + agg")
 

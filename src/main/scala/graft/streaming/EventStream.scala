@@ -47,7 +47,10 @@ object EventStream {
 
   /** Session windows (30-minute gap) per user — Spark's `session_window`
     * runs in batch too; the oracle reproduces it with the lag/gap-island
-    * construction (session start = min ts, sessions split on gaps > 30m).
+    * construction. Spark's session is the half-open [start, last + gap):
+    * an event arriving EXACTLY `gap` after the previous one falls outside
+    * the window and starts a NEW session, so the oracle splits on
+    * gaps >= 30m (not >) to match the end-exclusive semantics.
     */
   val sessionWindow: QueryDef = QueryDef(
     "session_window_agg",
@@ -62,7 +65,7 @@ object EventStream {
       WITH g AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE OR
+                         >= INTERVAL 30 MINUTE OR
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events),

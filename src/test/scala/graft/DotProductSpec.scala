@@ -32,6 +32,23 @@ class DotProductSpec extends SparkSpec {
     assert(df.select(expr("graft_dot(a, b)")).head().isNullAt(0))
   }
 
+  test("graft_dot: ragged lengths and null elements yield null, like the HOF") {
+    setup()
+    val df = Seq(
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(3.0))),             // ragged
+      (Seq(Option(1.0), None), Seq(Option(3.0), Option(4.0))),       // null elem
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0))) // clean
+    ).toDF("a", "b")
+    val got = df.select(
+      expr("graft_dot(a, b)").as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("slow"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    assert(!got(2).isNullAt(0) && got(2).getDouble(0) === 11.0 &&
+      got(2).getDouble(1) === 11.0)
+  }
+
   test("graft_dot: rejects non-double arrays at analysis") {
     setup()
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")

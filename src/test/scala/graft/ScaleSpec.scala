@@ -35,11 +35,12 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("no unintended nested-loop or cartesian join in ANY query plan") {
-    // Two queries broadcast a deliberately tiny side against every row:
-    // the brute-force top-k baseline (whole point: score all pairs) and
-    // IVF centroid assignment (every vector scores all ~10 centroids).
-    // Both are broadcast-NLJ over KB-scale builds — fine at any scale.
-    val intended = Set("embed_cosine_topk", "embed_ann_ivf")
+    // Three queries broadcast a deliberately tiny side against every row:
+    // the brute-force top-k baseline (whole point: score all pairs), IVF
+    // centroid assignment (every vector scores all ~10 centroids), and
+    // tfidf's ONE-ROW corpus-count cross join (the scalar-subquery shape).
+    // All are broadcast-NLJ over KB-scale builds — fine at any scale.
+    val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
@@ -49,6 +50,46 @@ class ScaleSpec extends SparkSpec {
         assert(!phys.contains("BroadcastNestedLoopJoin"),
           s"${q.name} plans a nested-loop join:\n$phys")
     }
+  }
+
+  test("plan construction is lazy: no data jobs before any action") {
+    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    // Deliberately eager at construction: the X1 driver bounds round-trip
+    // and the two sink round-trips (they write files, then read them back).
+    val eager = Set("box_range_filter", "split_partitioned_write",
+      "json_sink_roundtrip")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = Option(j.properties)
+        if (p.exists(_.getProperty("spark.jobGroup.id") == "lazy_build"))
+          seen.add((j.jobId, j.stageInfos.map(_.name).mkString("; ")))
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup("lazy_build", "constructing all query plans")
+      SparkEntry.defs.filterNot(q => eager(q.name))
+        .foreach(q => q.fn(spark, sfDir))
+      // Sentinel job in a separate group: listener events are processed in
+      // order, so once the sentinel is visible, any build-time job is too.
+      sc.setJobGroup("lazy_sentinel", "flush marker")
+      spark.range(1).count()
+      sc.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (sc.statusTracker.getJobIdsForGroup("lazy_sentinel").isEmpty &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(sc.statusTracker.getJobIdsForGroup("lazy_sentinel").nonEmpty,
+        "sentinel job never appeared in the status tracker")
+      // Parquet footer/schema reads at construction are Spark's standard
+      // metadata path (spark.read.parquet without explicit schema) — tiny
+      // and bounded. Anything else (count/collect/...) is an eager action.
+      val dataJobs = seen.asScala.filterNot(_._2.startsWith("parquet at"))
+      assert(dataJobs.isEmpty,
+        s"data jobs ran during DataFrame construction: $dataJobs")
+    } finally sc.removeSparkListener(listener)
   }
 
   test("partitioned parquet write prunes partitions on read") {
