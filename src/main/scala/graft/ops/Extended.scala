@@ -353,55 +353,137 @@ object Extended {
     """),
     doc = "brute-force cosine top-10 baseline (query side broadcast)")
 
-  /** Sign-LSH bucket code: 4 sign bits at coordinates 1/17/33/49 (exact
-    * float comparisons — no arithmetic, no cross-engine ulp risk).
+  // ---- banded sign-LSH candidate machinery (embedding LSH family) --------
+
+  /** Multi-band sign-LSH parameters for the near-dup path. Bit-width is
+    * the knob that must GROW with corpus size: expected bucket population
+    * is N / 2^EmbBits per band, so production sizes EmbBits ≈
+    * log2(N / targetBucketSize) (e.g. N=10^10, target 10^3 → 23 bits) and
+    * the candidate volume stays ~N·targetBucketSize·bands instead of
+    * O(N²/constant). More bands buy recall at linear cost. The local
+    * defaults (2 bands × 5 bits = 32 buckets/band) match the fixture's
+    * N=500..2000; everything downstream is written against the parameters,
+    * not the constants. (Declared before every val that bakes them into
+    * oracle SQL — object vals initialize in declaration order.)
     */
-  private def bucketCol(v: String): Column =
-    expr(s"IF(element_at($v, 1) >= 0, 8, 0) + IF(element_at($v, 17) >= 0, 4, 0) + " +
-      s"IF(element_at($v, 33) >= 0, 2, 0) + IF(element_at($v, 49) >= 0, 1, 0)")
+  val EmbBands = 2
+  val EmbBits  = 5
 
-  private def sqlBucket(v: String): String =
-    s"(CASE WHEN $v[1] >= 0 THEN 8 ELSE 0 END + CASE WHEN $v[17] >= 0 THEN 4 ELSE 0 END + " +
-      s"CASE WHEN $v[33] >= 0 THEN 2 ELSE 0 END + CASE WHEN $v[49] >= 0 THEN 1 ELSE 0 END)"
+  /** Sign bit coordinate for (band, bit): stride-6 over the 64 dims so the
+    * two bands read disjoint coordinates (an axis-aligned random
+    * projection; exact float sign compares — zero cross-engine ulp risk).
+    */
+  private def embCoord(b: Int, j: Int): Int = 1 + (b * EmbBits + j) * 6
 
-  /** ANN via sign-random-projection LSH: 16 buckets from 4 coordinate sign
-    * bits; each query equi-joins ONLY its bucket, then ranks top-5. The
-    * scale path: bucket count grows with more bits, the join stays an
-    * equi-join on the code. (Recall vs the brute-force baseline is checked
-    * in the ScalaTest suite.)
+  private def embCodeExpr(v: String, b: Int): String =
+    (0 until EmbBits)
+      .map(j => s"IF(element_at($v, ${embCoord(b, j)}) >= 0, ${1 << j}, 0)")
+      .mkString(" + ")
+
+  private def sqlEmbCode(v: String, b: Int): String =
+    (0 until EmbBits)
+      .map(j => s"CASE WHEN $v[${embCoord(b, j)}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+
+  /** (vec_id, band, code) — one row per band per vector. */
+  private def embBands(vs: DataFrame): DataFrame = {
+    val bandStructs = (0 until EmbBands)
+      .map(b => s"struct($b AS band, ${embCodeExpr("v", b)} AS code)")
+      .mkString(", ")
+    vs.select(col("vec_id"), explode(expr(s"array($bandStructs)")).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.code").as("code"))
+  }
+
+  /** Candidate pairs (d1 < d2) sharing ANY band code — the same
+    * groupBy(bucket) + in-bucket pair expansion + 2..1000 skew cap shape
+    * as the MinHash `lshCandidates` (one shuffle on the band code, never a
+    * self-join, no fixed O(1) bucket domain).
+    */
+  private def embCandidates(vs: DataFrame): DataFrame = {
+    embBands(vs)
+      .groupBy(col("band"), col("code"))
+      .agg(expr("array_sort(collect_list(vec_id))").as("ds"))
+      .filter(size(col("ds")).between(2, 1000))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of embCandidates (expects a vec CTE named `vsrc` with
+    * (vec_id, v) in scope; includes the 2..1000 cap on both sides).
+    */
+  private def sqlEmbBands: String =
+    (0 until EmbBands)
+      .map(b => s"SELECT vec_id, $b AS band, ${sqlEmbCode("v", b)} AS code FROM vsrc")
+      .mkString(" UNION ALL ")
+
+  private def sqlEmbCandidates: String = {
+    s"""ebands AS ($sqlEmbBands),
+       epairs AS (
+         SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+         FROM ebands a
+         JOIN (SELECT band, code FROM ebands
+               GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000) ok
+           ON a.band = ok.band AND a.code = ok.code
+         JOIN ebands b
+           ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)"""
+  }
+
+  /** ANN via multi-table sign-random-projection LSH: EmbBands hash tables
+    * of 2^EmbBits buckets each (the classic LSH layout — bands buy recall,
+    * bits bound bucket population; see the EmbBits scaladoc for how both
+    * scale with N). Each query equi-joins its bucket in EVERY band (query
+    * side broadcast), candidates are unioned/deduped, then exact-ranked
+    * top-5. Candidate volume is Q·bands·N/2^bits — never a pair
+    * enumeration. (Recall vs the brute-force baseline is checked in the
+    * ScalaTest suite and by the ann_recall query.)
     */
   val annLsh: QueryDef = QueryDef(
     "embed_ann_lsh",
     (s, d) => {
-      val all = vecs(s, d).withColumn("bkt", bucketCol("v"))
-      val q = all.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bkt"))
-      val cand = all.join(broadcast(q), Seq("bkt"))
+      val all = vecs(s, d)
+      val bands = embBands(all)
+      val qb = bands.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("band"), col("code"))
+      val cand = bands.join(broadcast(qb), Seq("band", "code"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")).distinct()
+      val scored = cand
+        .join(all.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")).hint("shuffle_hash"), Seq("q_id"))
+        .join(all.hint("shuffle_hash"), Seq("vec_id"))
         .withColumn("cos6",
           Text.hround(expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")), 6))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos6").desc, col("vec_id").asc)
-      cand.withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .select(col("q_id"), col("bkt"), col("vec_id").as("nn_id"),
-          col("cos6"), col("rn"))
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     },
     Some(s"""
-      WITH n AS (SELECT *, ${sqlBucket("v")} AS bkt FROM ($sqlVecs)),
-      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bkt FROM n WHERE vec_id % 100 = 0),
+      WITH vsrc AS ($sqlVecs),
+      ebands AS ($sqlEmbBands),
+      qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0),
       cand AS (
-        SELECT q.q_id, n.bkt, n.vec_id AS nn_id,
-               ${Text.sqlHround("list_dot_product(q.qv, n.v) / (q.qn * n.nrm)", 6)} AS cos6
-        FROM q JOIN n ON n.bkt = q.bkt AND n.vec_id <> q.q_id),
-      r AS (SELECT q_id, bkt, nn_id, cos6,
+        SELECT DISTINCT q.q_id, e.vec_id AS nn_id
+        FROM qb q JOIN ebands e
+          ON e.band = q.band AND e.code = q.code AND e.vec_id <> q.q_id),
+      scored AS (
+        SELECT c.q_id, c.nn_id,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM cand c
+        JOIN vsrc a ON a.vec_id = c.q_id
+        JOIN vsrc b ON b.vec_id = c.nn_id),
+      r AS (SELECT q_id, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
-            FROM cand)
-      SELECT q_id, bkt, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+            FROM scored)
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """),
-    doc = "ANN: 4-bit sign-LSH bucket equi-join + top-5 rank (scale path)")
+    doc = "ANN: multi-table sign-LSH (bands x 2^bits buckets) equi-join + top-5 rank")
 
   /** ANN via IVF (inverted-file index): a true two-stage coarse-quantizer
     * search — (1) per-label centroids (element-wise mean; exact
@@ -496,33 +578,40 @@ object Extended {
     """),
     doc = "ANN via IVF: decimal-exact centroids, inverted lists, nprobe=2")
 
-  /** Embedding-cosine near-dup: pairs in the SAME LSH bucket with rounded
+  /** Embedding-cosine near-dup: banded sign-LSH candidates with rounded
     * cosine >= 0.2 (the fixture's max inter-vector cosine is ~0.45, so the
-    * threshold is calibrated to exercise the operator). Bucket-restricted —
-    * the all-pairs form never runs.
+    * threshold is calibrated to exercise the operator). Candidates come
+    * from the capped groupBy+pair-expand (embCandidates) — never a bucket
+    * self-join, and the bucket domain grows with EmbBits, so the
+    * per-bucket O(N²/buckets) blowup of a fixed code space can't happen.
     */
   val embedNearDup: QueryDef = QueryDef(
     "embed_near_dup",
     (s, d) => {
-      val all = vecs(s, d).withColumn("bkt", bucketCol("v"))
-      all.as("a")
-        .join(all.as("b"),
-          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      val all = vecs(s, d)
+      embCandidates(all)
+        .join(all.select(col("vec_id").as("d1"), col("v").as("v1"),
+          col("nrm").as("n1")).hint("shuffle_hash"), Seq("d1"))
+        .join(all.select(col("vec_id").as("d2"), col("v").as("v2"),
+          col("nrm").as("n2")).hint("shuffle_hash"), Seq("d2"))
         .withColumn("cos6",
-          Text.hround(expr(sqlSparkDot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+          Text.hround(expr(sqlSparkDot("v1", "v2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos6") >= 0.2)
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos6"))
+        .select(col("d1"), col("d2"), col("cos6"))
         .orderBy(col("d1"), col("d2"))
     },
     Some(s"""
-      WITH n AS (SELECT *, ${sqlBucket("v")} AS bkt FROM ($sqlVecs))
+      WITH vsrc AS ($sqlVecs),
+      $sqlEmbCandidates
       SELECT d1, d2, cos6 FROM (
-        SELECT a.vec_id AS d1, b.vec_id AS d2,
+        SELECT p.d1, p.d2,
                ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
-        FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        FROM epairs p
+        JOIN vsrc a ON a.vec_id = p.d1
+        JOIN vsrc b ON b.vec_id = p.d2)
       WHERE cos6 >= 0.2 ORDER BY d1, d2
     """),
-    doc = "embedding near-dup within LSH buckets, cosine >= 0.2")
+    doc = "embedding near-dup via banded sign-LSH candidates, cosine >= 0.2")
 
   // ---- 8/9/10/11. text analysis ------------------------------------------
 
@@ -706,9 +795,11 @@ object Extended {
     *
     *   1. quality gate  — stopword/length composite >= 0.3 (row-local)
     *   2. exact dedup   — keep lowest doc_id per sha2(text) group
-    *   3. near-dup drop — among survivors, LSH-bucketed embedding pairs
-    *                      (doc_id == vec_id) with cosine >= 0.2 drop the
-    *                      HIGHER id (bucket equi-join, never all-pairs)
+    *   3. near-dup drop — among survivors, banded sign-LSH candidate pairs
+    *                      (doc_id == vec_id, embCandidates) with cosine
+    *                      >= 0.2 drop the HIGHER id (capped groupBy +
+    *                      pair-expand — never all-pairs, never a
+    *                      fixed-domain bucket self-join)
     *   4. report        — per-lang survivor counts + mean quality
     *
     * Every stage reuses an already-oracle-verified primitive; the value is
@@ -736,15 +827,17 @@ object Extended {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("quality"))
       // 3: embedding near-dup among survivors (vec_id == doc_id)
-      val vs = vecs(s, d).withColumn("bkt", bucketCol("v"))
+      val vs = vecs(s, d)
         .join(deduped.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-      val drops = vs.as("a")
-        .join(vs.as("b").hint("shuffle_hash"),
-          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      val drops = embCandidates(vs)
+        .join(vs.select(col("vec_id").as("d1"), col("v").as("v1"),
+          col("nrm").as("n1")).hint("shuffle_hash"), Seq("d1"))
+        .join(vs.select(col("vec_id").as("d2"), col("v").as("v2"),
+          col("nrm").as("n2")).hint("shuffle_hash"), Seq("d2"))
         .withColumn("cos6",
-          Text.hround(expr(sqlSparkDot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+          Text.hround(expr(sqlSparkDot("v1", "v2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos6") >= 0.2)
-        .select(col("b.vec_id").as("doc_id")).distinct()
+        .select(col("d2").as("doc_id")).distinct()
       // 4: survivor report per lang
       deduped.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
@@ -767,12 +860,15 @@ object Extended {
           SELECT doc_id, lang, quality,
                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
           FROM gated) WHERE rn = 1),
-      vs AS (
-        SELECT n.vec_id, n.v, n.nrm, ${sqlBucket("n.v")} AS bkt
+      vsrc AS (
+        SELECT n.vec_id, n.v, n.nrm
         FROM ($sqlVecs) n JOIN deduped dd ON dd.doc_id = n.vec_id),
+      $sqlEmbCandidates,
       drops AS (
-        SELECT DISTINCT b.vec_id AS doc_id
-        FROM vs a JOIN vs b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        SELECT DISTINCT p.d2 AS doc_id
+        FROM epairs p
+        JOIN vsrc a ON a.vec_id = p.d1
+        JOIN vsrc b ON b.vec_id = p.d2
         WHERE ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.2)
       SELECT dd.lang, count(*) AS n_docs,
              ${Text.sqlHround("sum(dd.quality) / count(*)", 4)} AS avg_quality

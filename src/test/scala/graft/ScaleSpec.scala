@@ -52,6 +52,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("no pair-enumerating join on a fixed-domain bucket key") {
+    // Round-2 pathology guard: embed_near_dup/curation_pipeline used to
+    // SELF-JOIN on a fixed 16-value sign-LSH code (`bkt`) — O(N²/16)
+    // candidate pairs at scale. The whole embedding-LSH family now runs on
+    // the parameterized banded machinery (Extended.embBands/embCandidates:
+    // capped groupBy + pair-expand, or query-side-broadcast band joins),
+    // so NO query may join on a `bkt` bucket column.
+    SparkEntry.defs.foreach { q =>
+      val joins = q.fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      joins.foreach { j =>
+        val refs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+        assert(!refs.contains("bkt"),
+          s"${q.name} joins on a fixed-domain bucket key: $refs")
+      }
+    }
+  }
+
   test("plan construction is lazy: no data jobs before any action") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
