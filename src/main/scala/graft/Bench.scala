@@ -35,7 +35,44 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Regression guard: compare per-query vs the committed round baseline
+    // (bench_baseline.json, refreshed each round). Queries above the 0.5 s
+    // noise floor that run >2x slower are flagged — on stderr AND as an
+    // extra JSON field — so a round never ships a silent perf regression.
+    val regressions = baseline() match {
+      case b if b.nonEmpty =>
+        results.collect {
+          case (name, t)
+              if t > 0 && b.get(name).exists(o => o > 0.5 && t > 2 * o) =>
+            name -> BigDecimal(t / b(name)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        }
+      case _ => Map.empty[String, BigDecimal]
+    }
+    if (regressions.nonEmpty)
+      System.err.println("BENCH REGRESSIONS >2x vs bench_baseline.json: " +
+        regressions.map { case (k, r) => s"$k (${r}x)" }.mkString(", "))
+    val regJson = regressions.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Per-query seconds from bench_baseline.json (empty if absent). */
+  private def baseline(): Map[String, Double] =
+    try {
+      val txt = scala.io.Source.fromFile("bench_baseline.json").mkString
+      val qstart = txt.indexOf("\"queries\":{")
+      if (qstart < 0) Map.empty
+      else {
+        val body = txt.substring(qstart + 11, txt.indexOf("}", qstart))
+        body.split(",").toSeq.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 }

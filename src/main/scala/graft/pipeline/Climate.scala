@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Climate {
 
+  /** Round-trip sink dir: keyed by input dir + JVM pid, so repeated runs
+    * in one session overwrite in place (no per-run temp leak) while two
+    * CONCURRENT sessions — or the same session on two sf dirs — never
+    * clobber each other's write-then-read-back.
+    */
+  private def sinkDir(sfDir: String, tag: String): String = {
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    new java.io.File(
+      s"target/${tag}_${sf}_${ProcessHandle.current().pid()}").getAbsolutePath
+  }
+
   /** EP2 monthly: filter → groupBy(key, year, month) multi-agg → broadcast
     * dim join → project/round → sort.
     */
@@ -138,8 +149,7 @@ object Climate {
   val splitByState: QueryDef = QueryDef(
     "split_partitioned_write",
     (s, d) => {
-      // Stable, per-run-overwritten sink dir (no temp-dir leak per run).
-      val out = new java.io.File("target/graft_split").getAbsolutePath
+      val out = sinkDir(d, "graft_split")
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       orders.write.mode("overwrite")
@@ -167,7 +177,7 @@ object Climate {
   val jsonRoundtrip: QueryDef = QueryDef(
     "json_sink_roundtrip",
     (s, d) => {
-      val out = new java.io.File("target/graft_json").getAbsolutePath
+      val out = sinkDir(d, "graft_json")
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .write.mode("overwrite").json(out)

@@ -52,6 +52,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dedup pipeline hashes shingles ONCE: ReusedExchange in the plan") {
+    // The repartition(doc_id) in Extended.shingleHashes is a deliberate
+    // materialization boundary: without it, ProjectCollapse inlines the
+    // md5 chain into every consumer (12 minhash mins, both join sides,
+    // the Jaccard sets) — measured 10-50 s vs ~2 s at sf0.1 in round 2.
+    // Guard the hash-once property: the exchange must be REUSED, not
+    // re-executed, everywhere the signature/shingle subtree is consumed.
+    Seq(ops.Extended.minhashLsh, ops.Extended.ngramJaccard).foreach { q =>
+      val plan = planOf(q.fn(spark, sfDir))
+      assert(plan.contains("ReusedExchange"),
+        s"${q.name}: shingle-hash exchange not reused — " +
+          s"the md5 chain is being recomputed per consumer:\n$plan")
+    }
+  }
+
   test("no pair-enumerating join on a fixed-domain bucket key") {
     // Round-2 pathology guard: embed_near_dup/curation_pipeline used to
     // SELF-JOIN on a fixed 16-value sign-LSH code (`bkt`) — O(N²/16)
