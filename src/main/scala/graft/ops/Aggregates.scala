@@ -109,6 +109,30 @@ object Aggregates {
     """),
     doc = "G5 describe-style summary incl. exact quartiles")
 
+  /** G5 scale twin — the PLANS.md-promised approx_percentile path: a
+    * single-pass mergeable quantile sketch instead of exact `percentile`'s
+    * full per-group value collection — the only formulation that survives
+    * 100 TB per-group value sets. No oracle (DuckDB's sketch differs) →
+    * the driver records the weaker rows-only check; the error vs the
+    * exact quartiles is bounded in OperatorSpec instead (mirroring the
+    * approx_count_distinct treatment).
+    */
+  val summaryStatsApprox: QueryDef = QueryDef(
+    "summary_stats_approx",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+            .as("q"))
+        .select(col("l_returnflag"), col("n"),
+          col("q")(0).as("p25_approx"),
+          col("q")(1).as("p50_approx"),
+          col("q")(2).as("p75_approx"))
+        .orderBy(col("l_returnflag")),
+    None,
+    doc = "G5 scale path: single-pass approx_percentile sketch (rows-only; error bounded in tests)")
+
   /** O2 — N-way union-all (`pd.concat` of per-key frames, monthly.py:443).
     * Spark-native: `unionByName` is a zero-shuffle plan union; the
     * aggregation after it proves the split→union round-trip is lossless.
@@ -236,5 +260,6 @@ object Aggregates {
 
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
-    unionAll, geoBounds, inputValidation, cubeAgg, unpivotQ)
+    summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
+    unpivotQ)
 }

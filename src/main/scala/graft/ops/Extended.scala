@@ -613,6 +613,47 @@ object Extended {
     """),
     doc = "embedding near-dup via banded sign-LSH candidates, cosine >= 0.2")
 
+  /** ANN recall as a first-class, oracle-checked metric: per query id,
+    * how many of the brute-force cosine top-5 each approximate method
+    * (multi-table sign-LSH, IVF nprobe=2) recovered. The quality gauge a
+    * production ANN deployment monitors continuously — if an index
+    * parameter (EmbBits, nprobe) is retuned for a bigger corpus, this
+    * query quantifies the recall cost on real data. Composes three
+    * already-verified subplans; the oracle composes their SQL the same
+    * way, so the metric itself is hash-checked cross-engine.
+    */
+  val annRecall: QueryDef = QueryDef(
+    "ann_recall",
+    (s, d) => {
+      val base = cosineTopK.fn(s, d).filter(col("rn") <= 5)
+        .select(col("q_id"), col("nn_id"))
+      def rec(method: String, ann: DataFrame): DataFrame =
+        base.join(ann.select(col("q_id"), col("nn_id"), lit(1).as("hit")),
+          Seq("q_id", "nn_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hit"))
+          .select(lit(method).as("method"), col("q_id"), col("n_hit"),
+            Text.hround(col("n_hit") / lit(5.0), 2).as("recall5"))
+      rec("lsh", annLsh.fn(s, d))
+        .unionAll(rec("ivf", annIvf.fn(s, d)))
+        .orderBy(col("method"), col("q_id"))
+    },
+    Some(s"""
+      WITH base AS (SELECT q_id, nn_id FROM (${cosineTopK.oracle.get}) WHERE rn <= 5),
+      lshr AS (SELECT q_id, nn_id FROM (${annLsh.oracle.get})),
+      ivfr AS (SELECT q_id, nn_id FROM (${annIvf.oracle.get})),
+      rl AS (SELECT 'lsh' AS method, b.q_id, CAST(count(a.nn_id) AS BIGINT) AS n_hit
+             FROM base b LEFT JOIN lshr a ON a.q_id = b.q_id AND a.nn_id = b.nn_id
+             GROUP BY b.q_id),
+      ri AS (SELECT 'ivf' AS method, b.q_id, CAST(count(a.nn_id) AS BIGINT) AS n_hit
+             FROM base b LEFT JOIN ivfr a ON a.q_id = b.q_id AND a.nn_id = b.nn_id
+             GROUP BY b.q_id)
+      SELECT method, q_id, n_hit, ${Text.sqlHround("n_hit / 5.0", 2)} AS recall5
+      FROM (SELECT * FROM rl UNION ALL SELECT * FROM ri)
+      ORDER BY method, q_id
+    """),
+    doc = "recall@5 of LSH/IVF ANN vs the brute-force baseline, per query")
+
   // ---- 8/9/10/11. text analysis ------------------------------------------
 
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -974,7 +1015,7 @@ object Extended {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, simhash, ngramJaccard,
-    cosineTopK, annLsh, annIvf, embedNearDup,
+    cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample, tfidf)
 }

@@ -38,6 +38,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark end-to-end: a late-beyond-watermark row is DROPPED (file source)") {
+    // The full production shape: files land in a directory, each new file
+    // is a micro-batch. Batch 1 carries day-1 events plus a day-2 01:00
+    // event, so after it commits the watermark is day-2 00:50 — past the
+    // day-1 window end. Batch 2 then delivers a day-1 straggler: it must
+    // be filtered by the watermark, and the day-1 window must emit with
+    // ONLY the batch-1 rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        lines.mkString("\n").getBytes)
+    write("batch1.json",
+      """{"ts":"2021-01-01T10:00:00Z","event_type":"click","value":1.0}""",
+      """{"ts":"2021-01-01T11:00:00Z","event_type":"click","value":2.0}""",
+      """{"ts":"2021-01-02T01:00:00Z","event_type":"click","value":3.0}""")
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE").json(dir)
+    val q = EventStream.windowedAgg(src, withWatermark = true)
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // 100.0 at day-1 12:00 — two hours inside the closed window
+      write("batch2.json",
+        """{"ts":"2021-01-01T12:00:00Z","event_type":"click","value":100.0}""")
+      q.processAllAvailable()
+      val day1 = spark.table("wm_out")
+        .filter(col("win_start") === lit("2021-01-01 00:00:00").cast("timestamp"))
+        .select("n_events", "sum_value").as[(Long, Double)].collect()
+      assert(day1.length === 1, s"day-1 window emitted ${day1.length} times")
+      assert(day1.head === ((2L, 3.0)),
+        s"late row leaked into the closed window: ${day1.head}")
+    } finally q.stop()
+  }
+
   test("sessionizeClosed: flatMapGroupsWithState emits only closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -38,6 +38,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("summary_stats_approx: quartile sketch within 2% of exact per group") {
+    val exact = Aggregates.summaryStats.fn(spark, sfDir)
+      .select("l_returnflag", "p25", "p50", "p75")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val approx = Aggregates.summaryStatsApprox.fn(spark, sfDir)
+      .select("l_returnflag", "p25_approx", "p50_approx", "p75_approx")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, ex) =>
+      ex.zip(approx(k)).zipWithIndex.foreach { case ((e, a), i) =>
+        assert(math.abs(a - e) / e < 0.02,
+          s"group $k q${i}: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("ann_recall: per-query recall@5 in [0,1], both methods present") {
+    val r = Extended.annRecall.fn(spark, sfDir)
+      .select("method", "q_id", "n_hit", "recall5")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.map(_._1).toSet === Set("lsh", "ivf"))
+    assert(r.forall { case (_, _, h, rc) =>
+      h >= 0 && h <= 5 && rc >= 0.0 && rc <= 1.0 && rc == h / 5.0 })
+    // both methods report every baseline query id
+    val byMethod = r.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byMethod("lsh") === byMethod("ivf"))
+  }
+
   test("rollup: monthly rows re-aggregate to the annual rows") {
     val r = Climate.rollup.fn(spark, sfDir)
     val monthly = r.filter(col("month").isNotNull && col("year").isNotNull)

@@ -35,12 +35,14 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("no unintended nested-loop or cartesian join in ANY query plan") {
-    // Three queries broadcast a deliberately tiny side against every row:
+    // These queries broadcast a deliberately tiny side against every row:
     // the brute-force top-k baseline (whole point: score all pairs), IVF
-    // centroid assignment (every vector scores all ~10 centroids), and
-    // tfidf's ONE-ROW corpus-count cross join (the scalar-subquery shape).
-    // All are broadcast-NLJ over KB-scale builds — fine at any scale.
-    val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf")
+    // centroid assignment (every vector scores all ~10 centroids), tfidf's
+    // ONE-ROW corpus-count cross join (the scalar-subquery shape), and
+    // ann_recall, which embeds the first two as verified subplans. All are
+    // broadcast-NLJ over KB-scale builds — fine at any scale.
+    val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
+      "ann_recall")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
