@@ -17,7 +17,8 @@ object SparkEntry {
   val defs: Seq[QueryDef] =
     ops.Filters.all ++ ops.Scalars.all ++ ops.Joins.all ++
       ops.Aggregates.all ++ ops.Windows.all ++ ops.Extended.all ++
-      ops.Multimodal.all ++ streaming.EventStream.all ++ pipeline.Climate.all
+      ops.Analytics.all ++ ops.Multimodal.all ++
+      streaming.EventStream.all ++ pipeline.Climate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fused EP2 monthly plan (filter → multi-agg → broadcast dim join →

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.core.{QueryDef, Tables, Text}
+import org.apache.spark.sql.functions._
+
+/** Statistical / set-algebra analytics beyond the reference's surface
+  * (engine extensions in the SURVEY.md §2 "available free" spirit): the
+  * describe-style stats a data scientist reaches for right after the
+  * reference's summary block, plus the relational set operators the
+  * reference approximates with pandas boolean masks.
+  *
+  * Numeric discipline: every accumulation is an EXACT decimal sum (the
+  * Num.scala rule — order-independent, identical across Spark partial/final
+  * aggregation and DuckDB), and every derived statistic is computed in
+  * DOUBLE from those identical operands, so the IEEE op chain matches
+  * bit-for-bit cross-engine. Deterministic half-up rounding (Text.hround)
+  * absorbs the final-digit ulp.
+  */
+object Analytics {
+
+  /** Per-group Pearson correlation + OLS slope/intercept of
+    * (x = l_quantity, y = l_extendedprice), built from the five mergeable
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) as exact DECIMAL(12,2)-operand
+    * sums: ONE partial+final hash aggregation, no second pass, no
+    * centering pass — the only correlation formulation that runs at
+    * 100 TB without a mean-broadcast round-trip. (Built-in `corr`/
+    * `regr_slope` accumulate centered doubles in partition order →
+    * cross-engine last-ulp drift; the moment form is order-independent.)
+    */
+  val corrRegr: QueryDef = QueryDef(
+    "corr_regr",
+    (s, d) => {
+      val x = col("l_quantity").cast("decimal(12,2)")
+      val y = col("l_extendedprice").cast("decimal(12,2)")
+      val agged = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+      val covN  = col("n") * col("sxy") - col("sx") * col("sy")
+      val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+      val varYN = col("n") * col("syy") - col("sy") * col("sy")
+      agged.select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          Text.hround(covN / sqrt(varXN * varYN), 6).as("corr_xy"),
+          Text.hround(covN / varXN, 6).as("slope"),
+          Text.hround((col("sy") - (covN / varXN) * col("sx")) / col("n"), 4)
+            .as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      val sx  = "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+      val sy  = "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+      val sxy = "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+      val sxx = "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+      val syy = "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+      s"""
+      WITH m AS (
+        SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+               $sx AS sx, $sy AS sy, $sxy AS sxy, $sxx AS sxx, $syy AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             ${Text.sqlHround("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS corr_xy,
+             ${Text.sqlHround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope,
+             ${Text.sqlHround("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 4)} AS intercept
+      FROM m ORDER BY 1
+      """
+    },
+    doc = "Pearson corr + OLS fit from exact decimal moments, one agg pass")
+
+  /** Fixed-width histogram of l_extendedprice: 12 buckets of 5000, top
+    * bucket open-ended. Bucketing is exact floor arithmetic (no float
+    * binning ambiguity), the shape is a single partial+final count agg —
+    * the 100 TB histogram plan.
+    */
+  val histogram: QueryDef = QueryDef(
+    "histogram_fixed",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("bucket",
+          least(floor(col("l_extendedprice") / lit(5000.0)), lit(11.0))
+            .cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT CAST(least(floor(l_extendedprice / 5000.0), 11) AS INTEGER) AS bucket,
+             count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """),
+    doc = "fixed-width histogram via exact floor bucketing, one agg pass")
+
+  /** Relational INTERSECT / EXCEPT (the set operators the reference
+    * emulates with index-mask subtraction): customers ordering in BOTH
+    * 1995 and 1996 vs ONLY 1995. Catalyst plans set-ops as aggregated
+    * joins on the hashed row — same one-shuffle shape as a distinct.
+    */
+  val setOps: QueryDef = QueryDef(
+    "intersect_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def custs(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+      val both = custs(1995).intersect(custs(1996))
+        .select(lit("both").as("mode"), col("o_custkey"))
+      val only95 = custs(1995).except(custs(1996))
+        .select(lit("only_1995").as("mode"), col("o_custkey"))
+      both.unionAll(only95).orderBy(col("mode"), col("o_custkey"))
+    },
+    Some("""
+      WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      u AS (
+        SELECT 'both' AS mode, o_custkey FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+        UNION ALL
+        SELECT 'only_1995' AS mode, o_custkey FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96))
+      SELECT mode, o_custkey FROM u ORDER BY mode, o_custkey
+    """),
+    doc = "INTERSECT / EXCEPT set operators (distinct semantics)")
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * form where NULL keys MATCH each other instead of dropping — the
+    * standard trap when an enrichment dimension carries a NULL-keyed
+    * default row. Key is nullif(o_orderstatus, 'O'), so a third of the
+    * rows carry a genuine NULL key that must land in the default group.
+    */
+  val nullSafeJoin: QueryDef = QueryDef(
+    "nullsafe_join",
+    (s, d) => {
+      val dim = s.createDataFrame(Seq(
+          (Option.empty[String], "open_default"),
+          (Some("F"), "finished"),
+          (Some("P"), "pending"))).toDF("k", "grp")
+      Tables.orders(s, d)
+        .withColumn("k", nullif(col("o_orderstatus"), lit("O"))).as("o")
+        .join(broadcast(dim.as("dm")), col("o.k") <=> col("dm.k"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("grp"))
+    },
+    Some("""
+      WITH dim(k, grp) AS (VALUES (NULL, 'open_default'), ('F', 'finished'), ('P', 'pending')),
+      o AS (SELECT nullif(o_orderstatus, 'O') AS k FROM orders)
+      SELECT d.grp, count(*) AS n_orders
+      FROM o JOIN dim d ON o.k IS NOT DISTINCT FROM d.k
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "null-safe equality join: NULL keys match the NULL dim row")
+
+  val all: Seq[QueryDef] = Seq(corrRegr, histogram, setOps, nullSafeJoin)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the statistical/set-algebra operators (their
+  * primary gate is the DuckDB oracle; these pin the math itself).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corr_regr: correlation in [-1,1]; slope/intercept reproduce built-in OLS") {
+    val r = Analytics.corrRegr.fn(spark, sfDir)
+      .select("l_returnflag", "corr_xy", "slope", "intercept")
+      .as[(String, Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (g, c, m, b) =>
+      assert(c >= -1.0 && c <= 1.0, s"group $g corr $c")
+      // cross-check against Spark's built-in regression aggregates
+      val Array(bm, bb) = graft.core.Tables.lineitem(spark, sfDir)
+        .filter(col("l_returnflag") === g)
+        .agg(expr("regr_slope(l_extendedprice, l_quantity)"),
+          expr("regr_intercept(l_extendedprice, l_quantity)"))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      assert(math.abs(m - bm) < 1e-3, s"group $g slope $m vs builtin $bm")
+      assert(math.abs(b - bb) < 1e-2, s"group $g intercept $b vs builtin $bb")
+    }
+  }
+
+  test("histogram_fixed: buckets partition the table (counts sum to total)") {
+    val h = Analytics.histogram.fn(spark, sfDir)
+      .select("bucket", "n", "lo", "hi")
+      .as[(Int, Long, Double, Double)].collect()
+    val total = graft.core.Tables.lineitem(spark, sfDir).count()
+    assert(h.map(_._2).sum === total)
+    h.foreach { case (b, _, lo, hi) =>
+      assert(lo <= hi)
+      if (b < 11) { assert(lo >= b * 5000.0 && hi < (b + 1) * 5000.0) }
+      else assert(lo >= 55000.0)
+    }
+  }
+
+  test("intersect_except: modes are disjoint and consistent with raw year sets") {
+    val r = Analytics.setOps.fn(spark, sfDir)
+      .select("mode", "o_custkey").as[(String, Long)].collect()
+    val both = r.filter(_._1 == "both").map(_._2).toSet
+    val only = r.filter(_._1 == "only_1995").map(_._2).toSet
+    assert((both intersect only).isEmpty)
+    val o = graft.core.Tables.orders(spark, sfDir)
+    def ys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").as[Long].collect().toSet
+    val (c95, c96) = (ys(1995), ys(1996))
+    assert(both === (c95 intersect c96))
+    assert(only === (c95 diff c96))
+  }
+
+  test("nullsafe_join: every order lands in exactly one group incl. the NULL key") {
+    val r = Analytics.nullSafeJoin.fn(spark, sfDir)
+      .select("grp", "n_orders").as[(String, Long)].collect().toMap
+    val o = graft.core.Tables.orders(spark, sfDir)
+    assert(r.values.sum === o.count(), "null-keyed rows were dropped")
+    assert(r("open_default") ===
+      o.filter(col("o_orderstatus") === "O").count())
+  }
+}
