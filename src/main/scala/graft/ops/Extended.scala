@@ -1013,9 +1013,124 @@ object Extended {
     """),
     doc = "TF-IDF: tf by (doc,term), df broadcast back, tf*ln(N/df) at 4dp")
 
+  /** Benchmark decontamination — the pre-training hygiene pass: flag
+    * training documents sharing >= 3 distinct 3-gram shingles with the
+    * held-out eval set (here the deterministic doc_id % 50 == 0 slice).
+    * Pure hash equi-join on the shingle digest: the eval side is tiny and
+    * broadcastable at any scale, the training side streams through — the
+    * only decontamination shape that survives a 100 TB corpus. Reuses the
+    * hash-once shingle exchange.
+    */
+  val decontaminate: QueryDef = QueryDef(
+    "decontaminate",
+    (s, d) => {
+      val sh = shingleHashes(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("sh")).distinct()
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      shs AS (SELECT doc_id, ${Text.sqlShingles("w")} AS shl FROM ws),
+      sh AS (SELECT DISTINCT doc_id, ${Text.sqlH32("s.sh")} AS sh
+             FROM shs, unnest(shl) AS s(sh)),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+      SELECT doc_id, count(*) AS n_shared
+      FROM sh JOIN bench USING (sh)
+      WHERE doc_id % 50 <> 0
+      GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id
+    """),
+    doc = "eval-set decontamination: shared-shingle hash equi-join, eval side broadcast")
+
+  /** Within-document repetition score — the boilerplate/spam signal
+    * (Gopher/C4-style quality rule): the most frequent 3-gram's share of
+    * all shingles. Shuffles on (doc_id, shingle-hash) — a key that only
+    * grows with corpus size, never a hot key — then one partial+final agg
+    * per doc.
+    */
+  val repetitionScore: QueryDef = QueryDef(
+    "repetition_score",
+    (s, d) =>
+      shingleHashes(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_rep"),
+          sum(col("c")).as("n_sh"))
+        .select(col("doc_id"), col("max_rep"), col("n_sh"),
+          Text.hround(col("max_rep") / col("n_sh"), 4).as("rep_ratio"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      shs AS (SELECT doc_id, ${Text.sqlShingles("w")} AS shl FROM ws),
+      sh AS (SELECT doc_id, ${Text.sqlH32("s.sh")} AS sh
+             FROM shs, unnest(shl) AS s(sh)),
+      tf AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2),
+      rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep,
+                     CAST(sum(c) AS BIGINT) AS n_sh
+              FROM tf GROUP BY 1)
+      SELECT doc_id, max_rep, n_sh,
+             ${Text.sqlHround("max_rep / n_sh", 4)} AS rep_ratio
+      FROM rep ORDER BY doc_id
+    """),
+    doc = "max-3-gram repetition ratio per doc (boilerplate/spam signal)")
+
+  /** Deterministic sequence packing — batching documents into ~2048-token
+    * packs for training. Greedy first-fit is inherently sequential, so
+    * the distributed form shards FIRST (h32(doc_id) % 8 — deterministic,
+    * partition-count independent) and packs WITHIN each shard by running
+    * token total: pack = floor(pre-doc cumsum / 2048). Each shard's
+    * window is independent → 1000 executors pack 1000 shards in
+    * parallel; no global window exists (the single-partition trap).
+    * Output audits pack fill levels.
+    */
+  val packSequences: QueryDef = QueryDef(
+    "pack_sequences",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(expr(s"${sqlSparkH32("CAST(doc_id AS STRING)")}").asc,
+          col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docWords(s, d)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+        .withColumn("shard",
+          expr(s"${sqlSparkH32("CAST(doc_id AS STRING)")} % 8"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("pack_id", floor(col("cum_before") / lit(2048)).cast("long"))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("shard"), col("pack_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+                   ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                   ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} AS hk
+            FROM ws),
+      c AS (SELECT doc_id, n_tok, shard,
+                   coalesce(sum(n_tok) OVER (PARTITION BY shard
+                     ORDER BY hk ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM t)
+      SELECT shard, CAST(floor(cum_before / 2048) AS BIGINT) AS pack_id,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "sharded deterministic sequence packing into ~2048-token packs")
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, simhash, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
-    curationPipeline, trainTestSplit, stratifiedSample, tfidf)
+    curationPipeline, trainTestSplit, stratifiedSample, tfidf,
+    decontaminate, repetitionScore, packSequences)
 }

@@ -96,6 +96,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join: dimension enrichment inside a streaming agg") {
+    // The standard streaming enrichment shape: micro-batch events join a
+    // static broadcast dimension BEFORE the watermarked window agg — the
+    // same plan a 1000-executor cluster runs with a reference-data table.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("error", "ops")).toDF("event_type", "category")
+    val enriched = mem.toDF().toDF("ts", "event_type", "value")
+      .join(broadcast(dim), Seq("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("category"), col("n"))
+    val q = enriched.writeStream.format("memory").queryName("ss_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(10), "click", 1.0), (ts(20), "view", 2.0),
+        (ts(30), "error", 3.0))
+      q.processAllAvailable()
+      mem.addData((ts(3 * 1440), "click", 9.0)) // closes the day-1 windows
+      q.processAllAvailable()
+      val out = spark.table("ss_out").select("category", "n")
+        .as[(String, Long)].collect().toSet
+      assert(out.contains(("engagement", 2L)))
+      assert(out.contains(("ops", 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize: state accumulates within gap, resets across gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
