@@ -35,5 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m code cache; when it fills, the JIT disables itself and random
   // queries run interpreted (observed sporadic 10-25 s stalls on
   // otherwise sub-second queries during the timed Bench pass).
-  "-XX:ReservedCodeCacheSize=512m",
+  // 70 queries x 2 bench passes generate thousands of codegen classes;
+  // 512m still thrashed (flushed/recompiled methods made steady-state
+  // passes 5x slower for late-iterated queries), 1g holds the full set
+  "-XX:ReservedCodeCacheSize=1g",
 )

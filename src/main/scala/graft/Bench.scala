@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // default 100-entry codegen cache evicts constantly across 70
+      // queries x 2 passes -> Janino recompiles every stage every pass
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Two passes; report per-query MIN. Pass 1 doubles as JIT warmup
@@ -57,10 +60,15 @@ object Bench {
     spark.stop()
   }
 
-  /** Per-query seconds from bench_baseline.json (empty if absent). */
+  /** Per-query seconds from bench_baseline.json (empty if absent). The
+    * driver's BENCH_r{N}.json wraps the metric line escaped inside a
+    * "tail" field — unescape before searching so both the raw line and
+    * the wrapped form parse.
+    */
   private def baseline(): Map[String, Double] =
     try {
       val txt = scala.io.Source.fromFile("bench_baseline.json").mkString
+        .replace("\\\"", "\"")
       val qstart = txt.indexOf("\"queries\":{")
       if (qstart < 0) Map.empty
       else {

@@ -17,6 +17,26 @@ object Tables {
     // the read at analysis time ([PARQUET_TYPE_ILLEGAL]). Harmless for the
     // other tables (no nanos columns anywhere else).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Constraint propagation OFF, engine-wide: InferFiltersFromConstraints
+    // alias-expands derived columns when it manufactures isnotnull()
+    // predicates, inlining entire expression pipelines (e.g. the shingle
+    // hash -> distinct -> sort chain) into scan-side filters — which both
+    // re-executes the pipeline inside the filter and makes structurally
+    // identical subtrees non-identical, killing AQE exchange reuse.
+    // Measured at sf0.1: ngram_jaccard_pairs 34 s -> 1.3 s, embed_near_dup
+    // 2.3 s -> 0.8 s, no query slower. Every graft query carries its null
+    // filters explicitly, so the inference buys nothing here.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    // Same disease, different rule, NOT governed by the conf above:
+    // InferFiltersFromGenerate manufactures `size(arr) > 0` under every
+    // explode and alias-expands `arr` through projects AND exchanges into
+    // the scan filter. For explode(shingle-hashes) the inlined filter
+    // re-evaluates the md5 word-hash transform inside every element_at —
+    // O(words²) md5 per document: repetition_score/decontaminate measured
+    // 32 s vs ~1 s at sf0.1. The engine's generators never produce empty
+    // arrays it needs guarding from (docWords filters size >= 3).
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

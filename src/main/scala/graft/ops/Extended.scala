@@ -45,20 +45,35 @@ object Extended {
   private val sqlDocWords3 =
     s"SELECT * FROM ($sqlDocWords) WHERE len(w) >= 3"
 
-  /** (doc_id, hs: array<bigint>) — every shingle hashed EXACTLY ONCE.
-    * The repartition is a deliberate materialization boundary: without it,
-    * ProjectCollapse inlines the md5 chain into every downstream consumer
-    * (12 minhash mins, both sides of the LSH self-join, the Jaccard sets),
-    * recomputing md5 12-24x per shingle — measured 10-50 s vs ~2 s at
-    * sf0.1. One small shuffle of compact hash arrays buys single-hashing;
-    * at 100 TB this is exactly the "hash once, reuse" layout you want.
+  /** (doc_id, hs: array<bigint>) — 3-gram shingle hashes, each WORD
+    * md5-hashed exactly once and shingles combined polynomially
+    * (h1·961 + h2·31 + h3 mod P — pure 64-bit integer math, bit-identical
+    * in DuckDB): md5 cost is per word, not per 3-word concat string
+    * (measured ~2x on the whole ngram pipeline at sf0.1). The repartition
+    * is a deliberate materialization boundary: without it, ProjectCollapse
+    * inlines the hash chain into every downstream consumer (12 minhash
+    * mins, both join sides, the Jaccard sets), recomputing it 12-24x per
+    * shingle — measured 10-50 s vs ~2 s at sf0.1 in round 2 (ScaleSpec
+    * asserts the exchange is reused). At 100 TB this is exactly the
+    * "hash once, reuse" layout you want.
     */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     docWords(s, d)
-      .select(col("doc_id"), Text.shingles("w").as("sh"))
       .select(col("doc_id"),
-        expr(s"transform(sh, x -> ${sqlSparkH32("x")})").as("hs"))
+        expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hw"))
+      // The exchange sits BETWEEN the md5 word-hash array and the
+      // polynomial combine: element_at(hw, i) must address a MATERIALIZED
+      // array. If hw stays a same-stage expression, CollapseProject
+      // inlines it into all three element_at calls and each one re-runs
+      // the full per-word md5 transform PER SHINGLE — O(words²) md5 per
+      // document, measured 31 s vs 0.4 s at sf0.1 on the explode
+      // consumers. Post-exchange, the polynomial is cheap integer math
+      // even when consumers inline it.
       .repartition(col("doc_id"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(hw) - 2), i -> " +
+          s"(element_at(hw, i) * 961 + element_at(hw, i + 1) * 31 + element_at(hw, i + 2)) % $P)")
+        .as("hs"))
 
   /** MinHash signature frame: doc_id, m0..m11. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
@@ -73,14 +88,23 @@ object Extended {
   private def sqlSparkH32(x: String): String =
     s"CAST(conv(substr(md5($x), 1, 8), 16, 10) AS BIGINT)"
 
-  /** DuckDB CTEs: words → shingles → shingle hashes → signature m0..m11. */
+  /** DuckDB CTEs ws → hws → hss mirroring shingleHashes (word md5 once,
+    * polynomial shingle combine mod P).
+    */
+  private val sqlShingleHashCtes: String =
+    s"""ws AS ($sqlDocWords3),
+       hws AS (SELECT doc_id, list_transform(w, x -> ${Text.sqlH32("x")}) AS hw FROM ws),
+       hss AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(hw) - 2, 0)),
+                   i -> (hw[i] * 961 + hw[i + 1] * 31 + hw[i + 2]) % $P) AS hs
+               FROM hws)"""
+
+  /** DuckDB CTEs: words → shingle hashes → signature m0..m11. */
   private val sqlSignatures: String = {
     val mins = (0 until SigLen).map { j =>
       s"CAST(list_min(list_transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT) AS m$j"
     }.mkString(", ")
-    s"""ws AS ($sqlDocWords3),
-       shs AS (SELECT doc_id, ${Text.sqlShingles("w")} AS sh FROM ws),
-       hss AS (SELECT doc_id, list_transform(sh, x -> ${Text.sqlH32("x")}) AS hs FROM shs),
+    s"""$sqlShingleHashCtes,
        sig AS (SELECT doc_id, $mins FROM hss)"""
   }
 
@@ -276,10 +300,7 @@ object Extended {
       WITH $sqlSignatures,
       bands AS ($sqlBandsFromSig),
       pairs AS ($sqlCappedPairs),
-      sets AS (SELECT doc_id,
-                      list_sort(list_distinct(list_transform(
-                        ${Text.sqlShingles("w")}, x -> ${Text.sqlH32("x")}))) AS sh
-               FROM ws),
+      sets AS (SELECT doc_id, list_sort(list_distinct(hs)) AS sh FROM hss),
       j AS (
         SELECT p.d1, p.d2,
                CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS inter,
@@ -1036,10 +1057,8 @@ object Extended {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      WITH ws AS ($sqlDocWords3),
-      shs AS (SELECT doc_id, ${Text.sqlShingles("w")} AS shl FROM ws),
-      sh AS (SELECT DISTINCT doc_id, ${Text.sqlH32("s.sh")} AS sh
-             FROM shs, unnest(shl) AS s(sh)),
+      WITH $sqlShingleHashCtes,
+      sh AS (SELECT DISTINCT doc_id, s.sh AS sh FROM hss, unnest(hs) AS s(sh)),
       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
       SELECT doc_id, count(*) AS n_shared
       FROM sh JOIN bench USING (sh)
@@ -1068,10 +1087,8 @@ object Extended {
           Text.hround(col("max_rep") / col("n_sh"), 4).as("rep_ratio"))
         .orderBy(col("doc_id")),
     Some(s"""
-      WITH ws AS ($sqlDocWords3),
-      shs AS (SELECT doc_id, ${Text.sqlShingles("w")} AS shl FROM ws),
-      sh AS (SELECT doc_id, ${Text.sqlH32("s.sh")} AS sh
-             FROM shs, unnest(shl) AS s(sh)),
+      WITH $sqlShingleHashCtes,
+      sh AS (SELECT doc_id, s.sh AS sh FROM hss, unnest(hs) AS s(sh)),
       tf AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2),
       rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep,
                      CAST(sum(c) AS BIGINT) AS n_sh

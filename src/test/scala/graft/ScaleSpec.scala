@@ -134,8 +134,11 @@ class ScaleSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     val one = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
     val plan = planOf(one)
-    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
-      s"no partition filter:\n$plan")
+    // (no isnotnull in the filter list: constraint propagation is off
+    // engine-wide — see core/Tables.scala — so only the literal predicate
+    // shows; pruning itself is unaffected)
+    assert("""PartitionFilters: \[[^\]]*o_orderstatus[^\]]* = F""".r
+      .findFirstIn(plan).isDefined, s"no partition filter:\n$plan")
     val statuses = spark.read.parquet(out)
       .select("o_orderstatus").distinct().count()
     assert(statuses >= 2) // pruning is meaningful
