@@ -222,7 +222,67 @@ object Windows {
     """),
     doc = "per-group min-max scaling; extrema agg + broadcast back")
 
+  /** Forward-fill gap repair (`last ... IGNORE NULLS`): the standard
+    * sensor-dropout treatment — nulls (here: error events' readings,
+    * synthesized deterministically) take the key's most recent non-null
+    * value. Per-key window, growing ROWS frame; the filled value is
+    * carried verbatim (no arithmetic), so parity is bit-exact.
+    */
+  val forwardFill: QueryDef = QueryDef(
+    "forward_fill",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v_gappy",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("v_filled", last(col("v_gappy"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("v_gappy"), col("v_filled"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_gappy,
+             last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM events ORDER BY event_id
+    """),
+    doc = "forward-fill nulls per key (last ignore-nulls, growing frame)")
+
+  /** Time-RANGE trailing window: per-user 7-day trailing event count and
+    * exact-decimal sum — the frame is defined by the TIME interval, not a
+    * row count (RANGE, not ROWS: irregular event spacing means row frames
+    * are wrong for "last 7 days"). Both engines order by truncated epoch
+    * seconds so the frame boundary is identical; ties (same second) are
+    * peers and share a frame, so no tiebreak is needed for determinism.
+    */
+  val trailing7d: QueryDef = QueryDef(
+    "trailing_7d_range",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.events(s, d)
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d",
+          bround(sum(col("value").cast(Dec)).over(w).cast(DoubleType), 2))
+        .select(col("event_id"), col("user_id"), col("n_7d"), col("sum_7d"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             count(*) OVER w AS n_7d,
+             round_even(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """),
+    doc = "7-day trailing count/sum via RANGE interval frame on epoch seconds")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
-      minmaxScale)
+      minmaxScale, forwardFill, trailing7d)
 }

@@ -128,6 +128,33 @@ class ScaleSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // The 100 TB selective-join path: a filtered dim joined to a big fact
+    // should inject a bloom filter on the fact scan (row groups whose
+    // keys can't match are skipped before the shuffle). Thresholds are
+    // tuned down so the mechanism triggers at fixture scale; broadcast is
+    // disabled because broadcast joins don't need (or get) the filter.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n${plan.take(4000)}")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_pp").toString
     spark.read.parquet(s"$sfDir/orders.parquet")
