@@ -230,42 +230,123 @@ object Extended {
 
   // ---- 3. SimHash -------------------------------------------------------
 
+  /** SimHash width and its banding for the Hamming near-dup query: 4
+    * bands × 4 bits here (matching the 16-bit signature the fixture-scale
+    * corpus warrants); production uses 64-bit SimHash with 8-bit bands —
+    * band width is the log2(N) knob exactly as for EmbBits.
+    */
+  val SimBits  = 16
+  val SimBands = 4
+  private val SimBandBits = SimBits / SimBands
+
+  /** (doc_id, simhash): row-local array aggregate over word hashes. */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val hs = docWords(s, d)
+      .select(col("doc_id"),
+        expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hs"))
+    val bits = (0 until SimBits).map { b =>
+      expr(s"aggregate(hs, 0L, (acc, x) -> acc + IF((shiftright(x, $b) & 1) = 1, 1L, -1L))")
+        .as(s"s$b")
+    }
+    val sim = (0 until SimBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hs.select(col("doc_id") +: bits: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** DuckDB CTEs ws → hws2 → bits → sims mirroring simhashSigs. */
+  private val sqlSimhashCtes: String = {
+    val bits = (0 until SimBits).map { b =>
+      s"CAST(list_sum(list_transform(hs, x -> CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) AS s$b"
+    }.mkString(", ")
+    val sim = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""ws AS ($sqlDocWords3),
+       hss2 AS (SELECT doc_id, list_transform(w, x -> ${Text.sqlH32("x")}) AS hs FROM ws),
+       bits AS (SELECT doc_id, $bits FROM hss2),
+       sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits)"""
+  }
+
   /** 16-bit SimHash per document, computed entirely inside one row (array
     * aggregate over word hashes — zero shuffles, zero explodes). Bit b is
     * set iff the +/-1 vote sum over words' hash-bit b is positive.
     */
   val simhash: QueryDef = QueryDef(
     "simhash_docs",
+    (s, d) => simhashSigs(s, d).orderBy(col("doc_id")),
+    Some(s"""
+      WITH $sqlSimhashCtes
+      SELECT doc_id, simhash FROM sims ORDER BY doc_id
+      """),
+    doc = "16-bit SimHash, one-pass array aggregate (no explode, no shuffle)")
+
+  /** SimHash near-dup pairs: documents within Hamming distance 1 of each
+    * other. Banding makes it exact WITHOUT all-pairs: by pigeonhole, two
+    * signatures ≤ SimBands-1 = 3 bits apart must agree on at least one
+    * of the 4 nibble bands, so candidates = pairs sharing any band value
+    * (the capped groupBy + pair-expand shape again), then the exact
+    * Hamming check (`bit_count(xor)`) filters. Recall for the ≤ 1
+    * threshold is therefore exactly 1.0 by construction. (At 16 bits the
+    * fixture corpus collides heavily — ≤ 3 admits 39k pairs at sf0.01 —
+    * so the registered threshold is 1; production widens SimBits rather
+    * than loosening the threshold.)
+    */
+  val simhashNearDup: QueryDef = QueryDef(
+    "simhash_near_dup",
     (s, d) => {
-      val hs = docWords(s, d)
-        .select(col("doc_id"),
-          expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hs"))
-      val bits = (0 until 16).map { b =>
-        expr(s"aggregate(hs, 0L, (acc, x) -> acc + IF((shiftright(x, $b) & 1) = 1, 1L, -1L))")
-          .as(s"s$b")
-      }
-      val sim = (0 until 16)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      hs.select(col("doc_id") +: bits: _*)
-        .select(col("doc_id"), sim.as("simhash"))
-        .orderBy(col("doc_id"))
+      val sims = simhashSigs(s, d)
+      val bandStructs = (0 until SimBands).map { b =>
+        s"struct($b AS band, shiftright(simhash, ${SimBandBits * b}) & ${(1 << SimBandBits) - 1} AS code)"
+      }.mkString(", ")
+      val cand = sims
+        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.code").as("code"))
+        .groupBy(col("band"), col("code"))
+        .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
+        .filter(size(col("ds")).between(2, 1000))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+          .as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .distinct()
+      cand
+        .join(sims.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+          .hint("shuffle_hash"), Seq("d1"))
+        .join(sims.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+          .hint("shuffle_hash"), Seq("d2"))
+        .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+        .filter(col("hamming") <= 1)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
     },
     Some {
-      val bits = (0 until 16).map { b =>
-        s"CAST(list_sum(list_transform(hs, x -> CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) AS s$b"
-      }.mkString(", ")
-      val sim = (0 until 16)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
+      val bandSelects = (0 until SimBands).map { b =>
+        s"SELECT doc_id, $b AS band, (simhash >> ${SimBandBits * b}) & ${(1 << SimBandBits) - 1} AS code FROM sims"
+      }.mkString(" UNION ALL ")
       s"""
-      WITH ws AS ($sqlDocWords3),
-      hss AS (SELECT doc_id, list_transform(w, x -> ${Text.sqlH32("x")}) AS hs FROM ws),
-      bits AS (SELECT doc_id, $bits FROM hss)
-      SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits ORDER BY doc_id
+      WITH $sqlSimhashCtes,
+      sbands AS ($bandSelects),
+      spairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM sbands a
+        JOIN (SELECT band, code FROM sbands
+              GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000) ok
+          ON a.band = ok.band AND a.code = ok.code
+        JOIN sbands b
+          ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming FROM (
+        SELECT p.d1, p.d2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM spairs p
+        JOIN sims a ON a.doc_id = p.d1
+        JOIN sims b ON b.doc_id = p.d2)
+      WHERE hamming <= 1 ORDER BY d1, d2
       """
     },
-    doc = "16-bit SimHash, one-pass array aggregate (no explode, no shuffle)")
+    doc = "SimHash Hamming<=3 near-dup via nibble banding (exact by pigeonhole)")
 
   // ---- 4. exact n-gram Jaccard on bucketed candidates --------------------
 
@@ -1145,7 +1226,7 @@ object Extended {
     doc = "sharded deterministic sequence packing into ~2048-token packs")
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, minhashLsh, simhash, ngramJaccard,
+    exactDedup, minhashLsh, simhash, simhashNearDup, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample, tfidf,
