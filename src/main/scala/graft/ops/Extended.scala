@@ -1074,6 +1074,83 @@ object Extended {
     """),
     doc = "stratified k-per-group sample by hash rank (order/partition independent)")
 
+  /** Distributed uniform k-sample — the reservoir-sampling equivalent that
+    * actually scales. Ordering by a uniform per-row hash and taking the
+    * global bottom-k compiles to TakeOrderedAndProject: each partition
+    * keeps only its local bottom-k and the driver merges k·P candidates —
+    * no full sort, no data shuffle — and the result is deterministic and
+    * reproducible where a true reservoir (or rand()) is neither. Ties on
+    * h break by doc_id so the sample is total-order stable.
+    */
+  val uniformSampleK: QueryDef = QueryDef(
+    "uniform_sample_k",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr(sqlSparkH32("CAST(doc_id AS STRING)")).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(200)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, source, h FROM (
+        SELECT doc_id, source, ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents ORDER BY h, doc_id LIMIT 200)
+      ORDER BY doc_id
+    """),
+    doc = "uniform 200-sample via bottom-k-by-hash (TakeOrdered, no shuffle, reproducible)")
+
+  /** Domain-mixture resampling — hit a TARGET source mixture (here: 8%
+    * each for src0-src9, 2% each for src10-src19) from whatever mixture
+    * the corpus actually has — the data-mixing step before LLM training.
+    * Per-source keep-rate = target_share · N / n_src is computed IN-PLAN
+    * (tiny per-source counts broadcast back + one-row total cross join —
+    * the tfidf scalar-subquery shape; no driver action), and the Bernoulli
+    * keep is the deterministic id-hash, never rand(). The keep test stays
+    * INTEGRAL — (h mod 10⁴)·n_src·100 < t_num·N·10⁴ — so both engines
+    * compare exact integers, no float-rounding parity edge; rates ≥ 1 keep
+    * everything automatically since h mod 10⁴ ≤ 9999. Output: per-source
+    * kept counts/chars vs corpus counts.
+    */
+  val domainMixSample: QueryDef = QueryDef(
+    "domain_mix_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cnts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      docs
+        .join(broadcast(cnts), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("t_num",
+          when(expr("CAST(substring(source, 4) AS INT)") < 10, lit(8))
+            .otherwise(lit(2)))
+        .filter(
+          expr(s"(${sqlSparkH32("CAST(doc_id AS STRING)")} % 10000)") *
+            col("n_src") * lit(100L) <
+            col("t_num") * col("n_tot") * lit(10000L))
+        .groupBy(col("source"), col("n_src"), col("t_num"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .select(col("source"), col("n_src"),
+          col("t_num").cast("int").as("t_num"),
+          col("n_kept"), col("kept_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH cnts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+      tot AS (SELECT count(*) AS n_tot FROM documents),
+      keep AS (
+        SELECT d.source, n_src,
+               CASE WHEN CAST(substring(d.source, 4) AS INTEGER) < 10
+                    THEN 8 ELSE 2 END AS t_num,
+               d.n_chars
+        FROM documents d JOIN cnts USING (source) CROSS JOIN tot
+        WHERE (${Text.sqlH32("CAST(doc_id AS VARCHAR)")} % 10000) * n_src * 100
+              < t_num * n_tot * 10000)
+      SELECT source, n_src, CAST(t_num AS INTEGER) AS t_num,
+             count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      FROM keep GROUP BY 1, 2, 3 ORDER BY source
+    """),
+    doc = "target-mixture domain resampling: in-plan rates, integral hash Bernoulli")
+
   /** TF-IDF term weighting over the corpus — the canonical text-analysis
     * reduction a training-data pipeline runs before term-based filtering or
     * keyword extraction. Three cascaded aggs, all key-partitioned:
@@ -1229,6 +1306,7 @@ object Extended {
     exactDedup, minhashLsh, simhash, simhashNearDup, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
-    curationPipeline, trainTestSplit, stratifiedSample, tfidf,
+    curationPipeline, trainTestSplit, stratifiedSample,
+    uniformSampleK, domainMixSample, tfidf,
     decontaminate, repetitionScore, packSequences)
 }

@@ -41,8 +41,9 @@ class ScaleSpec extends SparkSpec {
     // ONE-ROW corpus-count cross join (the scalar-subquery shape), and
     // ann_recall, which embeds the first two as verified subplans. All are
     // broadcast-NLJ over KB-scale builds — fine at any scale.
+    // domain_mix_sample shares tfidf's one-row corpus-count cross join.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
-      "ann_recall")
+      "ann_recall", "domain_mix_sample")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
