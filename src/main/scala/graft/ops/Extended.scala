@@ -228,6 +228,77 @@ object Extended {
     },
     doc = "MinHash(12) + LSH banding(4x3) near-dup candidates; equi-join, never all-pairs")
 
+  /** Duplicate-cluster assignment: connected components over the LSH
+    * candidate-pair graph — the step that turns pairwise near-dup output
+    * into "keep one document per cluster". Spark-first iterative min-label
+    * propagation (the GraphX pattern without the GraphX dependency):
+    * labels start as own id; each round every vertex takes the min of its
+    * own and its neighbors' labels, to a fixpoint (#rounds ≈ component
+    * diameter; near-dup components are shallow). The edge list and its
+    * symmetric adjacency are cached once; each round is ONE shuffle sized
+    * by the EDGE LIST (not the corpus), and localCheckpoint cuts the
+    * growing lineage so plans stay O(1) per round. Convergence is detected
+    * by the label sum (labels only ever decrease, so an unchanged sum IS
+    * the fixpoint — one scalar job per round). Deterministic by
+    * construction: min is task-order independent. Iterate-to-convergence
+    * is necessarily driver-coordinated (ScaleSpec's laziness guard
+    * allow-lists this query). Docs with no near-dup edge are singletons by
+    * definition and are not emitted. Oracle: DuckDB recursive CTE taking
+    * min reachable id per vertex.
+    */
+  val dupClusters: QueryDef = QueryDef(
+    "dup_clusters",
+    (s, d) => {
+      val e = lshCandidates(s, d).persist()
+      val sym = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+        .toDF("v", "n").persist()
+      def lblSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      var lbl = sym.select(col("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      var prevSum = lblSum(lbl)
+      var converged = false
+      var it = 0
+      while (!converged && it < 25) {
+        val nbrMin = sym
+          .join(lbl.select(col("v").as("n"), col("lbl").as("nlbl")), Seq("n"))
+          .groupBy(col("v")).agg(min(col("nlbl")).as("nmin"))
+        val next = lbl.join(nbrMin, Seq("v"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val s2 = lblSum(next)
+        converged = s2 == prevSum
+        prevSum = s2
+        lbl = next
+        it += 1
+      }
+      e.unpersist(false)
+      sym.unpersist(false)
+      val cc = lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      cc.join(cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlSignatures,
+      bands AS ($sqlBandsFromSig),
+      pairs AS ($sqlCappedPairs),
+      sym AS (SELECT d1 AS v, d2 AS n FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+      reach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+        UNION
+        SELECT sym.v, reach.r FROM reach JOIN sym ON reach.v = sym.n),
+      cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+      SELECT doc_id, cluster_id, n_docs
+      FROM cc JOIN (SELECT cluster_id, count(*) AS n_docs FROM cc GROUP BY 1)
+        USING (cluster_id)
+      ORDER BY doc_id
+    """),
+    doc = "near-dup clusters: connected components via iterative min-label propagation")
+
   // ---- 3. SimHash -------------------------------------------------------
 
   /** SimHash width and its banding for the Hamming near-dup query: 4
@@ -1303,7 +1374,7 @@ object Extended {
     doc = "sharded deterministic sequence packing into ~2048-token packs")
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, minhashLsh, simhash, simhashNearDup, ngramJaccard,
+    exactDedup, minhashLsh, dupClusters, simhash, simhashNearDup, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,

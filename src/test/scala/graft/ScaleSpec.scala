@@ -92,10 +92,11 @@ class ScaleSpec extends SparkSpec {
   test("plan construction is lazy: no data jobs before any action") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
-    // Deliberately eager at construction: the X1 driver bounds round-trip
-    // and the two sink round-trips (they write files, then read them back).
+    // Deliberately eager at construction: the X1 driver bounds round-trip,
+    // the two sink round-trips (they write files, then read them back),
+    // and dup_clusters (iterate-to-convergence is driver-coordinated).
     val eager = Set("box_range_filter", "split_partitioned_write",
-      "json_sink_roundtrip")
+      "json_sink_roundtrip", "dup_clusters")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
