@@ -79,6 +79,20 @@ object EventStream {
     """),
     doc = "session_window(30m) agg; oracle = lag/gap-island SQL")
 
+  /** Streaming exact dedup with BOUNDED state — the streaming twin of the
+    * batch `exact_dedup` query. `dropDuplicatesWithinWatermark` keeps one
+    * state entry per key only until the watermark passes that key's event
+    * time + delay, so state size tracks the watermark window rather than
+    * the whole stream history — the property plain `dropDuplicates` cannot
+    * give on an unbounded stream. The trade: a key recurring AFTER its
+    * state is evicted is emitted again (exactly-once dedup within the
+    * delay, at-least-once beyond it) — the right contract for a pipeline
+    * whose downstream batch dedup is idempotent.
+    */
+  def dedupStream(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   // ---- custom state: mapGroupsWithState sessionization -------------------
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

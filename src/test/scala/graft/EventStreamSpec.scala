@@ -73,6 +73,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicates dropped within watermark, state evicted after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.dedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // in-batch duplicate (id 1 twice) and a cross-batch duplicate
+      mem.addData((1L, ts(0), 1.0), (1L, ts(1), 99.0), (2L, ts(2), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), 77.0))
+      q.processAllAvailable()
+      // advance the watermark far past id 1's expiry → its state is evicted
+      mem.addData((9L, ts(1000), 0.0))
+      q.processAllAvailable()
+      // same key recurring after eviction is emitted again (by contract)
+      mem.addData((1L, ts(1001), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .select("event_id", "value").as[(Long, Double)].collect()
+      // exactly ONE of the three pre-eviction duplicates survives (which
+      // one is unspecified within a micro-batch), plus the re-emit
+      val ones = out.filter(_._1 == 1L).map(_._2).toSet
+      assert(ones.size == 2 && ones.contains(5.0) &&
+        (ones - 5.0).subsetOf(Set(1.0, 77.0, 99.0)),
+        s"expected one pre-eviction survivor + post-eviction re-emit, got $ones")
+      assert(out.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
   test("sessionizeClosed: flatMapGroupsWithState emits only closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
