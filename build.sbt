@@ -35,8 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m code cache; when it fills, the JIT disables itself and random
   // queries run interpreted (observed sporadic 10-25 s stalls on
   // otherwise sub-second queries during the timed Bench pass).
-  // 70 queries x 2 bench passes generate thousands of codegen classes;
+  // 70+ queries x 2 bench passes generate thousands of codegen classes;
   // 512m still thrashed (flushed/recompiled methods made steady-state
-  // passes 5x slower for late-iterated queries), 1g holds the full set
-  "-XX:ReservedCodeCacheSize=1g",
+  // passes 5x slower for late-iterated queries), and at 77 queries 1g
+  // thrashed too (HOF-heavy queries 10x: embed_near_dup 1.5 -> 15.9 s
+  // in-bench). 2g holds the full set; scale this with the query count.
+  "-XX:ReservedCodeCacheSize=2g",
 )
