@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{Num, QueryDef, Tables}
+import graft.core.{Num, QueryDef, Tables, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,7 +287,71 @@ object Joins {
     """),
     doc = "interval-containment join, bucketed to a hash equi-join (no NLJ)")
 
+  /** MERGE/upsert — apply a change set to a snapshot with the three MERGE
+    * actions (insert / update / keep) explicit in the output. Snapshot =
+    * each user's latest `signup` value; changes = latest `purchase` value.
+    * The fixture has every user in every event type, so the three
+    * populations are carved deterministically by id-hash mod 3 (h%3=0
+    * users exist only in the change set → insert; =1 only in the snapshot
+    * → keep; =2 in both → update), mirrored in the oracle. The shape is
+    * the scale shape: two window-dedup passes (WindowGroupLimit rank-1)
+    * and ONE key-partitioned full outer join — `MERGE INTO` on any engine
+    * lowers to exactly this plan.
+    */
+  val mergeUpsert: QueryDef = QueryDef(
+    "merge_upsert",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("hm", Text.h32(col("user_id").cast("string")) % 3)
+      def latest(tpe: String, excl: Int) = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.filter(col("event_type") === tpe && col("hm") =!= excl)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      }
+      val snap = latest("signup", 0)
+        .select(col("user_id"), col("value").as("snap_value"))
+      val chg = latest("purchase", 1)
+        .select(col("user_id"), col("value").as("chg_value"))
+      snap.join(chg, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("snap_value").isNull, "insert")
+            .when(col("chg_value").isNull, "keep")
+            .otherwise("update").as("action"),
+          coalesce(col("chg_value"), col("snap_value")).as("value"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               ${Text.sqlH32("CAST(user_id AS VARCHAR)")} % 3 AS hm
+        FROM events),
+      snap AS (
+        SELECT user_id, value AS snap_value FROM (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev WHERE event_type = 'signup' AND hm <> 0)
+        WHERE rn = 1),
+      chg AS (
+        SELECT user_id, value AS chg_value FROM (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev WHERE event_type = 'purchase' AND hm <> 1)
+        WHERE rn = 1)
+      SELECT COALESCE(snap.user_id, chg.user_id) AS user_id,
+             CASE WHEN snap.user_id IS NULL THEN 'insert'
+                  WHEN chg.user_id IS NULL THEN 'keep'
+                  ELSE 'update' END AS action,
+             COALESCE(chg_value, snap_value) AS value
+      FROM snap FULL JOIN chg ON snap.user_id = chg.user_id
+      ORDER BY user_id
+    """),
+    doc = "MERGE/upsert: window-dedup'd snapshot + change set, one full outer join")
+
   val all: Seq[QueryDef] =
     Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, saltedSkewJoin,
-      bigJoinBrand, rangeJoin)
+      bigJoinBrand, rangeJoin, mergeUpsert)
 }

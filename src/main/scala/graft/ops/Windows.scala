@@ -282,7 +282,36 @@ object Windows {
     """),
     doc = "7-day trailing count/sum via RANGE interval frame on epoch seconds")
 
+  /** Decile bucketing within groups — ntile(10) over price with a unique
+    * tie-break key (o_orderkey) so bucket assignment is total-order
+    * deterministic, then per-bucket stats. One shuffle on the partition
+    * key + in-partition sort — the quantile-bucketing shape that holds at
+    * scale (contrast: a global percent_rank would force a global sort).
+    */
+  val ntileBucket: QueryDef = QueryDef(
+    "ntile_bucket",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("int"))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderpriority"), col("decile"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+             count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM (SELECT o_orderpriority, o_totalprice,
+                   ntile(10) OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "decile bucketing per group (ntile window), per-bucket count/min/max")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
-      minmaxScale, forwardFill, trailing7d)
+      minmaxScale, forwardFill, trailing7d, ntileBucket)
 }

@@ -194,5 +194,30 @@ object Climate {
     """),
     doc = "JSON-lines sink + schema-on-read source round-trip")
 
-  val all: Seq[QueryDef] = Seq(monthly, annual, rollup, splitByState, jsonRoundtrip)
+  /** ORC sink + source round-trip — the same contract as the JSON leg on
+    * Spark's other built-in columnar format: schema and types survive the
+    * round-trip via self-describing file metadata (no schema-on-read
+    * needed), and the re-read is a column-pruned vectorized scan.
+    */
+  val orcRoundtrip: QueryDef = QueryDef(
+    "orc_sink_roundtrip",
+    (s, d) => {
+      val out = sinkDir(d, "graft_orc")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.sum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n,
+             ${Num.sqlSum2("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+    doc = "ORC sink + self-describing columnar source round-trip")
+
+  val all: Seq[QueryDef] =
+    Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip)
 }
