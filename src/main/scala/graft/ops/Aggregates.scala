@@ -258,8 +258,81 @@ object Aggregates {
     """),
     doc = "unpivot/melt wide->long (inverse of J1 pivot), then rollup")
 
+  /** Per-column table profiling — the data-validation sweep (null counts,
+    * exact cardinality, min/max) a pipeline runs before trusting an input,
+    * industrializing the reference's ad-hoc existence pre-checks (SNK3)
+    * into one query. ONE scan: a single wide aggregate computes all 6
+    * columns' metrics, then `stack` unpivots the one-row result to long
+    * form (the multi-distinct is Spark's standard Expand plan; at 100 TB
+    * swap countDistinct → approx_count_distinct, constants only). min/max
+    * are canonicalized to strings via type-stable casts (ints verbatim,
+    * doubles through DECIMAL(18,2), timestamps through DATE) so one schema
+    * fits every column and both engines render identically.
+    */
+  val profileTable: QueryDef = QueryDef(
+    "profile_table",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def m(c: String, lo: String, hi: String, p: String) = Seq(
+        count(col(c)).as(s"${p}_n"), countDistinct(col(c)).as(s"${p}_d"),
+        expr(lo).as(s"${p}_lo"), expr(hi).as(s"${p}_hi"))
+      val aggs =
+        m("o_orderkey", "CAST(min(o_orderkey) AS STRING)",
+          "CAST(max(o_orderkey) AS STRING)", "k") ++
+        m("o_custkey", "CAST(min(o_custkey) AS STRING)",
+          "CAST(max(o_custkey) AS STRING)", "c") ++
+        m("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)", "s") ++
+        m("o_totalprice", "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS STRING)",
+          "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS STRING)", "p") ++
+        m("o_orderdate", "CAST(CAST(min(o_orderdate) AS DATE) AS STRING)",
+          "CAST(CAST(max(o_orderdate) AS DATE) AS STRING)", "t") ++
+        m("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)", "r")
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(expr("""stack(6,
+          'o_orderkey', k_n, k_d, k_lo, k_hi,
+          'o_custkey', c_n, c_d, c_lo, c_hi,
+          'o_orderstatus', s_n, s_d, s_lo, s_hi,
+          'o_totalprice', p_n, p_d, p_lo, p_hi,
+          'o_orderdate', t_n, t_d, t_lo, t_hi,
+          'o_orderpriority', r_n, r_d, r_lo, r_hi)
+          AS (col_name, n_nonnull, n_distinct, min_s, max_s)"""))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+               CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority) FROM orders)
+      ORDER BY col_name
+    """),
+    doc = "one-scan per-column profiling (nulls, cardinality, min/max), stacked long")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
-    unpivotQ)
+    unpivotQ, profileTable)
 }

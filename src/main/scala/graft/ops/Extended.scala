@@ -1222,6 +1222,44 @@ object Extended {
     """),
     doc = "target-mixture domain resampling: in-plan rates, integral hash Bernoulli")
 
+  /** Fixed-size overlapping document chunking — the LLM-ingestion step
+    * that splits long documents into training/context windows. Chunks of
+    * 20 words with 5-word overlap (stride 15; production: 2048/256 —
+    * constants only). Entirely row-local: starts = sequence(1,
+    * max(n-overlap,1), stride), one posexplode, array slice + hash per
+    * chunk — zero shuffles before the output sort, so it scales as a pure
+    * map stage. Chunk text is emitted as its md5 (stable id for
+    * downstream dedup/lineage) rather than the raw string.
+    */
+  val docChunks: QueryDef = QueryDef(
+    "doc_chunks",
+    (s, d) => {
+      val Chunk = 20; val Ov = 5; val Stride = 15
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, greatest(size(w) - $Ov, 1), $Stride), " +
+              s"st -> slice(w, st, $Chunk))")).as(Seq("chunk_id", "cw")))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          size(col("cw")).as("n_words"),
+          md5(concat_ws(" ", col("cw"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""
+      WITH ws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
+      ck AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(w) - 5, 1), 15)) AS st,
+               w
+        FROM ws)
+      SELECT doc_id, CAST((st - 1) / 15 AS INTEGER) AS chunk_id,
+             CAST(len(w[st : st + 19]) AS INTEGER) AS n_words,
+             md5(array_to_string(w[st : st + 19], ' ')) AS chunk_hash
+      FROM ck ORDER BY doc_id, chunk_id
+    """),
+    doc = "overlapping fixed-size chunking (20/5), row-local explode + chunk hash")
+
   /** TF-IDF term weighting over the corpus — the canonical text-analysis
     * reduction a training-data pipeline runs before term-based filtering or
     * keyword extraction. Three cascaded aggs, all key-partitioned:
@@ -1378,6 +1416,6 @@ object Extended {
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
-    uniformSampleK, domainMixSample, tfidf,
+    uniformSampleK, domainMixSample, docChunks, tfidf,
     decontaminate, repetitionScore, packSequences)
 }
