@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,5 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "", "", "", "", "", "", "built-in"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getName, null, "graft_nfc",
+        "graft_nfc(s) - Unicode NFC normalization (UAX#15), codegen'd " +
+          "with a zero-copy already-normalized fast path.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(exprs(0))))
   }
 }

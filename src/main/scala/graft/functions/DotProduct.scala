@@ -86,9 +86,14 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session-scoped registration so `expr("graft_dot(a, b)")` resolves. */
+/** Session-scoped registration so `expr("graft_dot(a, b)")` and
+  * `expr("graft_nfc(s)")` resolve.
+  */
 object VectorFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+  }
 }

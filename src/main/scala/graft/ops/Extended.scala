@@ -834,6 +834,43 @@ object Extended {
   /** Token statistics per (lang, source): whitespace tokens + a BPE-ish
     * regex token count (letter runs / digit runs / single punctuation).
     */
+  /** Unicode + case + whitespace canonicalization — the mandatory step
+    * BEFORE any text dedup (visually identical strings with different
+    * combining-char encodings must hash identically). NFC is the native
+    * `graft_nfc` expression (functions/Nfc.scala — Spark has no built-in
+    * normalizer; codegen'd, zero-copy on already-NFC text). The fixture
+    * corpus is pure ASCII, so the query APPENDS a decomposed "cafe" +
+    * U+0301 suffix in-plan on both sides — the composed result is one
+    * codepoint shorter, proving the NFC path actually ran (len_raw =
+    * len_nfc + 1 on every row) rather than passing by fixture luck.
+    * Entirely row-local: zero shuffles before the output sort.
+    */
+  val textNormalize: QueryDef = QueryDef(
+    "text_normalize",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val dec = concat(col("text"), lit(" cafe\u0301"))
+      val norm = trim(regexp_replace(lower(expr("graft_nfc(dec)")), "\\s+", " "))
+      Tables.documents(s, d)
+        .withColumn("dec", dec)
+        .select(col("doc_id"), length(col("dec")).as("len_raw"),
+          length(norm).as("len_nfc"), md5(norm).as("norm_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH dd AS (SELECT doc_id, text || ' cafe' || chr(769) AS dec
+                  FROM documents),
+      nn AS (SELECT doc_id, dec,
+                    trim(regexp_replace(lower(nfc_normalize(dec)),
+                         '\s+', ' ', 'g')) AS norm
+             FROM dd)
+      SELECT doc_id, CAST(length(dec) AS INTEGER) AS len_raw,
+             CAST(length(norm) AS INTEGER) AS len_nfc,
+             md5(norm) AS norm_hash
+      FROM nn ORDER BY doc_id
+    """),
+    doc = "NFC + lower + whitespace canonicalization via the native graft_nfc expression")
+
   val tokenStats: QueryDef = QueryDef(
     "token_stats",
     (s, d) =>
@@ -1414,7 +1451,7 @@ object Extended {
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, dupClusters, simhash, simhashNearDup, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
-    tokenStats, langId, qualityScore, fingerprint, piiScrub,
+    textNormalize, tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
     uniformSampleK, domainMixSample, docChunks, tfidf,
     decontaminate, repetitionScore, packSequences)
