@@ -152,5 +152,88 @@ object Analytics {
     """),
     doc = "null-safe equality join: NULL keys match the NULL dim row")
 
-  val all: Seq[QueryDef] = Seq(corrRegr, histogram, setOps, nullSafeJoin)
+  /** Funnel conversion — the canonical product-analytics reduction: of the
+    * users who signed up, how many made their first purchase AFTER signup,
+    * and how many within the 3-day window. Shape: two user-keyed aggs
+    * (first signup, first qualifying purchase) joined on user_id — the
+    * signup agg's partitioning is REUSED by the join and the purchase agg
+    * (one user-key shuffle serves all three), then a single global
+    * roll-up. The conversion rate divides the exact counts in double and
+    * half-up rounds, so both engines render the identical IEEE quotient.
+    */
+  val funnel: QueryDef = QueryDef(
+    "funnel_conversion",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"), min(col("t0")).as("t0k"))
+      val conv = pu.filter(col("t1") <= col("t0k") + expr("INTERVAL 3 DAYS"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(pu.agg(count(lit(1)).as("n_purchased"))))
+        .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_converted_3d"))))
+        .select(col("n_signup"), col("n_purchased"), col("n_converted_3d"),
+          Text.hround(col("n_converted_3d").cast("double") /
+            col("n_signup").cast("double"), 4).as("conv_rate"))
+    },
+    Some(s"""
+      WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT e.user_id, min(e.ts) AS t1, min(su.t0) AS t0k
+             FROM events e JOIN su USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > su.t0 GROUP BY 1),
+      conv AS (SELECT * FROM pu WHERE t1 <= t0k + INTERVAL 3 DAY)
+      SELECT (SELECT count(*) FROM su) AS n_signup,
+             (SELECT count(*) FROM pu) AS n_purchased,
+             (SELECT count(*) FROM conv) AS n_converted_3d,
+             ${Text.sqlHround(
+               "CAST((SELECT count(*) FROM conv) AS DOUBLE) / (SELECT count(*) FROM su)", 4)}
+               AS conv_rate
+    """),
+    doc = "signup→purchase funnel with a 3-day conversion window, one user-key shuffle")
+
+  /** Cohort retention — users grouped by first-seen period (hour at
+    * fixture scale; week in production — constants only), counted as
+    * active in each subsequent period offset. The first-seen table is a
+    * per-user agg (user-dim scale, far smaller than the event log at
+    * 100 TB) joined back to events on user_id, then one (cohort, offset)
+    * aggregation with count(DISTINCT user) — the matrix every retention
+    * dashboard renders. Offsets capped at 5 to bound the output, not the
+    * work.
+    */
+  val cohortRetention: QueryDef = QueryDef(
+    "cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("cohort"))
+      ev.select(col("user_id"), date_trunc("hour", col("ts")).as("acth"))
+        .join(f, Seq("user_id"))
+        .withColumn("offset",
+          ((unix_timestamp(col("acth")) - unix_timestamp(col("cohort"))) / 3600L)
+            .cast("int"))
+        .filter(col("offset").between(0, 5))
+        .groupBy(col("cohort"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("offset"))
+    },
+    Some("""
+      WITH f AS (SELECT user_id,
+                        CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS cohort
+                 FROM events GROUP BY 1),
+      a AS (SELECT e.user_id, f.cohort,
+                   CAST((date_part('epoch', CAST(date_trunc('hour', e.ts) AS TIMESTAMP))
+                       - date_part('epoch', f.cohort)) / 3600 AS INTEGER) AS "offset"
+            FROM events e JOIN f USING (user_id))
+      SELECT cohort, "offset", count(DISTINCT user_id) AS n_users
+      FROM a WHERE "offset" BETWEEN 0 AND 5
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "first-seen-period cohorts x activity offset, count-distinct retention matrix")
+
+  val all: Seq[QueryDef] =
+    Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention)
 }
