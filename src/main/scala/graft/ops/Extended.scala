@@ -834,6 +834,54 @@ object Extended {
   /** Token statistics per (lang, source): whitespace tokens + a BPE-ish
     * regex token count (letter runs / digit runs / single punctuation).
     */
+  /** Global exact top-k terms — corpus vocabulary head. The aggregation
+    * shuffles once on the term; the top-50 then compiles to
+    * TakeOrderedAndProject (per-partition heaps merged on the driver), so
+    * NO global sort of the term dictionary happens at any scale. Ties
+    * break on the term itself for determinism.
+    */
+  val topTerms: QueryDef = QueryDef(
+    "top_terms",
+    (s, d) =>
+      docWords(s, d)
+        .select(explode(col("w")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(50),
+    Some(s"""
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(w) AS term FROM ($sqlDocWords3))
+      GROUP BY 1 ORDER BY n DESC, term LIMIT 50
+    """),
+    doc = "global exact top-50 terms (agg + TakeOrdered, never a full sort)")
+
+  /** Inverted index (posting lists) — term → sorted document list, the
+    * build step of any search/retrieval layer over the corpus. One shuffle
+    * on the term; postings are set-deduped, sorted for determinism, and
+    * df-bounded (≤ 1000 here, covering the fixture's dense 31-term
+    * vocabulary; in production the cutoff is where stopword-grade terms
+    * move to skip-list blocks instead of inline postings). Postings
+    * serialize as a CSV string so the oracle compare stays scalar.
+    */
+  val invertedIndex: QueryDef = QueryDef(
+    "inverted_index",
+    (s, d) =>
+      docWords(s, d)
+        .select(explode(col("w")).as("term"), col("doc_id"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          array_join(sort_array(collect_set(col("doc_id"))), ",").as("postings"))
+        .filter(col("df").between(2, 1000))
+        .orderBy(col("term")),
+    Some(s"""
+      SELECT term, count(DISTINCT doc_id) AS df,
+             array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+      FROM (SELECT unnest(w) AS term, doc_id FROM ($sqlDocWords3))
+      GROUP BY 1 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000
+      ORDER BY term
+    """),
+    doc = "posting-list inverted index, df-bounded, deterministic sorted postings")
+
   /** Unicode + case + whitespace canonicalization — the mandatory step
     * BEFORE any text dedup (visually identical strings with different
     * combining-char encodings must hash identically). NFC is the native
@@ -1451,7 +1499,8 @@ object Extended {
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, dupClusters, simhash, simhashNearDup, ngramJaccard,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
-    textNormalize, tokenStats, langId, qualityScore, fingerprint, piiScrub,
+    textNormalize, topTerms, invertedIndex,
+    tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
     uniformSampleK, domainMixSample, docChunks, tfidf,
     decontaminate, repetitionScore, packSequences)
