@@ -258,6 +258,45 @@ object Aggregates {
     """),
     doc = "unpivot/melt wide->long (inverse of J1 pivot), then rollup")
 
+  /** Explicit GROUPING SETS — the third leg of the multi-level-agg trio
+    * (rollup covers hierarchies, cube covers the full lattice; GROUPING
+    * SETS expresses the non-hierarchical selection neither can: per
+    * (returnflag, year) AND per (linestatus, year) in ONE pass over the
+    * fact table instead of two scans + union). Spark 4's native
+    * `Dataset.groupingSets` + `grouping_id()` (bitmask identical to
+    * DuckDB's GROUPING). Same Expand-based single-shuffle plan as cube,
+    * but expanding only the 2 requested sets, not 2^k.
+    */
+  val groupingSetsAgg: QueryDef = QueryDef(
+    "grouping_sets_agg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          year(col("l_shipdate")).as("yr"), col("l_quantity"))
+      li.groupingSets(
+          Seq(Seq(col("rf"), col("yr")), Seq(col("ls"), col("yr"))),
+          col("rf"), col("ls"), col("yr"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          Num.sum2(col("l_quantity")).as("sum_qty"))
+        .select(col("rf"), col("ls"), col("yr"), col("gid"), col("n"),
+          col("sum_qty"))
+        .orderBy(col("gid"), asc_nulls_first("rf"), asc_nulls_first("ls"),
+          col("yr"))
+    },
+    Some(s"""
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(year(l_shipdate) AS INTEGER) AS yr,
+             GROUPING(l_returnflag, l_linestatus,
+                      CAST(year(l_shipdate) AS INTEGER)) AS gid,
+             count(*) AS n, ${Num.sqlSum2("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS
+        ((l_returnflag, CAST(year(l_shipdate) AS INTEGER)),
+         (l_linestatus, CAST(year(l_shipdate) AS INTEGER)))
+      ORDER BY gid, rf ASC NULLS FIRST, ls ASC NULLS FIRST, yr
+    """),
+    doc = "explicit GROUPING SETS (non-hierarchical multi-agg), one Expand pass")
+
   /** Per-column table profiling — the data-validation sweep (null counts,
     * exact cardinality, min/max) a pipeline runs before trusting an input,
     * industrializing the reference's ad-hoc existence pre-checks (SNK3)
@@ -334,5 +373,5 @@ object Aggregates {
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
-    unpivotQ, profileTable)
+    unpivotQ, profileTable, groupingSetsAgg)
 }
