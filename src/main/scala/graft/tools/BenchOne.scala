@@ -19,6 +19,13 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    if (args.contains("reuse")) {
+      val df = fn(spark, sfDir)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      println("REUSED_EXCHANGE=" + fin.contains("ReusedExchange"))
+    }
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
