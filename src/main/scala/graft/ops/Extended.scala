@@ -246,52 +246,55 @@ object Extended {
     * definition and are not emitted. Oracle: DuckDB recursive CTE taking
     * min reachable id per vertex.
     */
-  val dupClusters: QueryDef = QueryDef(
-    "dup_clusters",
-    (s, d) => {
-      val e = lshCandidates(s, d).persist()
-      // adjacency pre-partitioned on the lookup key n: the per-round
-      // neighbor join then reads the cached layout instead of re-shuffling
-      // the edge list every iteration (the edge list is the big side —
-      // at 100 TB this is the shuffle you pay once, not once per round)
-      val sym = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
-        .toDF("v", "n").repartition(col("n")).persist()
-      def lblSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
-      var lbl = sym.select(col("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      var prevSum = lblSum(lbl)
-      var converged = false
-      var it = 0
-      while (!converged && it < 25) {
-        val nbrMin = sym
-          .join(lbl.select(col("v").as("n"), col("lbl").as("nlbl")), Seq("n"))
-          .groupBy(col("v")).agg(min(col("nlbl")).as("nmin"))
-        // the checkpoint is LAZY: the convergence-sum action below
-        // materializes it, so each round runs ONE job, not two. (A
-        // pointer-jumping variant — lbl(v) <- lbl(lbl(v)) — was measured
-        // here and LOST: near-dup components are shallow, so the extra
-        // self-join per round cost more than the O(log D) rounds it saved.)
-        val next = lbl.join(nbrMin, Seq("v"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-          .localCheckpoint(false)
-        val s2 = lblSum(next)
-        converged = s2 == prevSum
-        prevSum = s2
-        lbl = next
-        it += 1
-      }
-      e.unpersist(false)
-      sym.unpersist(false)
-      val cc = lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      cc.join(cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs")),
-          Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"), col("n_docs"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH RECURSIVE $sqlSignatures,
+  /** (doc_id, cluster_id) for every document on ≥1 near-dup edge: the
+    * min-label propagation loop shared by `dup_clusters` and
+    * `cluster_canonical`.
+    */
+  private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
+    val e = lshCandidates(s, d).persist()
+    // adjacency pre-partitioned on the lookup key n: the per-round
+    // neighbor join then reads the cached layout instead of re-shuffling
+    // the edge list every iteration (the edge list is the big side —
+    // at 100 TB this is the shuffle you pay once, not once per round)
+    val sym = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("v", "n").repartition(col("n")).persist()
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var lbl = sym.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var prevSum = lblSum(lbl)
+    var converged = false
+    var it = 0
+    while (!converged && it < 25) {
+      val nbrMin = sym
+        .join(lbl.select(col("v").as("n"), col("lbl").as("nlbl")), Seq("n"))
+        .groupBy(col("v")).agg(min(col("nlbl")).as("nmin"))
+      // the checkpoint is LAZY: the convergence-sum action below
+      // materializes it, so each round runs ONE job, not two. (A
+      // pointer-jumping variant — lbl(v) <- lbl(lbl(v)) — was measured
+      // here and LOST: near-dup components are shallow, so the extra
+      // self-join per round cost more than the O(log D) rounds it saved.)
+      val next = lbl.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(false)
+      val s2 = lblSum(next)
+      converged = s2 == prevSum
+      prevSum = s2
+      lbl = next
+      it += 1
+    }
+    e.unpersist(false)
+    sym.unpersist(false)
+    lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** DuckDB CTE chain ending in cc(doc_id, cluster_id) — the recursive
+    * min-reachable-id mirror of [[clusterAssignments]]; callers must open
+    * with WITH RECURSIVE.
+    */
+  private val sqlClusterCc: String =
+    s"""$sqlSignatures,
       bands AS ($sqlBandsFromSig),
       pairs AS ($sqlCappedPairs),
       sym AS (SELECT d1 AS v, d2 AS n FROM pairs
@@ -300,13 +303,62 @@ object Extended {
         SELECT v, v FROM (SELECT DISTINCT v FROM sym)
         UNION
         SELECT sym.v, reach.r FROM reach JOIN sym ON reach.v = sym.n),
-      cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+      cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)"""
+
+  val dupClusters: QueryDef = QueryDef(
+    "dup_clusters",
+    (s, d) => {
+      val cc = clusterAssignments(s, d)
+      cc.join(cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlClusterCc
       SELECT doc_id, cluster_id, n_docs
       FROM cc JOIN (SELECT cluster_id, count(*) AS n_docs FROM cc GROUP BY 1)
         USING (cluster_id)
       ORDER BY doc_id
     """),
     doc = "near-dup clusters: connected components via iterative min-label propagation")
+
+  /** Canonical-document election — the curation step dup_clusters exists
+    * for: per near-dup cluster, KEEP exactly one representative (longest
+    * text by n_chars, lowest doc_id on ties — a deterministic, rand-free
+    * rule) and report how many documents the cluster collapses. One
+    * window pass over the cluster assignment joined to the corpus on
+    * doc_id; the join is key-shuffled (the cluster side can be
+    * arbitrarily large at 100 TB — never broadcast it).
+    */
+  val clusterCanonical: QueryDef = QueryDef(
+    "cluster_canonical",
+    (s, d) => {
+      val w = Window.partitionBy(col("cluster_id"))
+      clusterAssignments(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canon_id"),
+          col("n_docs"), col("n_chars"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlClusterCc,
+      j AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+            FROM cc JOIN documents d USING (doc_id)),
+      r AS (SELECT *,
+              count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+              row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) AS rn
+            FROM j)
+      SELECT cluster_id, doc_id AS canon_id, n_docs, n_chars
+      FROM r WHERE rn = 1 ORDER BY cluster_id
+    """),
+    doc = "one kept representative per near-dup cluster (longest text, tie=lowest id)")
 
   // ---- 3. SimHash -------------------------------------------------------
 
@@ -1049,6 +1101,45 @@ object Extended {
     """),
     doc = "doc quality composite: length/stopword/digit ratios")
 
+  /** Unigram entropy + type/token ratio per document — the information-
+    * density quality signal (low entropy ⇒ repetitive/templated text, a
+    * standard pre-training filter alongside [[repetitionScore]]). Uses
+    * the single-pass identity H = log2(n) − Σ c·log2(c) / n so one
+    * grouped aggregate over the (doc, word) counts suffices — no join
+    * back to a per-doc total. Two shuffles (word counts, then per-doc),
+    * both map-side combined; rounded to 4 dp on both engines because
+    * libm log2 may differ in the last ulp.
+    */
+  val docEntropy: QueryDef = QueryDef(
+    "doc_entropy",
+    (s, d) =>
+      docWords(s, d)
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
+          sum(col("c").cast("double") * log2(col("c"))).as("slc"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          Text.hround(log2(col("n_tok")) - col("slc") / col("n_tok"), 4)
+            .as("entropy"),
+          Text.hround(col("n_types").cast("double") / col("n_tok"), 4)
+            .as("ttr"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      c AS (SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS word FROM ws) GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                   count(*) AS n_types,
+                   sum(CAST(c AS DOUBLE) * log2(c)) AS slc
+            FROM c GROUP BY 1)
+      SELECT doc_id, n_tok, n_types,
+             ${Text.sqlHround("log2(n_tok) - slc / n_tok", 4)} AS entropy,
+             ${Text.sqlHround("CAST(n_types AS DOUBLE) / n_tok", 4)} AS ttr
+      FROM a ORDER BY doc_id
+    """),
+    doc = "unigram entropy + type/token ratio (info-density quality filter)")
+
   /** Document fingerprint: position-weighted rolling hash of the word-hash
     * sequence, mod P — order-sensitive (unlike a bag-of-words hash), one
     * BIGINT per document, computed row-local (no shuffle).
@@ -1520,7 +1611,8 @@ object Extended {
     doc = "sharded deterministic sequence packing into ~2048-token packs")
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, minhashLsh, dupClusters, simhash, simhashNearDup, ngramJaccard,
+    exactDedup, minhashLsh, dupClusters, clusterCanonical, simhash,
+    simhashNearDup, ngramJaccard, docEntropy,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,

@@ -93,6 +93,24 @@ object EventStream {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** foreachBatch sink with idempotent-by-batchId writes — the
+    * exactly-once recipe for sinks with no transactional commit: each
+    * micro-batch OVERWRITES its own `bid=<batchId>` partition, so a batch
+    * replayed after a crash-before-commit (offset log written, commit log
+    * not) rewrites the same directory instead of appending duplicates.
+    * Batch ids are stable across restarts of the same checkpoint, which
+    * is what makes the overwrite idempotent.
+    */
+  def idempotentParquetSink(df: DataFrame, outDir: String, ckDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/bid=$id")
+      }
+      .start()
+
   // ---- custom state: mapGroupsWithState sessionization -------------------
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

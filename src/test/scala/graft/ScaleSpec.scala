@@ -97,7 +97,8 @@ class ScaleSpec extends SparkSpec {
     // the two sink round-trips (they write files, then read them back),
     // and dup_clusters (iterate-to-convergence is driver-coordinated).
     val eager = Set("box_range_filter", "split_partitioned_write",
-      "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters")
+      "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
+      "cluster_canonical")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
