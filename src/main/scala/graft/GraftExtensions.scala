@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "", "", "", "", "", "", "built-in"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(exprs(0))))
+    // auto-rewrite pure interval-containment joins (else planned as a
+    // BroadcastNestedLoopJoin) into bucketed equi-joins — see the rule's
+    // scaladoc for the shape and the binSize conf
+    ext.injectOptimizerRule(graft.plans.RangeJoinRewrite)
   }
 }

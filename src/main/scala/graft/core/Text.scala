@@ -45,6 +45,17 @@ object Text {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Driver/executor-JVM twin of [[h32]]/[[sqlH32]]: first 4 md5 bytes,
+    * big-endian unsigned — bit-identical to the Column and DuckDB forms,
+    * for code that hashes OUTSIDE a Spark plan (the reservoir Aggregator).
+    */
+  def jvmH32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** k-word shingles of a words array COLUMN NAME (requires size >= k).
     * transform-with-sequence keeps this inside codegen; sequence is safe
     * because callers filter size(w) >= k first (Spark's sequence(1, 0)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.{QueryDef, Tables, Text}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1369,6 +1369,41 @@ object Extended {
     """),
     doc = "uniform 200-sample via bottom-k-by-hash (TakeOrdered, no shuffle, reproducible)")
 
+  /** Per-stratum reservoir sample through the custom mergeable
+    * [[graft.functions.BottomKByHash]] Aggregator — the third sampling
+    * formulation, and the one that scales past both others for
+    * k-per-group over huge strata: `stratified_sample`'s
+    * WindowGroupLimit must shuffle EVERY row of every group before
+    * ranking, and `uniform_sample_k`'s TakeOrdered is global-only; the
+    * Aggregator's partial buffers cap the exchange at k (hash, id)
+    * pairs per partition per group (classic bounded sorted-merge,
+    * O(k) per input row). Same deterministic md5-prefix ordering as
+    * the rest of the sampling family, so the oracle is a plain
+    * ranked-window SQL.
+    */
+  val reservoirSample: QueryDef = QueryDef(
+    "reservoir_sample",
+    (s, d) => {
+      val resK = udaf(new graft.functions.BottomKByHash(5), Encoders.scalaLong)
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(resK(col("doc_id")).as("ids"))
+        .select(col("source"), posexplode(col("ids")).as(Seq("rk", "doc_id")))
+        .select(col("source"), (col("rk") + 1).cast("int").as("rk"),
+          col("doc_id"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""
+      SELECT source, CAST(rn AS INT) AS rk, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ${Text.sqlH32("CAST(doc_id AS VARCHAR)")}, doc_id)
+                 AS rn
+        FROM documents)
+      WHERE rn <= 5 ORDER BY source, rk
+    """),
+    doc = "reservoir 5-per-stratum via mergeable bottom-k-by-hash Aggregator")
+
   /** Domain-mixture resampling — hit a TARGET source mixture (here: 8%
     * each for src0-src9, 2% each for src10-src19) from whatever mixture
     * the corpus actually has — the data-mixing step before LLM training.
@@ -1617,6 +1652,6 @@ object Extended {
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
-    uniformSampleK, domainMixSample, docChunks, tfidf,
+    uniformSampleK, reservoirSample, domainMixSample, docChunks, tfidf,
     decontaminate, repetitionScore, packSequences)
 }

@@ -41,4 +41,60 @@ class ExtensionsSpec extends AnyFunSuite {
       prior.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("RangeJoinRewrite: pure interval join loses its nested loop, keeps its rows") {
+    val spark = SparkTestSession.spark // extensions are on this context
+    import spark.implicits._
+    // points 0..999; intervals of width ~30, some null-bounded, some empty
+    val pts = (0L until 1000L).map(i => (i, i % 7)).toDF("p", "tag")
+    val ivs = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 40L), (2L, 95L, 130L), (3L, 400L, 400L), (4L, 500L, 499L),
+      (5L, null, 100L), (6L, 990L, 1500L))
+      .toDF("iv_id", "lo", "hi")
+    val joined = pts.join(ivs, $"p" >= $"lo" && $"p" <= $"hi")
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      s"interval join not rewritten to an equi-join:\n$phys")
+    assert(phys.contains("graft_bin"), s"bin key missing from plan:\n$phys")
+    // ground truth from a driver-side loop over the same data
+    val expect = (for {
+      (p, tag) <- (0L until 1000L).map(i => (i, i % 7))
+      (iv, lo, hi) <- Seq((1L, Some(10L), Some(40L)), (2L, Some(95L), Some(130L)),
+        (3L, Some(400L), Some(400L)), (4L, Some(500L), Some(499L)),
+        (5L, None, Some(100L)), (6L, Some(990L), Some(1500L)))
+      if lo.exists(p >= _) && hi.exists(p <= _)
+    } yield (p, tag, iv, lo.get, hi.get)).toSet
+    val got = joined.as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.size == 78) // 31 + 36 + 1 + 0 + 0 + 10
+  }
+
+  test("RangeJoinRewrite: strict bounds and flipped operand order both honored") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val pts = (0L until 100L).toDF("p")
+    val ivs = Seq((1L, 10L, 20L)).toDF("iv_id", "lo", "hi")
+    // lo < p AND hi >= p — strict lower, bound-on-left orientation
+    val joined = pts.join(ivs, $"lo" < $"p" && $"hi" >= $"p")
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+    val got = joined.as[(Long, Long, Long, Long)].collect().map(_._1).sorted
+    assert(got.toSeq == (11L to 20L)) // strict > 10, inclusive <= 20
+  }
+
+  test("RangeJoinRewrite: equi-joins and non-range thetas are left alone") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val a = (0L until 50L).toDF("x")
+    val b = (0L until 50L).map(i => (i, i + 5)).toDF("y", "z")
+    // equality present: rule must not touch it (no graft_bin in the plan)
+    val equi = a.join(b, $"x" === $"y" && $"x" <= $"z")
+    assert(!equi.queryExecution.executedPlan.toString.contains("graft_bin"))
+    assert(equi.count() == 50)
+    // one-sided bound only: not a containment pair, untouched
+    val half = a.join(b, $"x" >= $"y")
+    assert(!half.queryExecution.executedPlan.toString.contains("graft_bin"))
+    assert(half.count() == (1L to 50L).sum)
+  }
 }
