@@ -543,6 +543,43 @@ object Extended {
     """),
     doc = "exact 3-gram Jaccard >= 0.5 verify over LSH candidate pairs")
 
+  /** Levenshtein verify over LSH candidates — the character-level twin of
+    * [[ngramJaccard]]'s set-level verify, for catching near-dups whose
+    * difference is a small in-place edit rather than re-ordered shingles.
+    * Same scale discipline: edit distance is O(len²) per pair, so it runs
+    * ONLY on the LSH candidate set (never corpus²) and on a fixed 120-char
+    * prefix so the per-pair cost is bounded regardless of document length.
+    * Both engines ship the same built-in (dynamic-programming edit
+    * distance over unicode chars), so parity is exact integers.
+    */
+  val editDistancePairs: QueryDef = QueryDef(
+    "edit_distance_pairs",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+      lshCandidates(s, d)
+        .join(t.select(col("doc_id").as("d1"), col("t").as("t1"))
+          .hint("shuffle_hash"), Seq("d1"))
+        .join(t.select(col("doc_id").as("d2"), col("t").as("t2"))
+          .hint("shuffle_hash"), Seq("d2"))
+        .select(col("d1"), col("d2"), levenshtein(col("t1"), col("t2")).as("lev"))
+        .filter(col("lev") <= 40)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH $sqlSignatures,
+      bands AS ($sqlBandsFromSig),
+      pairs AS ($sqlCappedPairs),
+      t AS (SELECT doc_id, substr(text, 1, 120) AS t FROM documents)
+      SELECT d1, d2, lev FROM (
+        SELECT p.d1, p.d2, CAST(levenshtein(a.t, b.t) AS INT) AS lev
+        FROM pairs p
+        JOIN t a ON a.doc_id = p.d1
+        JOIN t b ON b.doc_id = p.d2)
+      WHERE lev <= 40 ORDER BY d1, d2
+    """),
+    doc = "Levenshtein <= 40 verify on 120-char prefixes of LSH candidate pairs")
+
   // ---- 5/6/7. embedding similarity ---------------------------------------
 
   /** embeddings → (vec_id, v: array<double>, nrm). Cast to double BEFORE
@@ -1647,7 +1684,7 @@ object Extended {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, dupClusters, clusterCanonical, simhash,
-    simhashNearDup, ngramJaccard, docEntropy,
+    simhashNearDup, ngramJaccard, editDistancePairs, docEntropy,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,

@@ -311,7 +311,62 @@ object Windows {
     """),
     doc = "decile bucketing per group (ntile window), per-bucket count/min/max")
 
+  /** SCD type-2 history build — the warehouse pattern for "what was this
+    * entity's state, and when": collapse each user's event stream into
+    * versioned validity intervals. A new version opens whenever the
+    * event_type differs from the previous event (lag-based change flag →
+    * running sum = version id, the gap-islands construction); the
+    * interval closes at the NEXT version's start (lead over versions;
+    * null = current). Everything is keyed by user_id, so the change
+    * detection, the per-version collapse, and the interval close all ride
+    * user-key shuffles — no global sort, no driver state, version counts
+    * bounded by each user's own history. Ordering ties broken by
+    * event_id (unique), so versions are deterministic.
+    */
+  val scd2History: QueryDef = QueryDef(
+    "scd2_history",
+    (s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("event_type"), 1).over(ord)
+      val r = Tables.events(s, d)
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        .withColumn("ver", sum(col("chg")).over(cum))
+      r.groupBy(col("user_id"), col("ver"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("ver"))))
+        .select(col("user_id"), col("ver"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      r AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
+        FROM o),
+      g AS (SELECT user_id, ver, event_type, min(ts) AS valid_from,
+                   count(*) AS n_events
+            FROM r GROUP BY 1, 2, 3)
+      SELECT user_id, ver, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+               AS valid_to,
+             n_events
+      FROM g ORDER BY user_id, ver
+    """),
+    doc = "SCD type-2 validity intervals per user (gap-islands versions, lead-closed)")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
-      minmaxScale, forwardFill, trailing7d, ntileBucket)
+      minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History)
 }
