@@ -63,7 +63,8 @@ class ScaleSpec extends SparkSpec {
     // the Jaccard sets) — measured 10-50 s vs ~2 s at sf0.1 in round 2.
     // Guard the hash-once property: the exchange must be REUSED, not
     // re-executed, everywhere the signature/shingle subtree is consumed.
-    Seq(ops.Extended.minhashLsh, ops.Extended.ngramJaccard).foreach { q =>
+    Seq(ops.Extended.minhashLsh, ops.Extended.ngramJaccard,
+      ops.Extended.editDistancePairs, ops.Extended.simhashNearDup).foreach { q =>
       val plan = planOf(q.fn(spark, sfDir))
       assert(plan.contains("ReusedExchange"),
         s"${q.name}: shingle-hash exchange not reused — " +
