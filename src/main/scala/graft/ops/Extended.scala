@@ -1572,6 +1572,86 @@ object Extended {
     """),
     doc = "TF-IDF: tf by (doc,term), df broadcast back, tf*ln(N/df) at 4dp")
 
+  /** BM25 query terms — fixture vocabulary words present at every SF. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val sqlBm25In = Bm25Terms.map("'" + _ + "'").mkString("(", ", ", ")")
+  // The scoring arithmetic is ONE shared SQL text evaluated by BOTH
+  // engines (Spark `expr` and the DuckDB oracle), so operand order —
+  // and therefore every IEEE rounding step — is identical by
+  // construction. All float literals carry the e0 suffix: a bare 0.5
+  // is DOUBLE in Spark but DECIMAL(1,1) in DuckDB, which would silently
+  // switch the whole expression into decimal arithmetic on one side.
+  private val sqlBm25Avgdl = "CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)"
+  private val sqlBm25Score: String = {
+    val idf = "ln((CAST(nd - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0) + 1e0)"
+    val tfn = "(CAST(tf AS DOUBLE) * (1.2e0 + 1e0)) / (CAST(tf AS DOUBLE) " +
+      "+ 1.2e0 * (1e0 - 0.75e0 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))"
+    // quantize per-term scores to 4dp AS INTEGERS so the per-doc sum is
+    // exact long addition — a double sum's value depends on partition
+    // merge order and could not be oracle-checked bit-for-bit
+    s"CAST(floor(($idf * $tfn) * 10000e0 + 0.5e0) AS BIGINT)"
+  }
+  private val sqlBm25Final = "CAST(ssum AS DOUBLE) / 10000e0"
+
+  /** BM25 ranked retrieval (k1=1.2, b=0.75) — the scoring leg the
+    * inverted-index/top_terms/tfidf family was missing: given a query
+    * term set, return the global top-10 documents. Plan shape: the term
+    * filter prunes the posting explode EARLY (only query-term rows reach
+    * any shuffle); doc length rides the groupBy key so no join back to
+    * the corpus is needed; df is a WINDOW count over the tf rows — not a
+    * second aggregate branch, which would re-execute the whole
+    * scan+explode subtree (Catalyst clones shared DataFrames into each
+    * consumer, and the pruned df branch never canonicalizes equal to the
+    * tf branch, so ReuseExchange can't kick in — measured, not guessed);
+    * corpus stats (1 row) broadcast; the final top-10 is
+    * TakeOrderedAndProject — per-partition heaps, no global sort. Never
+    * corpus²; every exchange after the scan carries only query-term rows.
+    */
+  val bm25TopK: QueryDef = QueryDef(
+    "bm25_topk",
+    (s, d) => {
+      val ws = docWords(s, d)
+      val st = ws.agg(count(lit(1)).as("nd"),
+        sum(size(col("w")).cast("long")).as("sdl"))
+      val tf = ws
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(st))
+        .withColumn("avgdl", expr(sqlBm25Avgdl))
+        .select(col("doc_id"), expr(sqlBm25Score).as("s_i"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("s_i")).as("ssum"))
+        .select(col("doc_id"), col("n_terms"),
+          expr(sqlBm25Final).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+            FROM ws),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+             WHERE term IN $sqlBm25In GROUP BY 1, 2, 3),
+      tfd AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+      st AS (SELECT count(*) AS nd, CAST(sum(len(w)) AS BIGINT) AS sdl
+             FROM ws),
+      sc AS (SELECT doc_id, $sqlBm25Score AS s_i
+             FROM (SELECT tfd.*, st.nd, st.sdl,
+                          $sqlBm25Avgdl AS avgdl
+                   FROM tfd, st)),
+      agg AS (SELECT doc_id, count(*) AS n_terms,
+                     CAST(sum(s_i) AS BIGINT) AS ssum
+              FROM sc GROUP BY 1)
+      SELECT doc_id, n_terms, $sqlBm25Final AS score
+      FROM agg ORDER BY score DESC, doc_id LIMIT 10
+    """),
+    doc = "BM25 top-10 docs for a 3-term query (early term prune, TakeOrdered)")
+
   /** Benchmark decontamination — the pre-training hygiene pass: flag
     * training documents sharing >= 3 distinct 3-gram shingles with the
     * held-out eval set (here the deterministic doc_id % 50 == 0 slice).
@@ -1690,5 +1770,5 @@ object Extended {
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, docChunks, tfidf,
-    decontaminate, repetitionScore, packSequences)
+    bm25TopK, decontaminate, repetitionScore, packSequences)
 }

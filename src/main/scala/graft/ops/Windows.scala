@@ -366,7 +366,56 @@ object Windows {
     """),
     doc = "SCD type-2 validity intervals per user (gap-islands versions, lead-closed)")
 
+  /** Batch sessionization — the gap-island construction as an ENGINE
+    * operator (the streaming twin is `session_window_agg`, whose oracle
+    * uses this same construction in SQL). A session breaks on a gap
+    * >= 30 minutes, matching Spark `session_window`'s end-EXCLUSIVE
+    * [start, last + gap) semantics, so the two formulations partition
+    * the event stream identically (asserted in AnalyticsSpec). Change
+    * flag, running-sum session id, and per-session collapse all ride one
+    * user_id-key shuffle — no global sort, state bounded per user;
+    * ordering ties broken by event_id (unique) for determinism.
+    */
+  val sessionizeBatch: QueryDef = QueryDef(
+    "sessionize_batch",
+    (s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts"), 1).over(ord)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(prevTs.isNull ||
+            col("ts") >= prevTs + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL OR
+                         ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts, event_type,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS sess_id
+            FROM g)
+      SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
+             count(*) AS n_events,
+             count(DISTINCT event_type) AS n_types
+      FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id
+    """),
+    doc = "batch gap-island sessionization (30m, end-exclusive; = session_window partition)")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
-      minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History)
+      minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History,
+      sessionizeBatch)
 }

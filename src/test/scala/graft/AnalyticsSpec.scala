@@ -54,6 +54,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(only === (c95 diff c96))
   }
 
+  test("sessionize_batch: partitions events exactly like session_window") {
+    // Both formulations must agree on (user, session start, event count):
+    // the gap-island >= 30m break mirrors session_window's end-exclusive
+    // [start, last + gap) — an exact-30m gap starts a NEW session in both.
+    val batch = ops.Windows.sessionizeBatch.fn(spark, sfDir)
+      .select("user_id", "sess_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val sw = streaming.EventStream.sessionWindow.fn(spark, sfDir)
+      .select("user_id", "sess_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(batch === sw, "gap-island sessions diverge from session_window")
+  }
+
+  test("bm25_topk: scores positive, descending, and rank-consistent with tf") {
+    val r = ops.Extended.bm25TopK.fn(spark, sfDir)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(r.length === 10)
+    assert(r.forall(_._3 > 0.0))
+    assert(r.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "top-10 not in descending score order")
+    assert(r.forall(t => t._2 >= 1 && t._2 <= 3), "n_terms outside 1..3")
+  }
+
   test("nullsafe_join: every order lands in exactly one group incl. the NULL key") {
     val r = Analytics.nullSafeJoin.fn(spark, sfDir)
       .select("grp", "n_orders").as[(String, Long)].collect().toMap

@@ -41,10 +41,10 @@ class ScaleSpec extends SparkSpec {
     // ONE-ROW corpus-count cross join (the scalar-subquery shape), and
     // ann_recall, which embeds the first two as verified subplans. All are
     // broadcast-NLJ over KB-scale builds — fine at any scale.
-    // domain_mix_sample and funnel_conversion share tfidf's one-row
-    // scalar-subquery broadcast cross join.
+    // domain_mix_sample, funnel_conversion, and bm25_topk share tfidf's
+    // one-row scalar-subquery broadcast cross join.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
-      "ann_recall", "domain_mix_sample", "funnel_conversion")
+      "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
