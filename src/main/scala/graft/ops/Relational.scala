@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.core.{Num, QueryDef, Tables, Text}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/OLAP operators rounding out the grouping-sets family
+  * (`cube_agg`, `grouping_sets_agg` live in Aggregates/Extended): ROLLUP
+  * hierarchies, deterministic mode, bitmap aggregation, exact rank
+  * percentiles, and calendar-spine gap filling — the standard reporting
+  * toolkit over the same fixture tables.
+  *
+  * Numeric discipline follows Num/Text: exact decimal sums, divisions
+  * only over identical integer operands, half-up `hround` on every
+  * emitted double. Cross-engine traps handled here: Spark `year()` is
+  * INT vs DuckDB BIGINT (oracle casts), rollup NULLs sort explicitly
+  * NULLS FIRST on both sides, `grouping()` is TINYINT in Spark vs BIGINT
+  * in DuckDB (both cast to INT).
+  */
+object Relational {
+
+  /** ROLLUP (year → priority) hierarchy totals: detail rows, per-year
+    * subtotals, grand total in ONE pass. Catalyst plans rollup as a
+    * single Expand + hash aggregate — the map-side partial agg still
+    * collapses before the one shuffle, so the 100 TB cost is the same as
+    * a flat groupBy (×3 grouping sets of tiny key width). grouping()
+    * flags disambiguate rollup-NULLs from data-NULLs.
+    */
+  val rollupAgg: QueryDef = QueryDef(
+    "rollup_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").as("pri"), col("o_totalprice"))
+        .rollup(col("yr"), col("pri"))
+        .agg(grouping(col("yr")).cast("int").as("g_yr"),
+          grouping(col("pri")).cast("int").as("g_pri"),
+          count(lit(1)).as("n_orders"),
+          Num.sum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("g_yr"), col("g_pri"),
+          col("yr").asc_nulls_first, col("pri").asc_nulls_first),
+    Some(s"""
+      SELECT yr, pri,
+             CAST(GROUPING(yr) AS INTEGER) AS g_yr,
+             CAST(GROUPING(pri) AS INTEGER) AS g_pri,
+             count(*) AS n_orders, ${Num.sqlSum2("o_totalprice")} AS sum_price
+      FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   o_orderpriority AS pri, o_totalprice FROM orders)
+      GROUP BY ROLLUP (yr, pri)
+      ORDER BY g_yr, g_pri, yr ASC NULLS FIRST, pri ASC NULLS FIRST
+    """),
+    doc = "ROLLUP hierarchy (detail/subtotal/total) in one Expand+agg pass")
+
+  /** Deterministic per-group mode: most frequent o_orderstatus per
+    * priority, ties broken by value ASC. Built-in `mode()` is
+    * tie-nondeterministic in BOTH engines, so the engine formulation IS
+    * the portable one: count per (group, value) — first shuffle collapses
+    * the data — then a rank-1 window over the tiny (group × value)
+    * aggregate. WindowGroupLimit prunes to top-1 per group at scale.
+    */
+  val modeAgg: QueryDef = QueryDef(
+    "mode_agg",
+    (s, d) => {
+      val g = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_mode"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("n_mode").desc, col("o_orderstatus").asc)
+      g.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"),
+          col("o_orderstatus").as("mode_status"), col("n_mode"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_mode,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, o_orderstatus AS mode_status, n_mode
+      FROM g WHERE rn = 1 ORDER BY o_orderpriority
+    """),
+    doc = "deterministic mode: count-agg then rank-1 window, value-ASC ties")
+
+  /** Bitmap aggregation — presence bitmaps via bit_or of 1<<(user_id%32)
+    * plus raw bit_and/bit_xor folds. Bitmaps are the mergeable
+    * set-membership structure (roaring-style) used for segment overlap at
+    * scale: a 100 TB fold is one partial+final agg of 8-byte masks, and
+    * bit_count(mask) reads cardinality without touching the rows again.
+    */
+  val bitAgg: QueryDef = QueryDef(
+    "bitmap_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"))
+        .groupBy(col("event_type"))
+        .agg(bit_or(col("m")).as("presence_mask"),
+          bit_count(bit_or(col("m"))).cast("int").as("mask_card"),
+          bit_and(col("user_id")).as("and_fold"),
+          bit_xor(col("user_id")).as("xor_fold"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS presence_mask,
+             CAST(bit_count(bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER))) AS INTEGER) AS mask_card,
+             bit_and(user_id) AS and_fold,
+             bit_xor(user_id) AS xor_fold
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+    doc = "mergeable presence bitmaps: bit_or/and/xor folds + bit_count card")
+
+  /** Exact percent_rank + cume_dist per (flag, quantity) — computed from
+    * exact integer counts, NOT the built-in window functions: aggregate
+    * FIRST (one shuffle collapses 100 TB to the tiny distinct-value
+    * table), then derive rank fractions from running count sums. The
+    * built-ins would sort every ROW; this sorts every VALUE. Divisions
+    * take identical BIGINT operands on both engines → identical doubles.
+    */
+  val rankPercentiles: QueryDef = QueryDef(
+    "rank_percentiles",
+    (s, d) => {
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      g.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .select(col("l_returnflag"), col("l_quantity"),
+          Text.hround((col("cum") - col("cnt")).cast("double") /
+            (col("n") - 1).cast("double"), 6).as("pct_rank"),
+          Text.hround(col("cum").cast("double") / col("n").cast("double"), 6)
+            .as("cume_dist"))
+        .orderBy(col("l_returnflag"), col("l_quantity"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      w AS (
+        SELECT l_returnflag, l_quantity, cnt,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM g)
+      SELECT l_returnflag, l_quantity,
+             ${Text.sqlHround("CAST(cum - cnt AS DOUBLE) / CAST(n - 1 AS DOUBLE)", 6)} AS pct_rank,
+             ${Text.sqlHround("CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS cume_dist
+      FROM w ORDER BY 1, 2
+    """),
+    doc = "percent_rank/cume_dist from exact counts: agg first, window over values")
+
+  /** Calendar-spine gap fill: a generated month spine (1995-01..2001-12,
+    * extending past the data's 2001-08 end) cross-joined with the
+    * priority dim, left-joined to monthly totals, empties coalesced to
+    * zero. The spine is generated rows (sequence+explode, no scan), the
+    * dim side is broadcast-tiny, and the fact agg collapses before its
+    * join — the standard dense-time-series shape at any scale.
+    */
+  val monthSpineFill: QueryDef = QueryDef(
+    "month_spine_fill",
+    (s, d) => {
+      val spine = s.range(1).select(explode(expr(
+        "sequence(to_date('1995-01-01'), to_date('2001-12-01'), interval 1 month)"))
+        .as("mon"))
+      val dims = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri")).distinct()
+      val cnt = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), Num.sum2(col("o_totalprice")).as("sp"))
+      spine.crossJoin(broadcast(dims))
+        .join(cnt, Seq("mon", "pri"), "left")
+        .select(col("mon"), col("pri"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("sp"), lit(0.0)).as("sum_price"))
+        .orderBy(col("mon"), col("pri"))
+    },
+    Some(s"""
+      WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01',
+                                           INTERVAL 1 MONTH)) AS DATE) AS mon),
+      dims AS (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+      cnt AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               o_orderpriority AS pri, count(*) AS n,
+               ${Num.sqlSum2("o_totalprice")} AS sp
+        FROM orders GROUP BY 1, 2)
+      SELECT s.mon, d.pri,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders,
+             CAST(coalesce(c.sp, 0.0) AS DOUBLE) AS sum_price
+      FROM spine s CROSS JOIN dims d
+      LEFT JOIN cnt c ON c.mon = s.mon AND c.pri = d.pri
+      ORDER BY 1, 2
+    """),
+    doc = "generated month spine x dim, left-join gap fill with zero coalesce")
+
+  val all: Seq[QueryDef] =
+    Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill)
+}

@@ -42,9 +42,12 @@ class ScaleSpec extends SparkSpec {
     // ann_recall, which embeds the first two as verified subplans. All are
     // broadcast-NLJ over KB-scale builds — fine at any scale.
     // domain_mix_sample, funnel_conversion, and bm25_topk share tfidf's
-    // one-row scalar-subquery broadcast cross join.
+    // one-row scalar-subquery broadcast cross join. month_spine_fill
+    // crosses a GENERATED month spine (~100 rows, no scan) with the tiny
+    // distinct-priority dim — both sides constant-size by construction.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
-      "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk")
+      "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk",
+      "month_spine_fill")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
