@@ -17,7 +17,8 @@ object SparkEntry {
   val defs: Seq[QueryDef] =
     ops.Filters.all ++ ops.Scalars.all ++ ops.Joins.all ++
       ops.Aggregates.all ++ ops.Windows.all ++ ops.Extended.all ++
-      ops.Analytics.all ++ ops.Relational.all ++ ops.Multimodal.all ++
+      ops.Analytics.all ++ ops.Relational.all ++ ops.Graph.all ++
+      ops.Multimodal.all ++
       streaming.EventStream.all ++ pipeline.Climate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -259,7 +259,7 @@ object Extended {
     val sym = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("v", "n").repartition(col("n")).persist()
     def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var lbl = sym.select(col("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     var prevSum = lblSum(lbl)
@@ -542,6 +542,71 @@ object Extended {
       WHERE jac >= 0.5 ORDER BY d1, d2
     """),
     doc = "exact 3-gram Jaccard >= 0.5 verify over LSH candidate pairs")
+
+  /** MinHash estimator calibration — the sketch-accuracy audit every
+    * dedup deployment needs before trusting LSH at scale: for EVERY LSH
+    * candidate pair (no 0.5 cutoff), the signature-based Jaccard estimate
+    * (n_match/12) side-by-side with the exact shingle-set Jaccard and the
+    * absolute error. Integer n_match and exact integer set sizes feed
+    * identical-operand IEEE divisions, so parity is exact. Cost discipline
+    * matches the other verifies: runs ONLY on the candidate set (never
+    * corpus²), and the shingle hash is computed once behind the reused
+    * exchange ([[shingleHashes]]).
+    */
+  val minhashCalibration: QueryDef = QueryDef(
+    "minhash_calibration",
+    (s, d) => {
+      val sig = signatures(s, d)
+      val sets = shingleHashes(s, d)
+        .select(col("doc_id"),
+          expr("array_sort(array_distinct(hs))").as("sh"))
+        .withColumn("n_sh", size(col("sh")).cast("long"))
+      val nMatch = (0 until SigLen)
+        .map(j => when(col(s"s1.m$j") === col(s"s2.m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      lshCandidates(s, d)
+        .join(sig.as("s1").hint("shuffle_hash"), col("d1") === col("s1.doc_id"))
+        .join(sig.as("s2").hint("shuffle_hash"), col("d2") === col("s2.doc_id"))
+        .withColumn("n_match", nMatch.cast("int"))
+        .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("n_sh").as("n1")).hint("shuffle_hash"), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("n_sh").as("n2")).hint("shuffle_hash"), Seq("d2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .withColumn("est", Text.hround(col("n_match") / lit(SigLen.toDouble), 4))
+        .withColumn("jac",
+          Text.hround(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
+        .select(col("d1"), col("d2"), col("n_match"), col("est"), col("jac"),
+          abs(col("est") - col("jac")).as("abs_err"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some {
+      val nMatch = (0 until SigLen)
+        .map(j => s"CAST(s1.m$j = s2.m$j AS INT)").mkString(" + ")
+      s"""
+      WITH $sqlSignatures,
+      bands AS ($sqlBandsFromSig),
+      pairs AS ($sqlCappedPairs),
+      sets AS (SELECT doc_id, list_sort(list_distinct(hs)) AS sh FROM hss),
+      j AS (
+        SELECT p.d1, p.d2, $nMatch AS n_match,
+               CAST(len(list_intersect(t1.sh, t2.sh)) AS BIGINT) AS inter,
+               CAST(len(t1.sh) AS BIGINT) AS n1, CAST(len(t2.sh) AS BIGINT) AS n2
+        FROM pairs p
+        JOIN sig s1 ON s1.doc_id = p.d1
+        JOIN sig s2 ON s2.doc_id = p.d2
+        JOIN sets t1 ON t1.doc_id = p.d1
+        JOIN sets t2 ON t2.doc_id = p.d2),
+      e AS (
+        SELECT d1, d2, n_match,
+               ${Text.sqlHround(s"n_match / ${SigLen.toDouble}", 4)} AS est,
+               ${Text.sqlHround("inter / (n1 + n2 - inter)", 4)} AS jac
+        FROM j)
+      SELECT d1, d2, n_match, est, jac, abs(est - jac) AS abs_err
+      FROM e ORDER BY d1, d2
+      """
+    },
+    doc = "MinHash estimate vs exact Jaccard + abs error over LSH candidates")
 
   /** Levenshtein verify over LSH candidates — the character-level twin of
     * [[ngramJaccard]]'s set-level verify, for catching near-dups whose
@@ -1764,7 +1829,8 @@ object Extended {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, dupClusters, clusterCanonical, simhash,
-    simhashNearDup, ngramJaccard, editDistancePairs, docEntropy,
+    simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
+    docEntropy,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,

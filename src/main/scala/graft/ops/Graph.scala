@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationally-derived edge lists — the pattern for
+  * iterative graph compute WITHOUT a graph framework: aggregate the fact
+  * table down to a (src, dst, weight) edge list once, then express each
+  * iteration as join + groupBy message passing. Complements the
+  * connected-components loop in [[Extended]] (`dup_clusters`), which
+  * iterates to a data-dependent fixpoint; PageRank here is a FIXED
+  * iteration count, so the whole computation stays one lazy Catalyst plan
+  * (no driver coordination at all).
+  *
+  * Numeric discipline: ranks are scaled BIGINTs (1e9 = rank 1.0) and every
+  * step is integer multiply / integer floor-division — bit-identical in
+  * both engines regardless of aggregation order, where a double-valued
+  * PageRank would drift in the sum order. Spark `DIV` and DuckDB `//`
+  * agree on non-negative operands (both floor).
+  */
+object Graph {
+
+  private val Iters = 3
+  private val Scale = 1000000000L // rank 1.0
+
+  /** Trade-graph PageRank: nations as vertices, customer-nation →
+    * supplier-nation order flow as weighted edges, 3 damped iterations
+    * (d = 0.85 as integer 85/100).
+    *
+    * Scale shape: the ONLY big work is the one-time edge aggregation
+    * (lineitem ⋈ orders fact join, then two dim joins — all equi-joins,
+    * partial agg collapses to ≤ |V|² edge rows before the shuffle). Each
+    * iteration then joins the ≤ |V|² edge table with the |V|-row rank
+    * table: message passing whose cost is EDGE-list-sized, never
+    * corpus-sized. Catalyst dedups the thrice-referenced edge subtree via
+    * exchange reuse within the single plan.
+    */
+  val pagerank: QueryDef = QueryDef(
+    "pagerank_trade",
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val edges = e0.withColumn("wout",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+
+      def step(r: DataFrame): DataFrame = {
+        val contrib = edges
+          .join(r, col("node") === col("src"))
+          .select(col("dst").as("node"), expr("(pr * w) DIV wout").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+        nodes.select(col("node"))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(Scale * 15 / 100) +
+              expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+      }
+
+      val r0 = nodes.select(col("node"), lit(Scale).as("pr"))
+      val rN = (1 to Iters).foldLeft(r0)((r, _) => step(r))
+      rN.join(nodes, Seq("node"))
+        .select(col("n_name"), col("pr"))
+        .orderBy(col("pr").desc, col("n_name"))
+    },
+    Some {
+      val iterCtes = (1 to Iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+                    CAST(sum((r.pr * e.w) // e.wout) AS BIGINT) AS sc
+             FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+         r$i AS (SELECT n.node,
+                    CAST(${Scale * 15 / 100} + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS pr
+             FROM n LEFT JOIN c$i c USING (node))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      e AS (SELECT src, dst, w,
+                   CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wout
+            FROM e0),
+      n AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+      r0 AS (SELECT node, CAST($Scale AS BIGINT) AS pr FROM n),
+      $iterCtes
+      SELECT n.n_name, r.pr
+      FROM r$Iters r JOIN n USING (node)
+      ORDER BY pr DESC, n_name
+      """
+    },
+    doc = s"integer-exact damped PageRank, $Iters fixed join+agg iterations on the trade graph")
+
+  val all: Seq[QueryDef] = Seq(pagerank)
+}

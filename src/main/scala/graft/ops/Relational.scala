@@ -198,6 +198,59 @@ object Relational {
     """),
     doc = "generated month spine x dim, left-join gap fill with zero coalesce")
 
+  /** Morton (Z-order) interleave of two 5-bit dimensions, built once in
+    * Scala and rendered to BOTH engines' SQL — pure integer shifts/masks,
+    * exact parity.
+    */
+  private def mortonTerms(x: String, y: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until 5).map { i =>
+      s"${shl(s"(${shr(x, i)} & 1)", 2 * i)} + ${shl(s"(${shr(y, i)} & 1)", 2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order clustering audit — the data-layout operator behind
+    * multi-dimensional data skipping: interleave the bits of two
+    * dimensions (customer key bucket × account-balance bucket) into a
+    * 10-bit Morton code, range-bucket the code, and report each bucket's
+    * bounding rectangle over BOTH source dimensions. Tight per-bucket
+    * min/max on both axes is exactly the property that lets a Z-ordered
+    * parquet layout prune files on either predicate at 100 TB (the write
+    * path is `repartitionByRange(zcode) + sortWithinPartitions` — the
+    * code column here is that clustering key). One agg pass; all integer.
+    */
+  val zorderCluster: QueryDef = QueryDef(
+    "zorder_cluster",
+    (s, d) => {
+      val z = mortonTerms("x", "y",
+        (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+      Tables.customer(s, d)
+        .select((col("c_custkey") % 32).as("x"),
+          (abs(floor(col("c_acctbal"))).cast("long") % 32).as("y"))
+        .withColumn("z", expr(z))
+        .groupBy(expr("z DIV 128").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))
+    },
+    Some {
+      val z = mortonTerms("x", "y",
+        (e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+      s"""
+      WITH pts AS (
+        SELECT c_custkey % 32 AS x,
+               CAST(abs(floor(c_acctbal)) AS BIGINT) % 32 AS y
+        FROM customer),
+      zc AS (SELECT x, y, $z AS z FROM pts)
+      SELECT z // 128 AS zbucket, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM zc GROUP BY 1 ORDER BY 1
+      """
+    },
+    doc = "Morton-code clustering: per-Z-range bounding boxes on both dims")
+
   val all: Seq[QueryDef] =
-    Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill)
+    Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
+      zorderCluster)
 }

@@ -93,6 +93,60 @@ object EventStream {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream interval join: each signup matched to purchases by the
+    * same user with purchase ts in [signup ts, signup ts + `within`].
+    * On streams BOTH sides carry watermarks and the join predicate bounds
+    * event time in BOTH directions — the two conditions Spark needs to
+    * evict join state (a stream-stream join without a time bound holds
+    * every row forever: the canonical unbounded-state trap). Inner joins
+    * emit on match without waiting for the watermark. The same code runs
+    * on batch frames (`streaming = false` skips the no-op watermarks) and
+    * is oracle-checked as `interval_join_events`.
+    */
+  def intervalJoin(signups: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes", streaming: Boolean = true): DataFrame = {
+    val l = (if (streaming) signups.withWatermark("ts", "10 minutes")
+             else signups).as("l")
+    val r = (if (streaming) purchases.withWatermark("ts", "10 minutes")
+             else purchases).as("r")
+    l.join(r, expr("l.user_id = r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"interval $within"))
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("signup_ts"),
+        col("r.ts").as("purchase_ts"), col("r.value").as("purchase_value"))
+  }
+
+  /** Batch twin of [[intervalJoin]] over the events fixture: signups ⋈
+    * purchases within 30 minutes. The user_id equality conjunct makes
+    * this a plain sort-merge/hash join with the time range as residual —
+    * never a nested loop.
+    */
+  val intervalJoinEvents: QueryDef = QueryDef(
+    "interval_join_events",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      intervalJoin(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        streaming = false)
+        .orderBy(col("user_id"), col("signup_ts"), col("purchase_ts"),
+          col("purchase_value"))
+    },
+    Some("""
+      SELECT l.user_id,
+             CAST(l.ts AS TIMESTAMP) AS signup_ts,
+             CAST(r.ts AS TIMESTAMP) AS purchase_ts,
+             r.value AS purchase_value
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND l.event_type = 'signup' AND r.event_type = 'purchase'
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+      ORDER BY 1, 2, 3, 4
+    """),
+    doc = "interval join (batch twin of the watermarked stream-stream join)")
+
   /** foreachBatch sink with idempotent-by-batchId writes — the
     * exactly-once recipe for sinks with no transactional commit: each
     * micro-batch OVERWRITES its own `bid=<batchId>` partition, so a batch
@@ -178,5 +232,6 @@ object EventStream {
       }
   }
 
-  val all: Seq[QueryDef] = Seq(tumblingWindow, sessionWindow)
+  val all: Seq[QueryDef] =
+    Seq(tumblingWindow, sessionWindow, intervalJoinEvents)
 }

@@ -238,6 +238,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches within window, no unbounded state") {
+    // Two live streams joined on user_id + a two-sided time bound: the
+    // only stream-stream join shape whose state Spark can evict. Inner
+    // joins emit on match; the out-of-window purchase must never appear.
+    implicit val sqlCtx = spark.sqlContext
+    val signups   = MemoryStream[(Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStream.intervalJoin(
+      signups.toDF().toDF("ts", "user_id", "value"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData((ts(10), 1L, 0.0))
+      purchases.addData(
+        (ts(25), 1L, 9.5),  // 15 min after signup -> within 30-min window
+        (ts(55), 1L, 3.0),  // 45 min after        -> outside the window
+        (ts(25), 2L, 7.0))  // no signup for user 2
+      q.processAllAvailable()
+      val out = spark.table("ij_out")
+        .select("user_id", "signup_ts", "purchase_ts", "purchase_value")
+        .as[(Long, Timestamp, Timestamp, Double)].collect().toSet
+      assert(out === Set((1L, ts(10), ts(25), 9.5)))
+    } finally q.stop()
+  }
+
   test("sessionize: state accumulates within gap, resets across gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
