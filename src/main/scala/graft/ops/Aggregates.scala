@@ -370,8 +370,31 @@ object Aggregates {
     """),
     doc = "one-scan per-column profiling (nulls, cardinality, min/max), stacked long")
 
+  /** Ordered distinct string aggregation — the LISTAGG/string_agg
+    * reduction, made deterministic: collect_set's task-order
+    * nondeterminism is erased by array_sort before joining, which is the
+    * ONLY portable formulation (both engines' bare string_agg order is
+    * undefined without an explicit ORDER BY). Distinct values bound the
+    * state per group, so the fold is a partial+final set-union agg.
+    */
+  val stringAgg: QueryDef = QueryDef(
+    "string_agg_sources",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          concat_ws(",", array_sort(collect_set(col("source"))))
+            .as("sources_csv"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, count(DISTINCT source) AS n_sources,
+             string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+      FROM documents GROUP BY 1 ORDER BY 1
+    """),
+    doc = "deterministic LISTAGG: sorted distinct set join per group")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
-    unpivotQ, profileTable, groupingSetsAgg)
+    unpivotQ, profileTable, groupingSetsAgg, stringAgg)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{QueryDef, Tables, Text}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical / set-algebra analytics beyond the reference's surface
@@ -234,6 +235,95 @@ object Analytics {
     """),
     doc = "first-seen-period cohorts x activity offset, count-distinct retention matrix")
 
+  /** Robust statistics per group — median, MAD (median absolute
+    * deviation), IQR, and the classic 1.5×IQR outlier count. Two passes
+    * by necessity (MAD needs the median first): pass 1 aggregates the
+    * per-group quantiles, pass 2 re-scans with the tiny quantile table
+    * broadcast back. Parity discipline: the median/quartiles are ROUNDED
+    * (bround 4) before re-entering arithmetic, so |x − med| and the
+    * 1.5×IQR threshold compare identical doubles on both engines.
+    * `percentile` (Spark) and `quantile_cont` (DuckDB) share linear
+    * interpolation — proven in `summary_stats`.
+    */
+  val robustStats: QueryDef = QueryDef(
+    "robust_stats",
+    (s, d) => {
+      val q = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(bround(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"),
+          bround(expr("percentile(l_extendedprice, 0.25)"), 4).as("q25"),
+          bround(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75"))
+        .withColumn("iqr", col("q75") - col("q25"))
+      Tables.lineitem(s, d)
+        .join(broadcast(q), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("median"),
+          min(col("iqr")).as("iqr"),
+          bround(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4)
+            .as("mad"),
+          sum(when(abs(col("l_extendedprice") - col("med")) >
+            lit(1.5) * col("iqr"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT l_returnflag,
+               round_even(quantile_cont(l_extendedprice, 0.5), 4) AS med,
+               round_even(quantile_cont(l_extendedprice, 0.75), 4)
+                 - round_even(quantile_cont(l_extendedprice, 0.25), 4) AS iqr
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag, count(*) AS n,
+             min(q.med) AS median, min(q.iqr) AS iqr,
+             round_even(quantile_cont(abs(l.l_extendedprice - q.med), 0.5), 4) AS mad,
+             CAST(sum(CASE WHEN abs(l.l_extendedprice - q.med) > 1.5 * q.iqr
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM lineitem l JOIN q USING (l_returnflag)
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "median/MAD/IQR + 1.5*IQR outlier count, quantiles broadcast back")
+
+  /** 2-D Pareto skyline (minimize price, maximize size) WITHOUT the
+    * O(N²) dominance anti-join: aggregate to one row per distinct price
+    * (the first shuffle collapses the corpus), then a single ordered pass
+    * keeps prices whose best size strictly beats the running max over all
+    * cheaper prices — exactly the dominance rule. The global window runs
+    * over the DISTINCT-PRICE table (domain-bounded, not corpus-sized).
+    * Ties on (price, size) are all on the frontier (neither strictly
+    * dominates), which the equi-join back to parts preserves.
+    */
+  val skylinePareto: QueryDef = QueryDef(
+    "skyline_pareto",
+    (s, d) => {
+      val dpr = Tables.part(s, d)
+        .groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("best"))
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = dpr.withColumn("pm", max(col("best")).over(w))
+        .filter(col("pm").isNull || col("best") > col("pm"))
+      Tables.part(s, d)
+        .join(broadcast(frontier),
+          col("p_retailprice") === col("price") && col("p_size") === col("best"))
+        .select(col("p_partkey"), col("price"), col("p_size").as("sz"))
+        .orderBy(col("price"), col("p_partkey"))
+    },
+    Some("""
+      WITH d AS (SELECT p_retailprice AS price, max(p_size) AS best
+                 FROM part GROUP BY 1),
+      f AS (SELECT price, best,
+                   max(best) OVER (ORDER BY price
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM d)
+      SELECT p.p_partkey, f.price, p.p_size AS sz
+      FROM part p
+      JOIN f ON f.price = p.p_retailprice AND f.best = p.p_size
+      WHERE f.pm IS NULL OR f.best > f.pm
+      ORDER BY f.price, p.p_partkey
+    """),
+    doc = "Pareto frontier via distinct-value running max, never all-pairs")
+
   val all: Seq[QueryDef] =
-    Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention)
+    Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
+      robustStats, skylinePareto)
 }

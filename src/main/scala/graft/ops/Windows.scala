@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{Num, QueryDef, Tables}
+import graft.core.{Num, QueryDef, Tables, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -414,8 +414,97 @@ object Windows {
     """),
     doc = "batch gap-island sessionization (30m, end-exclusive; = session_window partition)")
 
+  /** Markov transition matrix over per-user event sequences: lag(1) pairs
+    * (prev_type → event_type) counted, then row-normalized into transition
+    * probabilities. One user-key shuffle for the ordered lag, one tiny
+    * (|types|²) aggregate; the probability divides identical BIGINTs on
+    * both engines. The first event per user (no predecessor) is excluded —
+    * a transition needs both endpoints.
+    */
+  val markovTransitions: QueryDef = QueryDef(
+    "markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wRow = Window.partitionBy(col("prev_type"))
+      pairs
+        .withColumn("row_n", sum(col("n")).over(wRow))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          Text.hround(col("n").cast("double") / col("row_n").cast("double"), 6)
+            .as("p"))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events),
+      g AS (SELECT prev_type, event_type, count(*) AS n
+            FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT prev_type, event_type, n,
+                   CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_n
+            FROM g)
+      SELECT prev_type, event_type, n,
+             ${Text.sqlHround("CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)", 6)} AS p
+      FROM r ORDER BY 1, 2
+    """),
+    doc = "per-user event-sequence Markov transition counts + probabilities")
+
+  /** EWMA smoothing with an explicit 5-term halving kernel (16,8,4,2,1),
+    * renormalized over the lags actually present near sequence starts.
+    * Written as a FIXED expression tree of per-row lags — not an
+    * aggregate — so the IEEE op order is identical in both engines
+    * (a windowed double sum would accumulate in engine-specific order).
+    * One user-key shuffle; the 5 lags share a single window sort.
+    */
+  val ewmaSmooth: QueryDef = QueryDef(
+    "ewma_smooth",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wts = Seq(16.0, 8.0, 4.0, 2.0, 1.0)
+      val withLags = wts.indices.foldLeft(Tables.events(s, d)) { (df, k) =>
+        df.withColumn(s"l$k",
+          if (k == 0) col("value") else lag(col("value"), k).over(w))
+      }
+      val num = wts.indices.map(k =>
+        when(col(s"l$k").isNull, lit(0.0)).otherwise(lit(wts(k)) * col(s"l$k")))
+        .reduce(_ + _)
+      val den = wts.indices.map(k =>
+        when(col(s"l$k").isNull, lit(0.0)).otherwise(lit(wts(k))))
+        .reduce(_ + _)
+      withLags
+        .select(col("event_id"), col("user_id"), col("value"),
+          Text.hround(num / den, 4).as("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some {
+      val wts = Seq(16.0, 8.0, 4.0, 2.0, 1.0)
+      val lags = wts.indices.map { k =>
+        if (k == 0) "value AS l0"
+        else s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$k"
+      }.mkString(", ")
+      val num = wts.indices.map(k =>
+        s"CASE WHEN l$k IS NULL THEN 0.0 ELSE ${wts(k)} * l$k END").mkString(" + ")
+      val den = wts.indices.map(k =>
+        s"CASE WHEN l$k IS NULL THEN 0.0 ELSE ${wts(k)} END").mkString(" + ")
+      s"""
+      WITH t AS (SELECT event_id, user_id, value, $lags FROM events)
+      SELECT event_id, user_id, value,
+             ${Text.sqlHround(s"($num) / ($den)", 4)} AS ewma
+      FROM t ORDER BY user_id, event_id
+      """
+    },
+    doc = "5-term halving-kernel EWMA as a fixed lag expression tree")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History,
-      sessionizeBatch)
+      sessionizeBatch, markovTransitions, ewmaSmooth)
 }
