@@ -438,6 +438,14 @@ object Extended {
     * again), then the exact Hamming check (`bit_count(xor)`) filters.
     * Recall for the ≤ 3 threshold is therefore exactly 1.0 by
     * construction; precision comes from the exact filter.
+    *
+    * The full 32-bit signature RIDES ALONG in the bucket collect_list
+    * struct, so the Hamming verify is row-local math on the pair-expand
+    * output — no join back to the signature table at all. (Round 2 shape
+    * was candidates-then-two-shuffle-hash-joins: 3 extra exchanges over
+    * the candidate set; carrying the 8 extra bytes per bucket member is
+    * free by comparison at any scale, and the verify filter now runs
+    * BEFORE the cross-band distinct, shrinking it to true near-dups.)
     */
   val simhashNearDup: QueryDef = QueryDef(
     "simhash_near_dup",
@@ -446,26 +454,24 @@ object Extended {
       val bandStructs = (0 until SimBands).map { b =>
         s"struct($b AS band, shiftright(simhash, ${SimBandBits * b}) & ${(1 << SimBandBits) - 1} AS code)"
       }.mkString(", ")
-      val cand = sims
-        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.code").as("code"))
+      sims
+        .select(explode(expr(s"array($bandStructs)")).as("bs"),
+          col("doc_id"), col("simhash"))
+        .select(col("bs.band").as("band"), col("bs.code").as("code"),
+          struct(col("doc_id"), col("simhash")).as("m"))
         .groupBy(col("band"), col("code"))
-        .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
-        .filter(size(col("ds")).between(2, 1000))
+        .agg(expr("array_sort(collect_list(m))").as("ms"))
+        .filter(size(col("ms")).between(2, 1000))
         .select(explode(expr(
-          "flatten(transform(ds, (x, i) -> " +
-            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+          "flatten(transform(ms, (x, i) -> " +
+            "transform(slice(ms, i + 2, size(ms)), y -> " +
+            "struct(x.doc_id AS d1, y.doc_id AS d2, " +
+            "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"))
           .as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .filter(col("p.hamming") <= SimBands - 1)
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+          col("p.hamming").as("hamming"))
         .distinct()
-      cand
-        .join(sims.select(col("doc_id").as("d1"), col("simhash").as("h1"))
-          .hint("shuffle_hash"), Seq("d1"))
-        .join(sims.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-          .hint("shuffle_hash"), Seq("d2"))
-        .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
-        .filter(col("hamming") <= SimBands - 1)
-        .select(col("d1"), col("d2"), col("hamming"))
         .orderBy(col("d1"), col("d2"))
     },
     Some {

@@ -503,8 +503,60 @@ object Windows {
     },
     doc = "5-term halving-kernel EWMA as a fixed lag expression tree")
 
+  /** Monthly climatology + anomaly — the canonical climate-science
+    * post-processing over the reference's monthly output (what the
+    * validation notebook eyeballs per capital,
+    * /root/reference/scripts/validation_northern_capitals.ipynb cells 3-5):
+    * climatology = the across-years mean of each (station, calendar-month)
+    * monthly mean; anomaly = monthly value − its climatology. Two levels:
+    * ONE groupBy shuffle builds the monthly means (partial+final hash agg),
+    * then the climatology is a whole-partition window over
+    * (station, month-of-year) — at 100 TB the window state per partition is
+    * bounded by #years, and the key space (stations × 12) distributes.
+    * Parity: the monthly mean is avg2 (exact-decimal, half-up); the
+    * climatology re-averages those 2-dp values through DECIMAL(18,2)
+    * (already AT scale 2, so both engines' double→decimal casts agree —
+    * see CLAUDE.md decimal-cast gotcha) in the same floor form; the
+    * anomaly is a difference of identical doubles, hround'd.
+    */
+  val climatologyAnomaly: QueryDef = QueryDef(
+    "climatology_anomaly",
+    (s, d) => {
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("supp_id"),
+          year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+        .agg(Num.avg2(col("l_quantity")).as("avg_qty"))
+      val w = Window.partitionBy(col("supp_id"), col("mo"))
+      val clim = floor(
+        sum(col("avg_qty").cast(Dec)).over(w).cast(DoubleType) * lit(100.0) /
+          count(lit(1)).over(w) + lit(0.5)) / lit(100.0)
+      monthly
+        .withColumn("climatology", clim)
+        .withColumn("anomaly",
+          Text.hround(col("avg_qty") - col("climatology"), 2))
+        .orderBy(col("supp_id"), col("yr"), col("mo"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_suppkey AS supp_id, CAST(year(l_shipdate) AS INTEGER) AS yr,
+               CAST(month(l_shipdate) AS INTEGER) AS mo,
+               ${Num.sqlAvg2("l_quantity")} AS avg_qty
+        FROM lineitem GROUP BY 1, 2, 3),
+      c AS (
+        SELECT supp_id, yr, mo, avg_qty,
+               floor(CAST(sum(CAST(avg_qty AS DECIMAL(18,2)))
+                            OVER (PARTITION BY supp_id, mo) AS DOUBLE) * 100.0
+                     / count(*) OVER (PARTITION BY supp_id, mo) + 0.5) / 100.0
+                 AS climatology
+        FROM m)
+      SELECT supp_id, yr, mo, avg_qty, climatology,
+             ${Text.sqlHround("(avg_qty - climatology)", 2)} AS anomaly
+      FROM c ORDER BY supp_id, yr, mo
+    """),
+    doc = "monthly climatology (across-years mean) + anomaly per station")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History,
-      sessionizeBatch, markovTransitions, ewmaSmooth)
+      sessionizeBatch, markovTransitions, ewmaSmooth, climatologyAnomaly)
 }

@@ -67,12 +67,20 @@ class ScaleSpec extends SparkSpec {
     // Guard the hash-once property: the exchange must be REUSED, not
     // re-executed, everywhere the signature/shingle subtree is consumed.
     Seq(ops.Extended.minhashLsh, ops.Extended.ngramJaccard,
-      ops.Extended.editDistancePairs, ops.Extended.simhashNearDup).foreach { q =>
+      ops.Extended.editDistancePairs).foreach { q =>
       val plan = planOf(q.fn(spark, sfDir))
       assert(plan.contains("ReusedExchange"),
         s"${q.name}: shingle-hash exchange not reused — " +
           s"the md5 chain is being recomputed per consumer:\n$plan")
     }
+    // simhash_near_dup needs no ReusedExchange since round 3: the full
+    // signature rides along in the bucket collect_list struct, so the
+    // signature subtree has exactly ONE consumer (no join-back). Guard the
+    // stronger property instead: no join operator in the plan at all.
+    val simPlan = planOf(ops.Extended.simhashNearDup.fn(spark, sfDir))
+    assert(!simPlan.contains("Join"),
+      s"simhash_near_dup re-grew a signature join-back — the banded " +
+        s"collect_list should carry the simhash itself:\n$simPlan")
   }
 
   test("no pair-enumerating join on a fixed-domain bucket key") {
