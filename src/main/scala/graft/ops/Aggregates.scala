@@ -395,8 +395,39 @@ object Aggregates {
     """),
     doc = "deterministic LISTAGG: sorted distinct set join per group")
 
+  /** Mergeable HLL sketches — the 100 TB distinct-count architecture made
+    * explicit: one Datasketches HLL sketch PER GROUP (partition/shard/day
+    * in production), then `hll_union_agg` merges the serialized sketches
+    * into the global estimate WITHOUT re-touching the data — the property
+    * that lets a lakehouse maintain per-partition sketches incrementally
+    * and answer global cardinality from kilobytes. Emits per-group and
+    * merged-global rows with the exact count alongside (exact leg = one
+    * extra column-pruned branch here; in production it doesn't exist —
+    * that's the point). Sketch bytes differ across engines by design, so
+    * no DuckDB oracle: the driver records rows-only, and OperatorSpec
+    * bounds the estimate error against the exact count (the
+    * approx_count_distinct treatment).
+    */
+  val hllUnion: QueryDef = QueryDef(
+    "hll_partition_union",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val perGroup = o.groupBy(col("o_orderpriority"))
+        .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"),
+          countDistinct(col("o_custkey")).as("exact_d"))
+      val groupRows = perGroup.select(col("o_orderpriority").as("scope"),
+        expr("hll_sketch_estimate(sk)").as("approx_d"), col("exact_d"))
+      val globalRow = perGroup
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_d"))
+        .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_d")))
+        .select(lit("GLOBAL").as("scope"), col("approx_d"), col("exact_d"))
+      groupRows.unionAll(globalRow).orderBy(col("scope"))
+    },
+    None,
+    doc = "per-group HLL sketches + lossless sketch-union global estimate")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
-    unpivotQ, profileTable, groupingSetsAgg, stringAgg)
+    unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion)
 }

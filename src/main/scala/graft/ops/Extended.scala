@@ -1833,6 +1833,117 @@ object Extended {
     """),
     doc = "sharded deterministic sequence packing into ~2048-token packs")
 
+  /** Per-document cross-entropy under the corpus unigram LM — the
+    * CCNet-style "perplexity" quality signal a pipeline uses to rank
+    * documents against a language model (here the corpus's own unigram
+    * distribution, so the query is self-contained). Plan shape mirrors
+    * tfidf: token stream → vocab counts (Zipf-bounded dictionary,
+    * broadcast back), total token count as an IN-PLAN one-row agg
+    * cross-joined (no driver action). Per-token surprisal
+    * -log2(n_w/N) is quantized to integer MICRO-BITS (the BM25 trick:
+    * floor(x·1e6 + 0.5) as BIGINT) so the per-doc sum is exact long
+    * addition — order-independent across partitions, oracle-checkable
+    * bit-for-bit; the final mean and 2^bits are single IEEE ops on
+    * identical operands, hround'd.
+    */
+  val perplexityUnigram: QueryDef = QueryDef(
+    "perplexity_unigram",
+    (s, d) => {
+      val toks = docWords(s, d)
+        .select(col("doc_id"), explode(col("w")).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n_w"))
+      val nTot  = toks.agg(count(lit(1)).cast("double").as("nt"))
+      toks.join(broadcast(vocab), Seq("term"))
+        .crossJoin(broadcast(nTot))
+        .select(col("doc_id"), expr(
+          "CAST(floor(-log2(CAST(n_w AS DOUBLE) / nt) * 1000000e0 + 0.5e0) AS BIGINT)")
+          .as("ubits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("ubits")).as("su"))
+        .select(col("doc_id"), col("n_tokens"),
+          Text.hround(
+            col("su").cast("double") / col("n_tokens").cast("double") / lit(1e6),
+            4).as("bits"))
+        .withColumn("ppl", Text.hround(pow(lit(2.0), col("bits")), 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      toks AS (SELECT doc_id, unnest(w) AS term FROM ws),
+      vocab AS (SELECT term, count(*) AS n_w FROM toks GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM toks),
+      sc AS (SELECT doc_id,
+               CAST(floor(-log2(CAST(n_w AS DOUBLE) / nt) * 1000000e0 + 0.5e0) AS BIGINT) AS ubits
+             FROM toks JOIN vocab USING (term), n),
+      pd AS (SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(ubits) AS DOUBLE) AS su FROM sc GROUP BY 1)
+      SELECT doc_id, n_tokens,
+             ${Text.sqlHround("su / CAST(n_tokens AS DOUBLE) / 1e6", 4)} AS bits,
+             ${Text.sqlHround(
+        "pow(2e0, " + Text.sqlHround("su / CAST(n_tokens AS DOUBLE) / 1e6", 4) + ")", 2)} AS ppl
+      FROM pd ORDER BY doc_id
+    """),
+    doc = "corpus-unigram cross-entropy per doc (micro-bit integer sums)")
+
+  /** Symmetric int8 quantization of the embedding column + reconstruction
+    * error report — the compression step an ANN serving path applies
+    * before sharding 100 TB of vectors (4× smaller, SIMD-friendly
+    * distance kernels). All row-local array math (zero shuffles before
+    * the per-label report): scale = max|v|/127; q_i = half-up(v_i/scale)
+    * in the floor form both engines share; err_i = |v_i − q_i·scale|,
+    * quantized to integer micro-units so the per-label error sums are
+    * exact long addition (max error is order-independent by nature).
+    */
+  val quantizeEmbeddings: QueryDef = QueryDef(
+    "quantize_embeddings",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("mx") > 0)
+        .withColumn("q",
+          expr("transform(v, x -> floor(x * 127e0 / mx + 0.5e0))"))
+        .withColumn("errs_u", expr(
+          "zip_with(v, q, (x, qq) -> " +
+            "CAST(floor(abs(x - qq * mx / 127e0) * 1000000e0 + 0.5e0) AS BIGINT))"))
+        .select(col("label"),
+          expr("CAST(array_max(errs_u) AS BIGINT)").as("vmax_u"),
+          expr("aggregate(errs_u, CAST(0 AS BIGINT), (a, x) -> a + x)").as("vsum_u"),
+          size(col("v")).as("dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          max(col("vmax_u")).as("max_u"),
+          sum(col("vsum_u")).as("sum_u"), sum(col("dim")).as("n_elems"))
+        .select(col("label"), col("n_vecs"),
+          (col("max_u").cast("double") / lit(1e6)).as("max_abs_err"),
+          Text.hround(
+            col("sum_u").cast("double") / col("n_elems").cast("double") / lit(1e6),
+            8).as("avg_abs_err"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH vs AS ($sqlVecs),
+      pv AS (SELECT vec_id, e.label, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+             FROM vs JOIN embeddings e USING (vec_id)
+             WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+      qv AS (SELECT label,
+               [CAST(floor(abs(v[i] - floor(v[i] * 127e0 / mx + 0.5e0) * mx / 127e0)
+                           * 1000000e0 + 0.5e0) AS BIGINT)
+                FOR i IN generate_series(1, len(v))] AS errs_u,
+               len(v) AS dim
+             FROM pv),
+      per AS (SELECT label, CAST(list_max(errs_u) AS BIGINT) AS vmax_u,
+               CAST(list_sum(errs_u) AS BIGINT) AS vsum_u, dim FROM qv)
+      SELECT label, count(*) AS n_vecs,
+             CAST(max(vmax_u) AS DOUBLE) / 1e6 AS max_abs_err,
+             ${Text.sqlHround(
+        "CAST(sum(vsum_u) AS DOUBLE) / CAST(sum(dim) AS DOUBLE) / 1e6", 8)} AS avg_abs_err
+      FROM per GROUP BY 1 ORDER BY label
+    """),
+    doc = "int8 symmetric quantization + exact reconstruction-error report")
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, dupClusters, clusterCanonical, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
@@ -1842,5 +1953,6 @@ object Extended {
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, docChunks, tfidf,
-    bm25TopK, decontaminate, repetitionScore, packSequences)
+    bm25TopK, decontaminate, repetitionScore, packSequences,
+    perplexityUnigram, quantizeEmbeddings)
 }

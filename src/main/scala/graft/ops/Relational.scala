@@ -250,7 +250,78 @@ object Relational {
     },
     doc = "Morton-code clustering: per-Z-range bounding boxes on both dims")
 
+  /** The `spark.sql(...)` entry point — the OTHER half of the API surface
+    * (every other query drives the DataFrame DSL; a reference user coming
+    * from SQL writes this instead). Registers the fixture as a temp view
+    * and runs a TPC-H-Q1-shaped pricing summary as RAW SQL TEXT; Catalyst
+    * produces the identical plan either way (same pushdown, same
+    * partial+final agg), which is the point being demonstrated. Numeric
+    * discipline carries over verbatim — the SQL text embeds the same
+    * exact-decimal sum / floor-form mean the Column helpers emit.
+    */
+  val sqlPricing: QueryDef = QueryDef(
+    "sql_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
+               bround(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+               bround(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+               floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * 100e0
+                     / count(l_discount) + 0.5e0) / 100e0 AS avg_disc
+        FROM lineitem_v
+        WHERE l_shipdate < TIMESTAMP '2000-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY rf, ls
+      """)
+    },
+    Some(s"""
+      SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
+             ${Num.sqlSum2("l_quantity")} AS sum_qty,
+             ${Num.sqlSum2("l_extendedprice")} AS sum_price,
+             ${Num.sqlAvg2("l_discount")} AS avg_disc
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '2000-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY rf, ls
+    """),
+    doc = "spark.sql raw-text API surface: TPC-H-Q1-shaped pricing summary")
+
+  /** Scale-safe GLOBAL row index — the zipWithIndex replacement that never
+    * funnels the table through one task. A naive
+    * `row_number() OVER (ORDER BY key)` is a single-partition window (the
+    * classic 100 TB deadlock); instead: order-preserving coarse buckets
+    * (key >> 12), per-bucket counts (one small agg), a running-total
+    * window over the TINY bucket table (rows = #buckets, not #rows),
+    * broadcast the offsets back, and add a per-bucket row_number. The only
+    * global window in the plan runs over #buckets rows — bounded by
+    * key-domain/4096 at any data size.
+    */
+  val globalRowIndex: QueryDef = QueryDef(
+    "global_row_index",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"))
+      val buckets = o
+        .groupBy(floor(col("o_orderkey") / lit(4096L)).cast("long").as("bkt_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val wOff = Window.orderBy(col("bkt_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = buckets
+        .select(col("bkt_id"), (sum(col("cnt")).over(wOff) - col("cnt")).as("off"))
+      val wIn = Window.partitionBy(col("bkt_id")).orderBy(col("o_orderkey"))
+      o.withColumn("bkt_id", floor(col("o_orderkey") / lit(4096L)).cast("long"))
+        .join(broadcast(offsets), Seq("bkt_id"))
+        .select(col("o_orderkey"),
+          (col("off") + row_number().over(wIn).cast("long")).as("idx"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS idx
+      FROM orders ORDER BY o_orderkey
+    """),
+    doc = "global zipWithIndex without a single-partition window (bucket offsets)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
-      zorderCluster)
+      zorderCluster, sqlPricing, globalRowIndex)
 }

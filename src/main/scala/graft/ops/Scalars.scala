@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{QueryDef, Tables, Text}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -185,7 +185,52 @@ object Scalars {
     """),
     doc = "semi-structured: from_json typed parse of a JSON-string column + agg")
 
+  /** Haversine great-circle distance — the geodesic scalar the reference's
+    * domain implies everywhere (its grids are lat/lon; nearest-cell
+    * selection at the equator-ish Amazon is fine on snapped degrees, but
+    * any distance REPORTING needs km). Pure built-in trig → codegen'd, no
+    * UDF (a custom Expression would buy nothing: every op here is already
+    * a codegen'd intrinsic). The scoring arithmetic is ONE shared SQL text
+    * evaluated by both engines (the BM25 trick) so every IEEE rounding
+    * step is identical; trig intrinsics may differ in the last ulp between
+    * the JVM and libm, so the km result is hround'd to 3 dp (meter
+    * precision) — a mismatch would need a value within an ulp of a
+    * .0005 m boundary. `least(1, ·)` clamps the asin operand against
+    * float drift past 1 on antipodal-ish pairs. Coordinates are fabricated
+    * deterministically from customer columns (fixture has no geo columns);
+    * the algebra is the real thing.
+    */
+  private val sqlLat = "(abs(c_acctbal) % 120e0 - 60e0)"
+  private val sqlLon = "(abs(CAST(c_custkey AS DOUBLE) * 7.3e0) % 360e0 - 180e0)"
+  private def sqlHaversineKm(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"2e0 * 6371.0088e0 * asin(sqrt(least(1e0, " +
+      s"pow(sin(radians(($lat2 - ($lat1)) / 2e0)), 2e0) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"pow(sin(radians(($lon2 - ($lon1)) / 2e0)), 2e0))))"
+
+  val haversine: QueryDef = QueryDef(
+    "haversine_dist",
+    (s, d) => {
+      // fixed reference point: Manaus (the reference's region centroid-ish)
+      val dist = sqlHaversineKm(sqlLat, sqlLon, "(-3.119e0)", "(-60.0217e0)")
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          Text.hround(expr(sqlLat), 4).as("lat"),
+          Text.hround(expr(sqlLon), 4).as("lon"),
+          Text.hround(expr(dist), 3).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      SELECT c_custkey,
+             ${Text.sqlHround(sqlLat, 4)} AS lat,
+             ${Text.sqlHround(sqlLon, 4)} AS lon,
+             ${Text.sqlHround(
+        sqlHaversineKm(sqlLat, sqlLon, "(-3.119e0)", "(-60.0217e0)"), 3)} AS dist_km
+      FROM customer ORDER BY c_custkey
+    """),
+    doc = "great-circle km via haversine (shared-text IEEE algebra, 3dp)")
+
   val all: Seq[QueryDef] =
     Seq(vpdQuery, projection, dateparts, rounding, substrMap, literalAttach,
-      jsonProps)
+      jsonProps, haversine)
 }

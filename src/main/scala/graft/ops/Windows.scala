@@ -555,8 +555,68 @@ object Windows {
     """),
     doc = "monthly climatology (across-years mean) + anomaly per station")
 
+  /** Rolling 6-month Pearson correlation between two monthly series
+    * (quantity vs price per supplier) — the moving-association diagnostic
+    * a climate analyst runs between two variables (e.g. precipitation vs
+    * temperature). All five moment sums accumulate EXACT DECIMALS over
+    * the ROWS frame (x,y are 2-dp ⇒ products are exact 4-dp decimals), so
+    * the frame-walk order doesn't matter; r is then a fixed chain of IEEE
+    * ops on identical operands, hround(4), null when the frame is
+    * degenerate (n<3 or zero variance — nullif guards both engines).
+    */
+  val rollingCorr: QueryDef = QueryDef(
+    "rolling_corr",
+    (s, d) => {
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("supp_id"),
+          year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+        .agg(Num.sum2(col("l_quantity")).as("x"),
+          Num.sum2(col("l_extendedprice")).as("y"))
+      val w = Window.partitionBy(col("supp_id"))
+        .orderBy(col("yr"), col("mo")).rowsBetween(-5, 0)
+      val xd = col("x").cast(Dec); val yd = col("y").cast(Dec)
+      val n   = count(lit(1)).over(w).cast(DoubleType)
+      val sx  = sum(xd).over(w).cast(DoubleType)
+      val sy  = sum(yd).over(w).cast(DoubleType)
+      val sxx = sum(xd * xd).over(w).cast(DoubleType)
+      val syy = sum(yd * yd).over(w).cast(DoubleType)
+      val sxy = sum(xd * yd).over(w).cast(DoubleType)
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      val r = (n * sxy - sx * sy) / nullif(den, lit(0.0))
+      monthly
+        .select(col("supp_id"), col("yr"), col("mo"),
+          when(n >= 3, Text.hround(r, 4)).as("corr6"))
+        .orderBy(col("supp_id"), col("yr"), col("mo"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_suppkey AS supp_id, CAST(year(l_shipdate) AS INTEGER) AS yr,
+               CAST(month(l_shipdate) AS INTEGER) AS mo,
+               ${Num.sqlSum2("l_quantity")} AS x,
+               ${Num.sqlSum2("l_extendedprice")} AS y
+        FROM lineitem GROUP BY 1, 2, 3),
+      s AS (
+        SELECT supp_id, yr, mo,
+          CAST(count(*) OVER w AS DOUBLE) AS n,
+          CAST(sum(CAST(x AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sy,
+          CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxx,
+          CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) AS syy,
+          CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxy
+        FROM m
+        WINDOW w AS (PARTITION BY supp_id ORDER BY yr, mo
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+      SELECT supp_id, yr, mo,
+             CASE WHEN n >= 3 THEN ${Text.sqlHround(
+        "(n * sxy - sx * sy) / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0)", 4)}
+             END AS corr6
+      FROM s ORDER BY supp_id, yr, mo
+    """),
+    doc = "rolling 6-month Pearson r from exact decimal moment sums")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History,
-      sessionizeBatch, markovTransitions, ewmaSmooth, climatologyAnomaly)
+      sessionizeBatch, markovTransitions, ewmaSmooth, climatologyAnomaly,
+      rollingCorr)
 }

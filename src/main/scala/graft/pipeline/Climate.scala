@@ -218,6 +218,38 @@ object Climate {
     """),
     doc = "ORC sink + self-describing columnar source round-trip")
 
+  /** Partitioned PARQUET sink + partition-PRUNED re-read — the layout the
+    * 100 TB deployment actually uses (the CSV split is the reference's
+    * format; a lakehouse partitions parquet by a date-derived key). The
+    * re-read filters one `o_year=…` partition: Spark prunes at the file
+    * listing, so the scan touches 1/7th of the files no matter the total
+    * size (BucketingSpec asserts the PartitionFilters + single-partition
+    * read mechanically).
+    */
+  val parquetPartitioned: QueryDef = QueryDef(
+    "parquet_partitioned_roundtrip",
+    (s, d) => {
+      val out = sinkDir(d, "graft_ppart")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+          col("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 1997)
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.sum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("mo"))
+    },
+    Some(s"""
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS mo, count(*) AS n_orders,
+             ${Num.sqlSum2("o_totalprice")} AS sum_price
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1 ORDER BY 1
+    """),
+    doc = "partitioned parquet sink + partition-pruned re-read (SNK2 scale twin)")
+
   val all: Seq[QueryDef] =
-    Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip)
+    Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip,
+      parquetPartitioned)
 }

@@ -53,4 +53,18 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("partitioned parquet re-read prunes to a single o_year partition") {
+    // fn() performs the partitioned write eagerly, then returns the lazy
+    // pruned-read plan — inspect the scan's PartitionFilters directly.
+    val df = pipeline.Climate.parquetPartitioned.fn(spark, sfDir)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("(o_year") && planStr.contains("= 1997"),
+      s"o_year=1997 not applied as a partition filter:\n$planStr")
+    // the filter must NOT appear as a data filter (it has no data column)
+    assert(!planStr.contains("PushedFilters: [IsNotNull(o_year)"),
+      s"o_year leaked into data filters — not a partition column:\n$planStr")
+    assert(df.count() > 0)
+  }
 }

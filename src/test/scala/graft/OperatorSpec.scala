@@ -68,6 +68,17 @@ class OperatorSpec extends SparkSpec {
     assert(byMethod("lsh") === byMethod("ivf"))
   }
 
+  test("hll_partition_union: estimates within 5% of exact, global row merges") {
+    val r = Aggregates.hllUnion.fn(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(r.map(_._1).contains("GLOBAL"))
+    assert(r.length > 1)
+    r.foreach { case (scope, ap, ex) =>
+      assert(math.abs(ap - ex).toDouble / ex < 0.05,
+        s"scope $scope: sketch estimate $ap vs exact $ex")
+    }
+  }
+
   test("rollup: monthly rows re-aggregate to the annual rows") {
     val r = Climate.rollup.fn(spark, sfDir)
     val monthly = r.filter(col("month").isNotNull && col("year").isNotNull)

@@ -47,7 +47,7 @@ class ScaleSpec extends SparkSpec {
     // distinct-priority dim — both sides constant-size by construction.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
       "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk",
-      "month_spine_fill")
+      "month_spine_fill", "perplexity_unigram", "hll_partition_union")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
