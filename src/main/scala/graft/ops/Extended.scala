@@ -1944,6 +1944,50 @@ object Extended {
     """),
     doc = "int8 symmetric quantization + exact reconstruction-error report")
 
+  /** Cross-document boilerplate fraction — the CCNet/RefinedWeb-style
+    * signal that flags template text: the fraction of a document's
+    * DISTINCT shingles that are corpus-common (present in more than
+    * `BoilerDf` distinct documents). Headers, footers, nav bars and
+    * licence blurbs score high; organic prose scores low. Plan: the
+    * hash-once shingle exchange → per-doc distinct shingles → document
+    * frequency per shingle hash (second key shuffle) → equi-join the
+    * common flag back on the hash → per-doc ratio. Shuffle keys are
+    * 8-byte hashes throughout; the common-shingle set is Zipf-bounded
+    * (a vanishing fraction of the shingle domain at any corpus size).
+    */
+  val BoilerDf = 10
+  val boilerplateFrac: QueryDef = QueryDef(
+    "boilerplate_frac",
+    (s, d) => {
+      val docShingles = shingleHashes(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .distinct()
+      val df = docShingles.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+      docShingles.join(df.hint("shuffle_hash"), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > BoilerDf, 1L).otherwise(0L)).as("n_common"))
+        .select(col("doc_id"), col("n_shingles"), col("n_common"),
+          Text.hround(
+            col("n_common").cast("double") / col("n_shingles").cast("double"),
+            4).as("common_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $sqlShingleHashCtes,
+      ds AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM hss),
+      df AS (SELECT h, count(*) AS df FROM ds GROUP BY 1)
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN df > $BoilerDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+             ${Text.sqlHround(
+        "CAST(sum(CASE WHEN df > " + BoilerDf +
+          " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS common_frac
+      FROM ds JOIN df USING (h)
+      GROUP BY doc_id ORDER BY doc_id
+    """),
+    doc = "fraction of distinct shingles that are corpus-common (boilerplate signal)")
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, dupClusters, clusterCanonical, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
@@ -1954,5 +1998,5 @@ object Extended {
     curationPipeline, trainTestSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, docChunks, tfidf,
     bm25TopK, decontaminate, repetitionScore, packSequences,
-    perplexityUnigram, quantizeEmbeddings)
+    perplexityUnigram, quantizeEmbeddings, boilerplateFrac)
 }

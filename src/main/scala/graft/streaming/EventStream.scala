@@ -147,6 +147,57 @@ object EventStream {
     """),
     doc = "interval join (batch twin of the watermarked stream-stream join)")
 
+  /** LEFT OUTER stream-stream interval join — the same state-evictable
+    * shape as [[intervalJoin]] plus the outer contract: a signup with NO
+    * purchase inside its window emits exactly once, null-padded, and only
+    * after the watermark passes the END of its join window (any earlier
+    * emission could be contradicted by a late-arriving match; Spark holds
+    * the row in join state until the watermark proves no match can come).
+    */
+  def intervalJoinOuter(signups: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes", streaming: Boolean = true): DataFrame = {
+    val l = (if (streaming) signups.withWatermark("ts", "10 minutes")
+             else signups).as("l")
+    val r = (if (streaming) purchases.withWatermark("ts", "10 minutes")
+             else purchases).as("r")
+    l.join(r, expr("l.user_id = r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"interval $within"), "left_outer")
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("signup_ts"),
+        col("r.ts").as("purchase_ts"), col("r.value").as("purchase_value"))
+  }
+
+  /** Batch twin of [[intervalJoinOuter]] — LEFT JOIN semantics with the
+    * null-padded no-purchase rows; null sort position pinned explicitly on
+    * both engines (Spark ASC = NULLS FIRST, DuckDB default = NULLS LAST).
+    */
+  val intervalJoinOuterEvents: QueryDef = QueryDef(
+    "interval_join_outer",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      intervalJoinOuter(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        streaming = false)
+        .orderBy(col("user_id"), col("signup_ts"),
+          asc_nulls_first("purchase_ts"), asc_nulls_first("purchase_value"))
+    },
+    Some("""
+      SELECT l.user_id,
+             CAST(l.ts AS TIMESTAMP) AS signup_ts,
+             CAST(r.ts AS TIMESTAMP) AS purchase_ts,
+             r.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+      ORDER BY l.user_id, signup_ts,
+               purchase_ts ASC NULLS FIRST, purchase_value ASC NULLS FIRST
+    """),
+    doc = "left-outer interval join (null-padded twin of the stream-stream outer)")
+
   /** foreachBatch sink with idempotent-by-batchId writes — the
     * exactly-once recipe for sinks with no transactional commit: each
     * micro-batch OVERWRITES its own `bid=<batchId>` partition, so a batch
@@ -233,5 +284,6 @@ object EventStream {
   }
 
   val all: Seq[QueryDef] =
-    Seq(tumblingWindow, sessionWindow, intervalJoinEvents)
+    Seq(tumblingWindow, sessionWindow, intervalJoinEvents,
+      intervalJoinOuterEvents)
 }

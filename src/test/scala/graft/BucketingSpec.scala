@@ -54,6 +54,24 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new file schemas") {
+    // The lakehouse reality at 100 TB: files written before a column
+    // existed coexist with files written after. mergeSchema=true unions
+    // footer schemas at planning time; old files yield NULL for the new
+    // column (no rewrite of historical data).
+    val dir = s"target/graft_evolve_${ProcessHandle.current().pid()}"
+    val oldBatch = spark.range(0, 5).selectExpr("id", "id * 2 AS a")
+    val newBatch = spark.range(5, 10).selectExpr("id", "id * 2 AS a", "'x' AS b")
+    oldBatch.write.mode("overwrite").parquet(dir)
+    newBatch.write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "a", "b"))
+    val rows = merged.selectExpr("id", "b").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(0L).isEmpty && rows(9L).contains("x"))
+    assert(merged.count() === 10)
+  }
+
   test("partitioned parquet re-read prunes to a single o_year partition") {
     // fn() performs the partitioned write eagerly, then returns the lazy
     // pruned-read plan — inspect the scan's PartitionFilters directly.

@@ -264,6 +264,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: null row emits only after watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups   = MemoryStream[(Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStream.intervalJoinOuter(
+      signups.toDF().toDF("ts", "user_id", "value"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+    val q = joined.writeStream.format("memory").queryName("ijo_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData((ts(10), 1L, 0.0), (ts(10), 2L, 0.0))
+      purchases.addData((ts(25), 1L, 9.5)) // user 1 matches; user 2 never will
+      q.processAllAvailable()
+      def rows = spark.table("ijo_out")
+        .select("user_id", "purchase_value")
+        .as[(Long, Option[Double])].collect().toSet
+      // watermark (max ts - 10 min = ts 15) has NOT passed user 2's window
+      // end (ts 40): the unmatched row must not have been emitted yet
+      assert(rows === Set((1L, Some(9.5))))
+      // advance both watermarks far past ts 40, over two micro-batches so
+      // the outer-emission pass runs with the new watermark
+      signups.addData((ts(200), 9L, 0.0))
+      purchases.addData((ts(200), 9L, 1.0))
+      q.processAllAvailable()
+      signups.addData((ts(210), 9L, 0.0))
+      purchases.addData((ts(211), 9L, 1.0))
+      q.processAllAvailable()
+      assert(rows.contains((2L, None)),
+        s"unmatched signup not null-emitted after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: state accumulates within gap, resets across gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

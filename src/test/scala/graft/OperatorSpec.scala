@@ -68,6 +68,21 @@ class OperatorSpec extends SparkSpec {
     assert(byMethod("lsh") === byMethod("ivf"))
   }
 
+  test("observe: pipeline metrics ride the action, no second job") {
+    // The SNK3 pre-check industrialized WITHOUT a separate validation
+    // pass: `observe` accumulates metrics on the rows the query already
+    // moves, so input validation at 100 TB costs zero extra scans.
+    import org.apache.spark.sql.Observation
+    val obs = Observation("flagship_metrics")
+    val df = Climate.monthly.fn(spark, sfDir)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("sum_qty").isNull, 1L).otherwise(0L)).as("null_qty"))
+    val n = df.count()
+    val m = obs.get
+    assert(m("n_rows") === n)
+    assert(m("null_qty") === 0L)
+  }
+
   test("hll_partition_union: estimates within 5% of exact, global row merges") {
     val r = Aggregates.hllUnion.fn(spark, sfDir)
       .as[(String, Long, Long)].collect()

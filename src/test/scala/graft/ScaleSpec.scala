@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Regression guards for the plan properties the engine's 100 TB posture
   * depends on: filter pushdown, column pruning, partition pruning, and
@@ -185,5 +186,42 @@ class ScaleSpec extends SparkSpec {
     val statuses = spark.read.parquet(out)
       .select("o_orderstatus").distinct().count()
     assert(statuses >= 2) // pruning is meaningful
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The salting in salted_skew_join is the PLANNED answer to skew; this
+    // proves the RUNTIME answer also fires: AQE detects the oversized
+    // post-shuffle partition and splits it into parallel sub-partitions
+    // (skew=true on the join node) with thresholds scaled to test data.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // 90% of left rows share key 0 — one hot post-shuffle partition
+      val left = spark.range(0, 300000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
+      val right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS w")
+      val j = left.join(right, "k")
+      // execute THIS DataFrame (count() would be a separate execution and
+      // the plan under inspection would never finalize under AQE)
+      assert(j.toLocalIterator().asScala.length === 270000 + 100)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }
