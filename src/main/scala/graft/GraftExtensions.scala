@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // BroadcastNestedLoopJoin) into bucketed equi-joins — see the rule's
     // scaladoc for the shape and the binSize conf
     ext.injectOptimizerRule(graft.plans.RangeJoinRewrite)
+    // whole-operator extension: native as-of join (custom LogicalPlan +
+    // strategy + per-partition merge exec) — see plans/AsOfJoin.scala
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

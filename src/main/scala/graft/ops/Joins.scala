@@ -351,7 +351,47 @@ object Joins {
     """),
     doc = "MERGE/upsert: window-dedup'd snapshot + change set, one full outer join")
 
+  /** Native as-of join twin of `asof_join`, run through the engine's
+    * custom whole-operator Catalyst path (`plans/AsOfJoin.scala`:
+    * AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec per-partition merge).
+    * For every signup, the latest purchase by the same user at-or-before
+    * the signup (inclusive, unlike `asof_join`'s strict <), carrying the
+    * matched purchase's value as payload — the part the union+window
+    * trick needs a join-back for, and the exec gets for free. Ties on
+    * purchase ts break by event_id (greatest wins) on both sides.
+    */
+  val asofNative: QueryDef = QueryDef(
+    "asof_join_native",
+    (s, d) => {
+      val signups = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value").as("p_val"))
+      graft.plans.AsOfJoin
+        .leftJoin(signups, purchases,
+          Seq("user_id"), Seq("p_user"), "ts", "p_ts", Seq("p_event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("last_purchase_us"), col("p_val"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, last_purchase_us, p_val FROM (
+        SELECT s.event_id, s.user_id,
+               epoch_us(p.ts) AS last_purchase_us, p.value AS p_val,
+               row_number() OVER (PARTITION BY s.event_id
+                                  ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = s.user_id AND p.ts <= s.ts
+      ) WHERE rn = 1
+      ORDER BY event_id
+    """),
+    doc = "native as-of join exec (custom plan+strategy), payload carried through")
+
   val all: Seq[QueryDef] =
-    Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, saltedSkewJoin,
-      bigJoinBrand, rangeJoin, mergeUpsert)
+    Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, asofNative,
+      saltedSkewJoin, bigJoinBrand, rangeJoin, mergeUpsert)
 }
