@@ -116,5 +116,50 @@ object Multimodal {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(mediaFeatures, frameSample)
+  /** The `binaryFile` SOURCE — how raw media lands in the engine before
+    * any table exists: one row per file (path, modificationTime, length,
+    * content BINARY), ingestion parallelized across files (each file is
+    * one task input; a million-file corpus fans out across the cluster
+    * with no driver-side reading). Fixture: 64 driver-written .bin files
+    * whose bytes are a pure function of the file index, so the DuckDB
+    * oracle regenerates the same bytes from `range(64)` without touching
+    * the filesystem. `pathGlobFilter` shows server-side listing-level
+    * file pruning (the decoy .tmp file never reaches a task).
+    */
+  val binaryFilesScan: QueryDef = QueryDef(
+    "binary_files_scan",
+    (s, d) => {
+      val dir = new java.io.File(
+        s"target/graft_bin_${d.replaceAll("[^A-Za-z0-9.]", "_")}_" +
+          ProcessHandle.current().pid()).getAbsoluteFile
+      dir.mkdirs()
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      def hex(t: String): String =
+        digest.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 64).foreach { i =>
+        val content = hex(i.toString) * (i % 7 + 1)
+        java.nio.file.Files.write(
+          dir.toPath.resolve(f"doc_$i%03d.bin"),
+          content.getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write( // decoy: must be pruned by the glob
+        dir.toPath.resolve("skip_me.tmp"), "x".getBytes("UTF-8"))
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir.getAbsolutePath)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("file_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("file_id"))
+    },
+    Some("""
+      SELECT i AS file_id, CAST(32 * ((i % 7) + 1) AS BIGINT) AS n_bytes,
+             md5(repeat(md5(CAST(i AS VARCHAR)), CAST((i % 7) + 1 AS INTEGER))) AS content_md5
+      FROM range(64) t(i)
+      ORDER BY file_id
+    """),
+    doc = "binaryFile source: per-file opaque-bytes ingestion + glob pruning")
+
+  val all: Seq[QueryDef] = Seq(mediaFeatures, frameSample, binaryFilesScan)
 }

@@ -287,6 +287,137 @@ object Relational {
     """),
     doc = "spark.sql raw-text API surface: TPC-H-Q1-shaped pricing summary")
 
+  /** Raw-SQL surface, join-shaped (TPC-H-Q3): 3-way join through the
+    * star schema + grouped revenue + global top-10. The plan is the one
+    * a 100 TB run wants — the selective customer filter broadcasts into
+    * the orders join, lineitem joins on the shuffle key, and the LIMIT
+    * plans as TakeOrderedAndProject (per-partition top-10, never a
+    * single-partition global sort). Revenue follows the big_join_brand
+    * discipline: exact 4-dp decimal products, exact decimal sum, one
+    * deterministic half-up floor-form rounding at the end (a 4-dp exact
+    * sum CAN land on a true 2-dp midpoint, where bround and round_even
+    * diverge — see core/Num.scala). The DESC order ties on
+    * revenue break by o_orderkey so top-10 is well-defined.
+    */
+  val sqlShippingPriority: QueryDef = QueryDef(
+    "sql_shipping_priority",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                           AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+        FROM customer_v c
+        JOIN orders_v o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                         AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_orderkey, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10
+    """),
+    doc = "spark.sql join surface: TPC-H-Q3-shaped top-10 revenue (TakeOrdered)")
+
+  /** SQL subquery surface: EXISTS / NOT EXISTS predicates. Catalyst's
+    * RewritePredicateSubquery turns these into LEFT SEMI / LEFT ANTI
+    * joins — the shapes that scale (one shuffle or broadcast each, no
+    * row explosion, early-out probes). The query counts, per nation,
+    * customers who have an urgent order and customers with no orders at
+    * all; both subqueries correlate on the customer key only.
+    */
+  val sqlExistsSubquery: QueryDef = QueryDef(
+    "sql_exists_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT n.n_name,
+               count(CASE WHEN EXISTS (
+                 SELECT 1 FROM orders_v o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT') THEN 1 END) AS n_urgent,
+               count(CASE WHEN NOT EXISTS (
+                 SELECT 1 FROM orders_v o
+                 WHERE o.o_custkey = c.c_custkey) THEN 1 END) AS n_orderless
+        FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+      """)
+    },
+    Some("""
+      SELECT n.n_name,
+             count(CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT') THEN 1 END) AS n_urgent,
+             count(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey) THEN 1 END) AS n_orderless
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name
+    """),
+    doc = "EXISTS/NOT EXISTS subqueries -> semi/anti joins (RewritePredicateSubquery)")
+
+  /** SQL correlated-aggregate subquery: orders beating their customer's
+    * average order value. Catalyst DECORRELATES it — the subquery becomes
+    * one grouped aggregate over orders joined back on the correlation
+    * key — instead of re-running per outer row (the O(rows × groups)
+    * trap a naive evaluator falls into; at 100 TB decorrelation is the
+    * difference between one shuffle and a non-plan). Count + exact sum
+    * per priority keeps the output small and fully checkable.
+    */
+  val sqlCorrelatedSubquery: QueryDef = QueryDef(
+    "sql_correlated_subquery",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_above,
+               bround(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_above
+        FROM orders_v o1
+        WHERE o_totalprice > (
+          -- exact-decimal mean (identical operands on both engines);
+          -- a plain avg(double) is summation-order-dependent and could
+          -- flip the strict > for a row at the boundary
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM orders_v o2 WHERE o2.o_custkey = o1.o_custkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_above,
+             ${Num.sqlSum2("o_totalprice")} AS sum_above
+      FROM orders o1
+      WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """),
+    doc = "correlated aggregate subquery, decorrelated to one grouped agg + join")
+
   /** Scale-safe GLOBAL row index — the zipWithIndex replacement that never
     * funnels the table through one task. A naive
     * `row_number() OVER (ORDER BY key)` is a single-partition window (the
@@ -323,5 +454,6 @@ object Relational {
 
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
-      zorderCluster, sqlPricing, globalRowIndex)
+      zorderCluster, sqlPricing, sqlShippingPriority, sqlExistsSubquery,
+      sqlCorrelatedSubquery, globalRowIndex)
 }
