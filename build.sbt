@@ -39,6 +39,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 512m still thrashed (flushed/recompiled methods made steady-state
   // passes 5x slower for late-iterated queries), and at 77 queries 1g
   // thrashed too (HOF-heavy queries 10x: embed_near_dup 1.5 -> 15.9 s
-  // in-bench). 2g holds the full set; scale this with the query count.
+  // in-bench). 2g (the JVM hard max) held 119 queries; at 124 the same
+  // thrash signature returned (embed_near_dup 0.6 -> 10.4 s, dedup
+  // family 2-3x). Since the cache can't grow further, cut the demand:
+  // C2-only compilation removes the C1/profiled copy of every hot
+  // method (~half the code-cache footprint) at the cost of slower
+  // warmup — which the bench's warmup pass absorbs.
   "-XX:ReservedCodeCacheSize=2g",
 )

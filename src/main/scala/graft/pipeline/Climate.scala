@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.core.{Num, QueryDef, Tables}
+import graft.core.{Num, QueryDef, Tables, Text}
 import org.apache.spark.sql.functions._
 
 /** The reference's three pipelines (SURVEY.md §3 EP1/EP2/EP3), each fused
@@ -249,7 +249,91 @@ object Climate {
     """),
     doc = "partitioned parquet sink + partition-pruned re-read (SNK2 scale twin)")
 
+  /** Small-file compaction — the table-maintenance job every large
+    * deployment schedules: a landing zone accumulates thousands of tiny
+    * files (per-trigger streaming commits, per-task micro-batches) and
+    * scan throughput collapses under per-file open/footer overhead, so a
+    * compactor rewrites them into target-sized files. Here: documents is
+    * scattered into 64 shards, compacted with a single `coalesce(4)`
+    * write (coalesce, NOT repartition: merging files needs no shuffle —
+    * each output file concatenates input splits in place). Correctness
+    * IS data preservation, so the checked output aggregates the
+    * COMPACTED copy and the oracle aggregates the source table directly:
+    * count, exact sum, and an order-independent xor-of-hashes fold that
+    * catches any duplicated/dropped/mutated row; n_files pins the
+    * before/after layout.
+    */
+  val compactSmallFiles: QueryDef = QueryDef(
+    "compact_small_files",
+    (s, d) => {
+      val scattered = sinkDir(d, "graft_scatter")
+      val compacted = sinkDir(d, "graft_compact")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartition(64).write.mode("overwrite").parquet(scattered)
+      s.read.parquet(scattered).coalesce(4)
+        .write.mode("overwrite").parquet(compacted)
+      val nFiles = (dir: String) =>
+        new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      s.read.parquet(compacted)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          bit_xor(Text.h32(col("doc_id").cast("string"))).as("xor_fold"))
+        .withColumn("files_before", lit(nFiles(scattered)).cast("int"))
+        .withColumn("files_after", lit(nFiles(compacted)).cast("int"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             bit_xor(${Text.sqlH32("CAST(doc_id AS VARCHAR)")}) AS xor_fold,
+             64 AS files_before, 4 AS files_after
+      FROM documents GROUP BY lang ORDER BY lang
+    """),
+    doc = "small-file compaction: 64 shards -> coalesce(4), loss-free by fold")
+
+  /** Schema evolution on read — parquet `mergeSchema`: a landing zone
+    * where a NEW column appeared mid-stream (batch 2 adds o_clerk_bucket)
+    * must still read as ONE table, old rows null-filled. At 100 TB
+    * mergeSchema is a FOOTER-ONLY operation (schema union across file
+    * metadata, no data rewrite) — the alternative, rewriting history to
+    * the new schema, is a full-corpus job. The oracle reproduces the
+    * union from the source table with the same year split.
+    */
+  val schemaEvolution: QueryDef = QueryDef(
+    "schema_evolution_read",
+    (s, d) => {
+      val out = sinkDir(d, "graft_evolve")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), year(col("o_orderdate")).as("o_year"))
+      orders.filter(col("o_year") < 1998)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      orders.filter(col("o_year") >= 1998)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          substring(col("o_orderpriority"), 1, 1).as("o_prio_code"))
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(coalesce(col("o_prio_code"), lit("none")).as("prio_code"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.sum2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("prio_code"))
+    },
+    Some(s"""
+      WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_prio_code
+        FROM orders WHERE year(o_orderdate) < 1998
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, substr(o_orderpriority, 1, 1)
+        FROM orders WHERE year(o_orderdate) >= 1998)
+      SELECT coalesce(o_prio_code, 'none') AS prio_code,
+             count(*) AS n_orders, ${Num.sqlSum2("o_totalprice")} AS sum_price
+      FROM unioned GROUP BY 1 ORDER BY 1
+    """),
+    doc = "parquet mergeSchema read: late-added column, old rows null-filled")
+
   val all: Seq[QueryDef] =
     Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip,
-      parquetPartitioned)
+      parquetPartitioned, compactSmallFiles, schemaEvolution)
 }
