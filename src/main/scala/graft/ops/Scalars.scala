@@ -13,6 +13,69 @@ import org.apache.spark.sql.functions._
   */
 object Scalars {
 
+  /** ANSI-safe arithmetic surface: Spark 4 runs ANSI mode by default, so
+    * division by zero / overflowing casts / malformed parses THROW — the
+    * right default for correctness, but a 100 TB batch job must not die
+    * on row 3 trillion. The `try_*` family is the per-expression
+    * escape hatch: errors become NULLs, counted and quarantined instead
+    * of fatal. Here: value/(value-value) forces /0 on every row
+    * (try_divide → NULL), a cast to TINYINT overflows for most user_ids
+    * (try_cast → NULL), and props parses as JSON where valid.
+    */
+  val safeMath: QueryDef = QueryDef(
+    "safe_math",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("try_divide(value, value - value)").as("div0"),
+          expr("try_cast(user_id AS TINYINT)").as("tiny"),
+          expr("try_cast(substr(props, 1, 1) AS INT)").as("badparse"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("div0")).as("n_div_ok"),
+          count(col("tiny")).as("n_tiny_ok"),
+          count(col("badparse")).as("n_parse_ok"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(value / nullif(value - value, 0)) AS n_div_ok,
+             count(CASE WHEN user_id BETWEEN -128 AND 127
+                        THEN user_id END) AS n_tiny_ok,
+             count(TRY_CAST(substr(props, 1, 1) AS INTEGER)) AS n_parse_ok
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+    doc = "ANSI-safe try_divide/try_cast: errors -> NULL, counted not fatal")
+
+  /** Spark 4 VARIANT — the semi-structured column type that replaces
+    * string-JSON + get_json_object at scale: `parse_json` shreds once
+    * into a binary-encoded tree, every `variant_get` is then a direct
+    * path read (no re-parse per extraction — with string JSON, N
+    * extractions = N full parses of every row). `try_variant_get` is
+    * the missing-path-safe read (NULL, not error). The oracle mirrors
+    * with DuckDB's native JSON extraction.
+    */
+  val variantShred: QueryDef = QueryDef(
+    "variant_shred_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(parse_json(col("props")).as("v"))
+        .select(
+          variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.absent", "int").as("miss"))
+        .groupBy((col("k") % 5).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(col("miss")).as("n_miss"))
+        .orderBy(col("k_mod").asc_nulls_first),
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_mod,
+             count(*) AS n,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             count(CAST(json_extract_string(props, '$.absent') AS INTEGER)) AS n_miss
+      FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST
+    """),
+    doc = "VARIANT shred-once + path reads (parse_json/variant_get/try_variant_get)")
+
   /** P2 — the reference's VPD (vapor-pressure deficit) formula
     * (monthly.py:121-125, README.md:169-173):
     *   tmean = (tmax+tmin)/2
@@ -232,5 +295,5 @@ object Scalars {
 
   val all: Seq[QueryDef] =
     Seq(vpdQuery, projection, dateparts, rounding, substrMap, literalAttach,
-      jsonProps, haversine)
+      jsonProps, haversine, safeMath, variantShred)
 }

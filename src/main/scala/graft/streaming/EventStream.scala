@@ -283,6 +283,54 @@ object EventStream {
       }
   }
 
+  final case class RunAgg(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Spark 4's arbitrary-state API (`transformWithState`): the successor
+    * to map/flatMapGroupsWithState with TYPED named state cells
+    * (ValueState/ListState/MapState), per-cell TTL, and timers — and the
+    * 100 TB state story: it requires the RocksDB state store, whose
+    * incremental-snapshot state survives executor loss and spills beyond
+    * heap (the HDFS-backed store keeps every key in memory). This
+    * processor keeps one ValueState[(n, sum)] per user and emits the
+    * running aggregate each time the user appears in a micro-batch —
+    * state is O(active users), row traffic is O(batch).
+    */
+  class RunningAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, RunAgg] {
+    import org.apache.spark.sql.streaming.{
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var agg: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[RunAgg] = {
+      var (n, sum) = if (agg.exists()) agg.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      agg.update((n, sum))
+      Iterator.single(RunAgg(user, n, sum))
+    }
+  }
+
+  /** transformWithState wiring (works on streaming Datasets only; the
+    * batch-equivalent aggregate is a plain groupBy, which EventStreamSpec
+    * uses as the oracle for this).
+    */
+  def runningAggState(ds: Dataset[Ev]): Dataset[RunAgg] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RunningAggProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents)

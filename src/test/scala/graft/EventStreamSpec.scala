@@ -316,4 +316,46 @@ class EventStreamSpec extends SparkSpec {
       assert(math.abs(latest.sum_value - 8.0) < 1e-9)
     } finally q.stop()
   }
+
+  test("transformWithState: typed ValueState running agg on RocksDB store") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store (the scale
+    // path: incremental snapshots, state spills beyond heap)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = EventStream.runningAggState(mem.toDS())
+      .writeStream.format("memory").queryName("twstate_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(1), 2.0), Ev(2L, ts(2), 10.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, ts(3), 4.0)) // state carries across micro-batches
+      q.processAllAvailable()
+      val hist = spark.table("twstate_out").as[EventStream.RunAgg].collect()
+      assert(hist.contains(EventStream.RunAgg(1L, 2L, 3.0)))  // batch 1
+      assert(hist.contains(EventStream.RunAgg(2L, 1L, 10.0)))
+      assert(hist.contains(EventStream.RunAgg(1L, 3L, 7.0)))  // batch 2
+      // oracle: the batch groupBy over the same rows equals final state
+      val batch = Seq(Ev(1L, ts(0), 1.0), Ev(1L, ts(1), 2.0),
+        Ev(2L, ts(2), 10.0), Ev(1L, ts(3), 4.0)).toDS()
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, n, s) => u -> ((n, s)) }.toMap
+      val finalPerUser = hist.groupBy(_.user_id).map {
+        case (u, rows) => u -> rows.maxBy(_.n_events)
+      }
+      assert(batch.forall { case (u, (n, s)) =>
+        finalPerUser(u).n_events == n && math.abs(finalPerUser(u).sum_value - s) < 1e-9
+      })
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
