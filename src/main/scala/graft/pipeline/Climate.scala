@@ -333,7 +333,36 @@ object Climate {
     """),
     doc = "parquet mergeSchema read: late-added column, old rows null-filled")
 
+  /** XML sink + source round-trip — Spark 4 ships the XML source
+    * built-in (the spark-xml package merged into core), completing the
+    * engine's format matrix: parquet / CSV / JSON / ORC / XML / binary.
+    * Same contract as the JSON leg: explicit schema on read (never
+    * infer at scale), rowTag framing, aggregate must match the source
+    * table exactly.
+    */
+  val xmlRoundtrip: QueryDef = QueryDef(
+    "xml_sink_roundtrip",
+    (s, d) => {
+      val out = sinkDir(d, "graft_xml")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").option("rowTag", "part").xml(out)
+      s.read.option("rowTag", "part")
+        .schema("p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE")
+        .xml(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          Num.sum2(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""
+      SELECT p_brand, count(*) AS n_parts,
+             ${Num.sqlSum2("p_retailprice")} AS sum_price
+      FROM part GROUP BY 1 ORDER BY 1
+    """),
+    doc = "XML sink + rowTag source round-trip (Spark 4 built-in XML)")
+
   val all: Seq[QueryDef] =
     Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip,
-      parquetPartitioned, compactSmallFiles, schemaEvolution)
+      parquetPartitioned, compactSmallFiles, schemaEvolution, xmlRoundtrip)
 }
