@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: native as-of join (custom LogicalPlan +
     // strategy + per-partition merge exec) — see plans/AsOfJoin.scala
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // analysis check rule: reject unhinted, unbounded cartesian joins
+    // session-wide (spark.graft.failOnCartesian=false to opt out)
+    ext.injectCheckRule(_ => graft.plans.NoUnhintedCartesian)
   }
 }

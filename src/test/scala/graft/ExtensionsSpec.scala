@@ -97,4 +97,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!half.queryExecution.executedPlan.toString.contains("graft_bin"))
     assert(half.count() == (1L to 50L).sum)
   }
+
+  test("check rule: unhinted cartesian rejected; hinted/bounded/opted-out pass") {
+    val spark = SparkTestSession.spark // extensions are on this context
+    import org.apache.spark.sql.functions._
+    val a = spark.range(3).toDF("x")
+    val b = spark.range(3).toDF("y")
+    // naked cartesian: the check rule fails ANALYSIS (construction time)
+    val e = intercept[Exception] { a.crossJoin(b) }
+    assert(e.getMessage.contains("unhinted cartesian"))
+    // explicitly hinted: allowed (the brute-force-baseline shape)
+    assert(a.crossJoin(broadcast(b)).count() === 9)
+    // one-row side (scalar cross join): allowed without a hint
+    assert(a.crossJoin(b.agg(count(lit(1)).as("n"))).count() === 3)
+    // per-session escape hatch
+    spark.conf.set("spark.graft.failOnCartesian", "false")
+    try assert(a.crossJoin(b).count() === 9)
+    finally spark.conf.unset("spark.graft.failOnCartesian")
+  }
 }
