@@ -614,9 +614,45 @@ object Windows {
     """),
     doc = "rolling 6-month Pearson r from exact decimal moment sums")
 
+  /** Exact trailing-7-day DISTINCT user count per day — the windowed
+    * COUNT(DISTINCT) no engine's window functions support directly, in
+    * the formulation that scales: each event CONTRIBUTES itself to the 7
+    * window-days it falls in (row-local sequence+explode, x7 fanout),
+    * then ONE groupBy(window_day) count-distinct shuffle. The naive
+    * alternatives both die at 100 TB: a per-day correlated re-scan is
+    * O(days x corpus) (the oracle below does exactly that — fine for
+    * DuckDB at sf0.01, never for Spark at scale), and collect_set over a
+    * RANGE window holds every distinct user of every open window in
+    * state simultaneously. Semi join restricts output to days that
+    * actually occur (the explode also manufactures the 6 days past each
+    * event).
+    */
+  val rollingDistinct7d: QueryDef = QueryDef(
+    "rolling_distinct_7d",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val days = ev.select(col("day")).distinct()
+      ev.withColumn("wday",
+          explode(expr("sequence(day, date_add(day, 6))")))
+        .join(broadcast(days).withColumnRenamed("day", "wday"),
+          Seq("wday"), "left_semi")
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        .orderBy(col("wday"))
+    },
+    Some("""
+      WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+      SELECT d.day AS wday,
+             (SELECT count(DISTINCT e2.user_id) FROM events e2
+              WHERE CAST(e2.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS n_users_7d
+      FROM days d ORDER BY wday
+    """),
+    doc = "exact trailing-7d distinct via contribution explode + one shuffle")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History,
       sessionizeBatch, markovTransitions, ewmaSmooth, climatologyAnomaly,
-      rollingCorr)
+      rollingCorr, rollingDistinct7d)
 }
