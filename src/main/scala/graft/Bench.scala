@@ -36,10 +36,10 @@ object Bench {
       }
   }
 
-  private def allNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+  private[graft] def allNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   /** Round-robin slice: shards see similar mixes of cheap/expensive. */
-  private def shardNames(i: Int, n: Int): Seq[String] =
+  private[graft] def shardNames(i: Int, n: Int): Seq[String] =
     allNames.zipWithIndex.collect { case (q, j) if j % n == i => q }
 
   private def timeQueries(names: Seq[String]): Map[String, Double] = {
