@@ -323,7 +323,74 @@ object Analytics {
     """),
     doc = "Pareto frontier via distinct-value running max, never all-pairs")
 
+  /** Relational division — "customers whose orders cover EVERY priority
+    * class" — the classic operator with no SQL keyword. The scalable
+    * formulation: per-customer distinct-coverage count (one shuffle over
+    * (custkey, priority) pairs), the divisor cardinality as a one-row
+    * aggregate attached in-plan (scalar cross join, broadcast-free),
+    * equality filter. Never the textbook double-NOT-EXISTS, which plans
+    * as nested correlated anti-joins.
+    */
+  val relationalDivision: QueryDef = QueryDef(
+    "relational_division",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val nPri = o.agg(countDistinct(col("o_orderpriority")).as("n_pri"))
+      o.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("n_cov"),
+          count(lit(1)).as("n_orders"))
+        .crossJoin(nPri) // one-row side: in-plan scalar, no hint needed
+        .filter(col("n_cov") === col("n_pri"))
+        .select(col("o_custkey"), col("n_orders"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH n AS (SELECT count(DISTINCT o_orderpriority) AS n_pri FROM orders)
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders, n
+      GROUP BY o_custkey, n.n_pri
+      HAVING count(DISTINCT o_orderpriority) = n.n_pri
+      ORDER BY o_custkey
+    """),
+    doc = "relational division: coverage count == divisor count, one shuffle")
+
+  /** The higher-order-function family as explicit API surface —
+    * transform / filter / aggregate / exists over an array column, all
+    * row-local (zero extra shuffles; codegen'd lambda evaluation, no
+    * UDFs). DuckDB mirrors with list_transform / list_filter /
+    * list_aggregate semantics via a list comprehension.
+    */
+  val arrayHof: QueryDef = QueryDef(
+    "array_hof_pipeline",
+    (s, d) =>
+      Tables.documents(s, d)
+        // Column-DSL lambdas, not expr(): an expr() string would pass
+        // '\\s+' through TWO escape layers (Scala then the SQL parser,
+        // which drops unknown backslash escapes) — the DSL hands the
+        // regex to split() verbatim
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"),
+            w => length(w) > 3).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).as("n_long_words"),
+          aggregate(transform(col("ws"), w => length(w)),
+            lit(0), (a, x) => a + x).as("chars_in_long_words"),
+          exists(col("ws"), w => length(w) >= 10).as("has_10plus"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               [x FOR x IN string_split_regex(trim(text), '\s+') IF length(x) > 3] AS ws
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(ws) AS INTEGER) AS n_long_words,
+             CAST(coalesce(list_sum([length(x) FOR x IN ws]), 0) AS INTEGER) AS chars_in_long_words,
+             coalesce(list_max([length(x) >= 10 FOR x IN ws]), false) AS has_10plus
+      FROM w ORDER BY doc_id
+    """),
+    doc = "array HOFs: filter/transform/aggregate/exists, row-local codegen")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
-      robustStats, skylinePareto)
+      robustStats, skylinePareto, relationalDivision, arrayHof)
 }
