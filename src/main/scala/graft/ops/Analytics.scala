@@ -390,7 +390,57 @@ object Analytics {
     """),
     doc = "array HOFs: filter/transform/aggregate/exists, row-local codegen")
 
+  /** Pearson chi-square test of independence (event_type x user-parity
+    * contingency): observed cell counts from ONE groupBy shuffle, then
+    * marginals/expecteds via window sums over the |types| x 2 CELL table
+    * (the corpus collapsed in the first shuffle — the windows, including
+    * the one global-partition window, run over ~10 rows at any data
+    * size). Per-cell contributions are quantized to micro-units and
+    * summed as integers: a double chi2 sum is summation-order-dependent
+    * across engines; the quantized sum is exact and order-free.
+    */
+  val chiSquare: QueryDef = QueryDef(
+    "chi_square_independence",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 2).as("grp"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("grp"))
+      val wa = Window.partitionBy()
+      cells
+        .withColumn("rt", sum(col("o")).over(wr))
+        .withColumn("ct", sum(col("o")).over(wc))
+        .withColumn("n", sum(col("o")).over(wa))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("cq",
+          floor((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+            * lit(1e6) + lit(0.5)).cast("long"))
+        .agg(
+          (sum(col("cq")).cast("double") / lit(1e6)).as("chi2"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("grp")) - 1)).cast("int").as("dof"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type, user_id % 2 AS grp, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, grp, o,
+               sum(o) OVER (PARTITION BY event_type) AS rt,
+               sum(o) OVER (PARTITION BY grp) AS ct,
+               sum(o) OVER () AS n
+        FROM cells),
+      c AS (SELECT *, CAST(rt AS DOUBLE) * ct / n AS e FROM m)
+      SELECT CAST(sum(CAST(floor((o - e) * (o - e) / e * 1e6 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS chi2,
+             CAST((count(DISTINCT event_type) - 1) *
+                  (count(DISTINCT grp) - 1) AS INTEGER) AS dof
+      FROM c
+    """),
+    doc = "chi-square independence: one shuffle to cells, windows over cells only")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
-      robustStats, skylinePareto, relationalDivision, arrayHof)
+      robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare)
 }
