@@ -41,9 +41,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thrashed too (HOF-heavy queries 10x: embed_near_dup 1.5 -> 15.9 s
   // in-bench). 2g (the JVM hard max) held 119 queries; at 124 the same
   // thrash signature returned (embed_near_dup 0.6 -> 10.4 s, dedup
-  // family 2-3x). Since the cache can't grow further, cut the demand:
-  // C2-only compilation removes the C1/profiled copy of every hot
-  // method (~half the code-cache footprint) at the cost of slower
-  // warmup — which the bench's warmup pass absorbs.
+  // family 2-3x). Since the cache can't grow further, graft.Bench cuts
+  // the demand instead: above ~50 queries it shards the registry
+  // round-robin across sequential child JVMs (SPARK_GRAFT_SHARD env),
+  // each with its own fresh 2g cache. Don't "fix" a slow bench here —
+  // this value is already at the JVM hard max.
   "-XX:ReservedCodeCacheSize=2g",
 )

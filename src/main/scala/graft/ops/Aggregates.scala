@@ -39,19 +39,30 @@ object Aggregates {
 
   /** G3 scale variant — HLL++ approximate distinct: ONE pass, no expand
     * shuffle; the only formulation that survives 100 TB high-cardinality
-    * keys. No oracle (DuckDB's HLL differs from Spark's HLL++) → the driver
-    * records the weaker rows-only check; the ScalaTest suite bounds the
-    * relative error against the exact count instead.
+    * keys. DuckDB's HLL differs from Spark's HLL++, so the sketch VALUE
+    * can't be hash-compared — instead the query emits the exact count plus
+    * a boolean certifying the estimate sits within 5% of it (rsd=0.02 →
+    * 5% is >2σ), and the oracle computes the exact count and literal TRUE.
+    * That makes the tolerance contract itself hash-checkable; OperatorSpec
+    * additionally bounds the raw error.
     */
   val approxDistinctQ: QueryDef = QueryDef(
     "approx_count_distinct",
     (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+          countDistinct(col("o_custkey")).as("n_cust_exact"))
+        .select(col("o_orderpriority"), col("n_cust_exact"),
+          (abs(col("approx") - col("n_cust_exact")) <=
+            col("n_cust_exact") * 0.05).as("within_5pct"))
         .orderBy(col("o_orderpriority")),
-    None,
-    doc = "G3 scale path: single-pass HLL++ (rows-only check; error bounded in tests)")
+    Some("""
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust_exact,
+             TRUE AS within_5pct
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+    doc = "G3 scale path: single-pass HLL++ with hash-checkable 5% tolerance contract")
 
   /** G4 — global min/max/count as a standalone query (the reference's
     * whole-array `float(min())/float(max())` diagnostics, annual.py:522).
@@ -112,10 +123,13 @@ object Aggregates {
   /** G5 scale twin — the PLANS.md-promised approx_percentile path: a
     * single-pass mergeable quantile sketch instead of exact `percentile`'s
     * full per-group value collection — the only formulation that survives
-    * 100 TB per-group value sets. No oracle (DuckDB's sketch differs) →
-    * the driver records the weaker rows-only check; the error vs the
-    * exact quartiles is bounded in OperatorSpec instead (mirroring the
-    * approx_count_distinct treatment).
+    * 100 TB per-group value sets. DuckDB's sketch differs, so the sketch
+    * VALUES can't be hash-compared — instead each approx quartile is
+    * certified to land inside the exact-rank window [p-0.01, p+0.01]
+    * (accuracy=1000 guarantees rank error ≤ 0.001, so ±0.01 is 10× slack)
+    * and the oracle emits the group key, count, and literal TRUEs. The
+    * tolerance contract is thereby hash-checkable; OperatorSpec still
+    * bounds the raw error against the exact quartiles.
     */
   val summaryStatsApprox: QueryDef = QueryDef(
     "summary_stats_approx",
@@ -124,14 +138,21 @@ object Aggregates {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-            .as("q"))
+            .as("q"),
+          expr("percentile(l_extendedprice, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))")
+            .as("w"))
         .select(col("l_returnflag"), col("n"),
-          col("q")(0).as("p25_approx"),
-          col("q")(1).as("p50_approx"),
-          col("q")(2).as("p75_approx"))
+          col("q")(0).between(col("w")(0), col("w")(1)).as("p25_in_window"),
+          col("q")(1).between(col("w")(2), col("w")(3)).as("p50_in_window"),
+          col("q")(2).between(col("w")(4), col("w")(5)).as("p75_in_window"))
         .orderBy(col("l_returnflag")),
-    None,
-    doc = "G5 scale path: single-pass approx_percentile sketch (rows-only; error bounded in tests)")
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             TRUE AS p25_in_window, TRUE AS p50_in_window,
+             TRUE AS p75_in_window
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """),
+    doc = "G5 scale path: approx_percentile with hash-checkable rank-window tolerance contract")
 
   /** O2 — N-way union-all (`pd.concat` of per-key frames, monthly.py:443).
     * Spark-native: `unionByName` is a zero-shuffle plan union; the
@@ -404,9 +425,11 @@ object Aggregates {
     * merged-global rows with the exact count alongside (exact leg = one
     * extra column-pruned branch here; in production it doesn't exist —
     * that's the point). Sketch bytes differ across engines by design, so
-    * no DuckDB oracle: the driver records rows-only, and OperatorSpec
-    * bounds the estimate error against the exact count (the
-    * approx_count_distinct treatment).
+    * the estimate itself can't be hash-compared — instead each row carries
+    * a boolean certifying the estimate sits within 5% of the exact count
+    * (lgK=14 → ~0.8% RSE, so 5% is >6σ) and the DuckDB oracle computes the
+    * exact counts and literal TRUE, making the tolerance contract
+    * hash-checkable; OperatorSpec still bounds the raw error.
     */
   val hllUnion: QueryDef = QueryDef(
     "hll_partition_union",
@@ -421,10 +444,21 @@ object Aggregates {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_d"))
         .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_d")))
         .select(lit("GLOBAL").as("scope"), col("approx_d"), col("exact_d"))
-      groupRows.unionAll(globalRow).orderBy(col("scope"))
+      groupRows.unionAll(globalRow)
+        .select(col("scope"), col("exact_d"),
+          (abs(col("approx_d") - col("exact_d")) <=
+            col("exact_d") * 0.05).as("within_5pct"))
+        .orderBy(col("scope"))
     },
-    None,
-    doc = "per-group HLL sketches + lossless sketch-union global estimate")
+    Some("""
+      SELECT o_orderpriority AS scope, count(DISTINCT o_custkey) AS exact_d,
+             TRUE AS within_5pct
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT 'GLOBAL', count(DISTINCT o_custkey), TRUE FROM orders
+      ORDER BY scope
+    """),
+    doc = "per-group HLL sketches + sketch-union global, hash-checkable 5% tolerance")
 
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,

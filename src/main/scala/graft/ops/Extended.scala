@@ -265,19 +265,30 @@ object Extended {
     var prevSum = lblSum(lbl)
     var converged = false
     var it = 0
-    while (!converged && it < 25) {
+    // One propagation step: every vertex takes the min label over itself
+    // and its neighbors.
+    def step(l: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(lbl.select(col("v").as("n"), col("lbl").as("nlbl")), Seq("n"))
+        .join(l.select(col("v").as("n"), col("lbl").as("nlbl")), Seq("n"))
         .groupBy(col("v")).agg(min(col("nlbl")).as("nmin"))
-      // the checkpoint is LAZY: the convergence-sum action below
-      // materializes it, so each round runs ONE job, not two. (A
-      // pointer-jumping variant — lbl(v) <- lbl(lbl(v)) — was measured
-      // here and LOST: near-dup components are shallow, so the extra
-      // self-join per round cost more than the O(log D) rounds it saved.)
-      val next = lbl.join(nbrMin, Seq("v"), "left")
+      l.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
+    }
+    while (!converged && it < 13) {
+      // TWO steps per checkpoint/action: at bench scale each round's cost
+      // is dominated by fixed job overhead (scheduling + stage setup),
+      // not data, so halving the action count nearly halves wall time
+      // while the lineage the checkpoint must cut stays bounded at two
+      // join+agg levels. Convergence stays exact — labels are monotone
+      // non-increasing, so an unchanged sum across a double-step means
+      // BOTH steps were no-ops. The checkpoint is LAZY: the
+      // convergence-sum action below materializes it, so each round runs
+      // ONE job, not two. (A pointer-jumping variant — lbl(v) <-
+      // lbl(lbl(v)) — was measured here and LOST: near-dup components
+      // are shallow, so the extra self-join per round cost more than the
+      // O(log D) rounds it saved.)
+      val next = step(step(lbl)).localCheckpoint(false)
       val s2 = lblSum(next)
       converged = s2 == prevSum
       prevSum = s2

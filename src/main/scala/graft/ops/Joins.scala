@@ -119,6 +119,79 @@ object Joins {
     """),
     doc = "J2 cross-check: band-limited range join + rank-1 window")
 
+  /** J2 generalization — kNN (k=1) over IRREGULAR 2-D coordinates. The
+    * reference's `sel(method='nearest')` (monthly.py:253-256) works on any
+    * coordinate array, not just the regular 0.25° grid snap_grid_join
+    * exploits; this is the bucketed formulation that covers that case:
+    * stations land in `CellDeg`-sized lat/lon cells, each probe explodes
+    * into its cell + 8 neighbors (a 3×3 ring), hash EQUI-joins the
+    * stations, and rank-1 by (haversine km, station_id) picks the nearest
+    * — O(9·probes·density) candidates, never probes×stations.
+    *
+    * The cell size is the operator's contract exactly as the reference's
+    * grid pitch is: `CellDeg` must exceed the maximum nearest-neighbor
+    * distance so the true nearest always sits inside the ring (here 25°
+    * vs a measured ≤8° NN spacing on the fixtures; production picks it
+    * from station density the same way). The DuckDB oracle is the TRUE
+    * brute-force nearest (cross join + rank-1), so the hash gate itself
+    * proves the ring loses nothing. Coordinates are derived
+    * deterministically from fixture columns, domain-clamped away from the
+    * poles and the antimeridian (lat ±50°, lon ±150°) — the ring doesn't
+    * wrap, matching the reference's South-America-bounded grid.
+    */
+  private val CellDeg = 25
+  private val sqlSLat = "(abs(c_acctbal) % 100e0 - 50e0)"
+  private val sqlSLon = "(abs(CAST(c_custkey AS DOUBLE) * 7.3e0) % 300e0 - 150e0)"
+  private val sqlPLat = "(abs(s_acctbal) % 100e0 - 50e0)"
+  private val sqlPLon = "(abs(CAST(s_suppkey AS DOUBLE) * 7.3e0) % 300e0 - 150e0)"
+  private def sqlHavKm(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"2e0 * 6371.0088e0 * asin(sqrt(least(1e0, " +
+      s"pow(sin(radians(($lat2 - ($lat1)) / 2e0)), 2e0) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"pow(sin(radians(($lon2 - ($lon1)) / 2e0)), 2e0))))"
+
+  val nearestKnnIrregular: QueryDef = QueryDef(
+    "nearest_knn_irregular",
+    (s, d) => {
+      val st = Tables.customer(s, d)
+        .select(col("c_custkey").as("station_id"),
+          expr(sqlSLat).as("slat"), expr(sqlSLon).as("slon"))
+        .withColumn("cell_lat", floor(col("slat") / CellDeg))
+        .withColumn("cell_lon", floor(col("slon") / CellDeg))
+      val hav = sqlHavKm("plat", "plon", "slat", "slon")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey").as("supp_id"),
+          expr(sqlPLat).as("plat"), expr(sqlPLon).as("plon"))
+        .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("cell_lat", floor(col("plat") / CellDeg) + col("dlat"))
+        .withColumn("cell_lon", floor(col("plon") / CellDeg) + col("dlon"))
+        .join(st, Seq("cell_lat", "cell_lon"))
+        .withColumn("dkm", expr(hav))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("supp_id"))
+          .orderBy(col("dkm").asc, col("station_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("supp_id"), col("station_id"),
+          Text.hround(col("dkm"), 3).as("dist_km"))
+        .orderBy(col("supp_id"))
+    },
+    Some(s"""
+      WITH st AS (SELECT c_custkey AS station_id,
+                         $sqlSLat AS slat, $sqlSLon AS slon FROM customer),
+      pr AS (SELECT s_suppkey AS supp_id,
+                    $sqlPLat AS plat, $sqlPLon AS plon FROM supplier),
+      cand AS (SELECT pr.supp_id, st.station_id,
+                      ${sqlHavKm("pr.plat", "pr.plon", "st.slat", "st.slon")} AS dkm
+               FROM pr CROSS JOIN st),
+      ranked AS (SELECT supp_id, station_id, dkm,
+                        row_number() OVER (PARTITION BY supp_id
+                                           ORDER BY dkm ASC, station_id ASC) AS rn
+                 FROM cand)
+      SELECT supp_id, station_id, ${Text.sqlHround("dkm", 3)} AS dist_km
+      FROM ranked WHERE rn = 1 ORDER BY supp_id
+    """),
+    doc = "J2 general kNN over irregular coords: 3x3 cell-ring equi-join + rank-1 haversine, oracle = brute-force true nearest")
+
   /** J3 — broadcast dimension enrichment (monthly.py:420-427):
     * customer → nation → region, then grouped rollup stats.
     */
@@ -392,6 +465,6 @@ object Joins {
     doc = "native as-of join exec (custom plan+strategy), payload carried through")
 
   val all: Seq[QueryDef] =
-    Seq(pivotAlign, snapJoin, nearestWindow, dimEnrich, asof, asofNative,
-      saltedSkewJoin, bigJoinBrand, rangeJoin, mergeUpsert)
+    Seq(pivotAlign, snapJoin, nearestWindow, nearestKnnIrregular, dimEnrich,
+      asof, asofNative, saltedSkewJoin, bigJoinBrand, rangeJoin, mergeUpsert)
 }

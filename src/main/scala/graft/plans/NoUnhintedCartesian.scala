@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Join, JoinHint, LogicalPlan, ResolvedHint}
+  Join, JoinHint, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Analysis CHECK rule (the engine's fourth extension point, after
@@ -34,8 +34,19 @@ import org.apache.spark.sql.internal.SQLConf
 object NoUnhintedCartesian extends (LogicalPlan => Unit) {
   private val Conf = "spark.graft.failOnCartesian"
 
-  private def hinted(p: LogicalPlan): Boolean =
-    p.collectFirst { case h: ResolvedHint => h }.isDefined
+  /** The hint must govern THIS join side: accept a ResolvedHint only as
+    * the direct child or through transparent wrappers (alias/projection).
+    * A whole-subtree search would let an unrelated broadcast() buried
+    * below an already-joined input legitimize an unbounded cartesian
+    * above it.
+    */
+  @annotation.tailrec
+  private def hinted(p: LogicalPlan): Boolean = p match {
+    case _: ResolvedHint  => true
+    case a: SubqueryAlias => hinted(a.child)
+    case pr: Project      => hinted(pr.child)
+    case _                => false
+  }
 
   private def oneRow(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L)
 

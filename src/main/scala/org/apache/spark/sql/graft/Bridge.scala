@@ -31,7 +31,14 @@ object Bridge {
     */
   def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(s))
+    // Dedup against the full planner strategy list, not just
+    // experimental.extraStrategies: when GraftExtensions already injected
+    // the strategy via injectPlannerStrategy it shows up only in
+    // sessionState.planner.strategies, and registering a second copy
+    // would make the planner evaluate it twice per query.
+    val present = cs.experimental.extraStrategies.contains(s) ||
+      cs.sessionState.planner.strategies.contains(s)
+    if (!present)
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
 }

@@ -112,4 +112,43 @@ class GoldenReferenceSpec extends SparkSpec {
     assert(caps(1501402L) === ((2380.78, 32.87)), "Belém 2015 drifted")
     assert(caps(1302603L)._1 === 1874.09, "Manaus 2015 drifted")
   }
+
+  test("golden: CSV sink writes the reference's utf-8-sig BOM, round-trips") {
+    // The reference exports with encoding='utf-8-sig' (monthly.py:461,
+    // annual.py:506) so Excel detects UTF-8. SNK1 parity: every part CSV
+    // must start with EF BB BF, and the BOM must not perturb re-reading.
+    // Own temp dir (not the registered query's sink): suites run in
+    // parallel and other specs construct split_partitioned_write, which
+    // rewrites its shared sink dir mid-test.
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bom").toFile.getAbsolutePath
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    src.write.mode("overwrite").option("header", "true")
+      .partitionBy("o_orderstatus").csv(out)
+    pipeline.Climate.stampUtf8Bom(out)
+    pipeline.Climate.stampUtf8Bom(out) // idempotent: no double BOM
+    def csvs(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(csvs)
+      else if (f.getName.endsWith(".csv")) Seq(f) else Nil
+    val files = csvs(new java.io.File(out))
+    assert(files.nonEmpty, s"no part CSVs under $out")
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(bytes.take(3).sameElements(
+        Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
+        s"${f.getName} missing the utf-8-sig BOM")
+      assert(!bytes.slice(3, 6).sameElements(
+        Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
+        s"${f.getName} double-stamped")
+    }
+    // read-through: the BOM rides the skipped header line, so the data
+    // round-trips losslessly
+    val back = spark.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+      .csv(out)
+    assert(back.count() === src.count())
+    assert(back.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      src.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
 }

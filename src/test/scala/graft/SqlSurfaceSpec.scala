@@ -18,10 +18,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // grouped aggregate joined back on the correlation key: the
     // optimized plan must carry a Join and NO surviving subquery
     // expression (a leftover ScalarSubquery means per-outer-row
-    // re-execution — the O(rows x groups) trap)
-    val subqueries = plan.expressions.flatMap(_.collect {
-      case s: SubqueryExpression => s
-    })
+    // re-execution — the O(rows x groups) trap). Collect over the WHOLE
+    // tree — plan.expressions alone is root-node-local and would miss a
+    // subquery surviving in a deeper Filter/Project.
+    val subqueries = plan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case s: SubqueryExpression => s })
     assert(subqueries.isEmpty,
       s"subquery survived optimization: ${subqueries.map(_.sql)}")
     assert(plan.collect { case j: Join => j }.nonEmpty)
@@ -30,9 +31,8 @@ class SqlSurfaceSpec extends SparkSpec {
   test("EXISTS predicates become existence joins, never per-row probes") {
     val plan = ops.Relational.sqlExistsSubquery
       .fn(spark, sfDir).queryExecution.optimizedPlan
-    val subqueries = plan.expressions.flatMap(_.collect {
-      case s: SubqueryExpression => s
-    })
+    val subqueries = plan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case s: SubqueryExpression => s })
     assert(subqueries.isEmpty)
     // customer JOIN nation + two ExistenceJoins over orders
     assert(plan.collect { case j: Join => j }.size >= 3)
