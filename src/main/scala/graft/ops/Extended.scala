@@ -260,8 +260,10 @@ object Extended {
       .toDF("v", "n").repartition(col("n")).persist()
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    // lazy checkpoint: the init convergence-sum action right below
+    // materializes it (the eager variant would run a separate job first)
     var lbl = sym.select(col("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+      .withColumn("lbl", col("v")).localCheckpoint(false)
     var prevSum = lblSum(lbl)
     var converged = false
     var it = 0

@@ -129,17 +129,27 @@ object Joins {
     * — O(9·probes·density) candidates, never probes×stations.
     *
     * The cell size is the operator's contract exactly as the reference's
-    * grid pitch is: `CellDeg` must exceed the maximum nearest-neighbor
-    * distance so the true nearest always sits inside the ring (here 25°
-    * vs a measured ≤8° NN spacing on the fixtures; production picks it
-    * from station density the same way). The DuckDB oracle is the TRUE
-    * brute-force nearest (cross join + rank-1), so the hash gate itself
-    * proves the ring loses nothing. Coordinates are derived
-    * deterministically from fixture columns, domain-clamped away from the
-    * poles and the antimeridian (lat ±50°, lon ±150°) — the ring doesn't
-    * wrap, matching the reference's South-America-bounded grid.
+    * grid pitch is: it must exceed the maximum nearest-neighbor distance
+    * so the true nearest always sits inside the ring — and like the
+    * LSH bit-width it must SHRINK as stations densify or every cell
+    * holds O(N/cells) stations and the ring join degenerates toward
+    * all-pairs (measured: a fixed 25° cell was 2.5 s at sf0.1 — 150k
+    * stations / 48 cells ≈ 3k per cell ≈ 280M candidates). So the pitch
+    * is derived IN-PLAN from the station count: G = sqrt(area·K/N) keeps
+    * ~K stations per cell at any N, while the max NN distance for
+    * near-uniform sites shrinks faster (~sqrt(area·lnN/(πN))), so the
+    * ring-coverage guarantee only strengthens with scale. The one-row
+    * count aggregate rides both sides as a broadcast cross join (the
+    * tfidf scalar-subquery shape) — plan stays fully lazy. The DuckDB
+    * oracle is the TRUE brute-force nearest (cross join + rank-1), so
+    * the hash gate itself proves the ring loses nothing. Coordinates are
+    * derived deterministically from fixture columns, domain-clamped away
+    * from the poles and the antimeridian (lat ±50°, lon ±150°) — the
+    * ring doesn't wrap, matching the reference's South-America-bounded
+    * grid.
     */
-  private val CellDeg = 25
+  private val KPerCell = 32
+  private val DomainArea = 100.0 * 300.0
   private val sqlSLat = "(abs(c_acctbal) % 100e0 - 50e0)"
   private val sqlSLon = "(abs(CAST(c_custkey AS DOUBLE) * 7.3e0) % 300e0 - 150e0)"
   private val sqlPLat = "(abs(s_acctbal) % 100e0 - 50e0)"
@@ -153,19 +163,25 @@ object Joins {
   val nearestKnnIrregular: QueryDef = QueryDef(
     "nearest_knn_irregular",
     (s, d) => {
-      val st = Tables.customer(s, d)
+      val stRaw = Tables.customer(s, d)
         .select(col("c_custkey").as("station_id"),
           expr(sqlSLat).as("slat"), expr(sqlSLon).as("slon"))
-        .withColumn("cell_lat", floor(col("slat") / CellDeg))
-        .withColumn("cell_lon", floor(col("slon") / CellDeg))
+      val pitch = stRaw.agg(
+        sqrt(lit(DomainArea) * KPerCell / count(lit(1))).as("g"))
+      val st = stRaw.crossJoin(broadcast(pitch))
+        .withColumn("cell_lat", floor(col("slat") / col("g")))
+        .withColumn("cell_lon", floor(col("slon") / col("g")))
+        .drop("g")
       val hav = sqlHavKm("plat", "plon", "slat", "slon")
       Tables.supplier(s, d)
         .select(col("s_suppkey").as("supp_id"),
           expr(sqlPLat).as("plat"), expr(sqlPLon).as("plon"))
+        .crossJoin(broadcast(pitch))
         .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("cell_lat", floor(col("plat") / CellDeg) + col("dlat"))
-        .withColumn("cell_lon", floor(col("plon") / CellDeg) + col("dlon"))
+        .withColumn("cell_lat", floor(col("plat") / col("g")) + col("dlat"))
+        .withColumn("cell_lon", floor(col("plon") / col("g")) + col("dlon"))
+        .drop("g")
         .join(st, Seq("cell_lat", "cell_lon"))
         .withColumn("dkm", expr(hav))
         .withColumn("rn", row_number().over(Window.partitionBy(col("supp_id"))

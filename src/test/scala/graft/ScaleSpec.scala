@@ -46,9 +46,12 @@ class ScaleSpec extends SparkSpec {
     // one-row scalar-subquery broadcast cross join. month_spine_fill
     // crosses a GENERATED month spine (~100 rows, no scan) with the tiny
     // distinct-priority dim — both sides constant-size by construction.
+    // nearest_knn_irregular broadcasts its ONE-ROW in-plan cell-pitch
+    // aggregate (G = sqrt(area*K/N)) into both join sides — same shape.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
       "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk",
-      "month_spine_fill", "perplexity_unigram", "hll_partition_union")
+      "month_spine_fill", "perplexity_unigram", "hll_partition_union",
+      "nearest_knn_irregular")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
