@@ -76,7 +76,7 @@ object Extended {
         .as("hs"))
 
   /** MinHash signature frame: doc_id, m0..m11. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private[graft] def signatures(s: SparkSession, d: String): DataFrame = {
     val mins = (0 until SigLen).map { j =>
       expr(s"CAST(array_min(transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT)")
         .as(s"m$j")
@@ -139,7 +139,7 @@ object Extended {
   // ---- 2. MinHash + LSH near-dup ---------------------------------------
 
   /** LSH banding: signature → (doc_id, band, bkey), one row per band. */
-  private def bandsOf(sig: DataFrame): DataFrame = {
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
       s"struct($b AS band, concat(${ks.mkString(", '|', ")}) AS bkey)"
@@ -159,7 +159,7 @@ object Extended {
     * here because LSH buckets are near-dup groups by construction, and
     * array_sort makes pair order deterministic regardless of task order.
     */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
     bandsOf(signatures(s, d))
       .groupBy(col("band"), col("bkey"))
       .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
@@ -229,15 +229,17 @@ object Extended {
     doc = "MinHash(12) + LSH banding(4x3) near-dup candidates; equi-join, never all-pairs")
 
   /** Duplicate-cluster assignment: connected components over the LSH
-    * candidate-pair graph — the step that turns pairwise near-dup output
+    * candidate graph — the step that turns pairwise near-dup output
     * into "keep one document per cluster". Spark-first iterative min-label
     * propagation (the GraphX pattern without the GraphX dependency):
     * labels start as own id; each round every vertex takes the min of its
     * own and its neighbors' labels, to a fixpoint (#rounds ≈ component
-    * diameter; near-dup components are shallow). The edge list and its
-    * symmetric adjacency are cached once; each round is ONE shuffle sized
-    * by the EDGE LIST (not the corpus), and localCheckpoint cuts the
-    * growing lineage so plans stay O(1) per round. Convergence is detected
+    * diameter; near-dup components are shallow). The edges are the STAR
+    * contraction of each LSH bucket (see clusterAssignments) — same
+    * components as the pair clique at O(k) per-bucket cost. The symmetric
+    * adjacency is cached once; each round is ONE shuffle sized by the
+    * EDGE LIST (not the corpus), and localCheckpoint cuts the growing
+    * lineage so plans stay O(1) per round. Convergence is detected
     * by the label sum (labels only ever decrease, so an unchanged sum IS
     * the fixpoint — one scalar job per round). Deterministic by
     * construction: min is task-order independent. Iterate-to-convergence
@@ -251,20 +253,42 @@ object Extended {
     * `cluster_canonical`.
     */
   private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
-    val e = lshCandidates(s, d).persist()
+    // STAR CONTRACTION of each LSH bucket instead of the all-pairs clique:
+    // connectivity through a bucket is fully captured by spoke→hub edges
+    // (hub = the bucket's min doc_id), so components — and therefore the
+    // min-label fixpoint — are IDENTICAL to the pair-graph CC the oracle
+    // computes, with O(k) instead of O(k²) edges per bucket (a cap-1000
+    // bucket: 999 edges vs 499,500 pairs). This also drops lshCandidates'
+    // cross-band `distinct()` shuffle — duplicate edges are no-ops under
+    // min-propagation. At 100 TB this is the difference between an edge
+    // list sized by the corpus and one sized by its square per bucket.
+    // (Star graphs can add ~1 hop of diameter over cliques when buckets
+    // overlap off-hub; the doubled step below absorbs that.)
+    val star = bandsOf(signatures(s, d))
+      .groupBy(col("band"), col("bkey"))
+      .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
+      .filter(size(col("ds")).between(2, 1000))
+      .select(explode(expr(
+        "transform(slice(ds, 2, size(ds) - 1), y -> struct(element_at(ds, 1) AS d1, y AS d2))"))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
     // adjacency pre-partitioned on the lookup key n: the per-round
     // neighbor join then reads the cached layout instead of re-shuffling
     // the edge list every iteration (the edge list is the big side —
     // at 100 TB this is the shuffle you pay once, not once per round)
-    val sym = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+    val sym = star.union(star.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("v", "n").repartition(col("n")).persist()
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    // lazy checkpoint: the init convergence-sum action right below
-    // materializes it (the eager variant would run a separate job first)
-    var lbl = sym.select(col("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(false)
-    var prevSum = lblSum(lbl)
+    // HUB-MIN INIT, not own-id: lbl0(v) = min(v, min hub over v's buckets)
+    // — the first propagation hop folded into the same groupBy shuffle
+    // that the own-id variant spent on distinct(), so it is a free round.
+    // An isolated bucket (the common near-dup component) is already at
+    // its fixpoint before the loop runs a single step.
+    var lbl = star.select(col("d2").as("v"), col("d1").as("l"))
+      .union(star.select(col("d1").as("v"), col("d1").as("l")))
+      .groupBy(col("v")).agg(min(col("l")).as("lbl")).localCheckpoint(false)
+    var prevSum = -1L
     var converged = false
     var it = 0
     // One propagation step: every vertex takes the min label over itself
@@ -291,13 +315,25 @@ object Extended {
       // are shallow, so the extra self-join per round cost more than the
       // O(log D) rounds it saved.)
       val next = step(step(lbl)).localCheckpoint(false)
-      val s2 = lblSum(next)
-      converged = s2 == prevSum
-      prevSum = s2
+      if (prevSum == -1L) {
+        // first round: sum BOTH the init and the stepped labels in one
+        // action (the init checkpoint is shared, so it computes once) —
+        // a graph already at its fixpoint after hub-min init finishes in
+        // a single job instead of two
+        val sums = lbl.select(col("lbl")).withColumn("t", lit(0))
+          .union(next.select(col("lbl")).withColumn("t", lit(1)))
+          .groupBy(col("t")).agg(coalesce(sum(col("lbl")), lit(0L)).as("s"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        converged = sums.getOrElse(0, 0L) == sums.getOrElse(1, 0L)
+        prevSum = sums.getOrElse(1, 0L)
+      } else {
+        val s2 = lblSum(next)
+        converged = s2 == prevSum
+        prevSum = s2
+      }
       lbl = next
       it += 1
     }
-    e.unpersist(false)
     sym.unpersist(false)
     lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
@@ -321,9 +357,11 @@ object Extended {
   val dupClusters: QueryDef = QueryDef(
     "dup_clusters",
     (s, d) => {
-      val cc = clusterAssignments(s, d)
-      cc.join(cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs")),
-          Seq("cluster_id"))
+      // window, not a groupBy+self-join: one shuffle on cluster_id over
+      // the (tiny, checkpointed) assignment frame instead of two plans
+      clusterAssignments(s, d)
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .select(col("doc_id"), col("cluster_id"), col("n_docs"))
         .orderBy(col("doc_id"))
     },
