@@ -411,6 +411,114 @@ object Extended {
     """),
     doc = "one kept representative per near-dup cluster (longest text, tie=lowest id)")
 
+  /** Incremental near-dup dedup of a NEW batch against an EXISTING corpus
+    * — the shape every recurring crawl/ingest pipeline runs: yesterday's
+    * corpus is already deduped; today's batch must drop anything that
+    * near-dups what the corpus already holds (within-batch dup detection
+    * stays `minhash_lsh_pairs`/`dup_clusters`' job). The split here is
+    * deterministic (doc_id mod 10: 0-7 corpus, 8-9 batch) standing in for
+    * the snapshot boundary. Scale shape: the corpus side is pre-aggregated
+    * to ONE row per LSH bucket (band, bkey) → min corpus doc_id BEFORE the
+    * join, so the probe is an equi-join with ≤1 match per batch band row —
+    * bucket-size-INDEPENDENT (no 2..1000 cap needed, unlike the pair
+    * expansion), and the corpus signature store this mirrors is exactly
+    * the incremental-state layout you'd persist between runs at 100 TB.
+    * Docs under 3 words carry no signature (as everywhere in the MinHash
+    * family) and are treated as kept. Output: every batch doc with the
+    * min matching corpus doc (or null) and the keep verdict.
+    */
+  val incrementalDedup: QueryDef = QueryDef(
+    "incremental_dedup",
+    (s, d) => {
+      val bands = bandsOf(signatures(s, d))
+      val corpus = bands.filter(col("doc_id") % 10 < 8)
+        .groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("old_min"))
+      val batch = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 >= 8)
+      batch
+        .join(bands.filter(col("doc_id") % 10 >= 8)
+          .join(corpus, Seq("band", "bkey"))
+          .groupBy(col("doc_id")).agg(min(col("old_min")).as("dup_of")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $sqlSignatures,
+      bands AS ($sqlBandsFromSig),
+      corpus AS (SELECT band, bkey, min(doc_id) AS old_min
+                 FROM bands WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      hits AS (SELECT n.doc_id, min(o.old_min) AS dup_of
+               FROM bands n JOIN corpus o USING (band, bkey)
+               WHERE n.doc_id % 10 >= 8 GROUP BY 1)
+      SELECT d.doc_id, h.dup_of, h.dup_of IS NULL AS kept
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 10 >= 8
+      ORDER BY doc_id
+    """),
+    doc = "near-dup dedup of a new batch vs an existing corpus; corpus pre-aggregated per LSH bucket")
+
+  /** Line-level exact dedup with document reassembly — the
+    * RefinedWeb/FineWeb-style pass that strips repeated boilerplate
+    * SEGMENTS (headers, footers, navigation) while keeping the documents:
+    * each doc is split into deterministic 10-word segments (the fixtures
+    * carry no newlines, so fixed word windows stand in for lines), a
+    * segment's first global occurrence — ordered by (doc_id, position) —
+    * is kept, every later copy is dropped, and each doc is reassembled
+    * from its surviving segments in order. The dedup key is md5(segment)
+    * (128-bit; the 32-bit h32 would birthday-collide at ~80k segments),
+    * matching `exact_dedup`'s digest-shuffle posture: the window
+    * partitions by digest, so at 100 TB equal segments co-locate by a
+    * 32-char key. collect_list over when() skips nulls (dropped
+    * segments); array_sort on (idx, seg) structs restores document order
+    * task-order-independently. A doc whose every segment was seen before
+    * reassembles to '' (coalesce on the oracle side: list() FILTER over
+    * zero rows is NULL in DuckDB, empty array in Spark).
+    */
+  val lineDedup: QueryDef = QueryDef(
+    "line_dedup",
+    (s, d) => {
+      val segs = docWords(s, d)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, CAST(ceil(size(w) / 10e0) AS INT) - 1), " +
+            "i -> struct(i AS idx, array_join(slice(w, i * 10 + 1, 10), ' ') AS seg))").as("ss"))
+        .select(col("doc_id"), explode(col("ss")).as("s"))
+        .select(col("doc_id"), col("s.idx").as("idx"), col("s.seg").as("seg"))
+      segs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("seg")))
+            .orderBy(col("doc_id"), col("idx"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(idx, seg) END)), x -> x.seg)"),
+            " ").as("kept_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      segs AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS seg
+        FROM ws, UNNEST(generate_series(0, CAST(ceil(len(w) / 10e0) AS INT) - 1)) AS t(i)),
+      r AS (
+        SELECT doc_id, idx, seg,
+               row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rn
+        FROM segs)
+      SELECT doc_id,
+             count(*) AS n_segs,
+             count(*) FILTER (WHERE rn = 1) AS n_kept,
+             coalesce(array_to_string(list_transform(
+               list_sort(list({'idx': idx, 'seg': seg}) FILTER (WHERE rn = 1)),
+               x -> x['seg']), ' '), '') AS kept_text
+      FROM r GROUP BY doc_id ORDER BY doc_id
+    """),
+    doc = "exact segment-level dedup (first global occurrence wins) + in-order doc reassembly")
+
   // ---- 3. SimHash -------------------------------------------------------
 
   /** SimHash width and its banding for the Hamming near-dup query: 32
@@ -2040,7 +2148,8 @@ object Extended {
     doc = "fraction of distinct shingles that are corpus-common (boilerplate signal)")
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, minhashLsh, dupClusters, clusterCanonical, simhash,
+    exactDedup, minhashLsh, dupClusters, clusterCanonical,
+    incrementalDedup, lineDedup, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
     docEntropy,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
