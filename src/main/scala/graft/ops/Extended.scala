@@ -773,6 +773,61 @@ object Extended {
     },
     doc = "MinHash estimate vs exact Jaccard + abs error over LSH candidates")
 
+  /** Source-level corpus-overlap estimation via MERGEABLE MinHash union
+    * sketches — "how much does crawl A overlap crawl B" answered without
+    * ever touching document pairs. min is associative and commutative, so
+    * the signature of a source's shingle-set UNION is the component-wise
+    * min of its documents' signatures: one partial-agg-friendly
+    * groupBy(source) over the per-doc signatures produces an S-row sketch
+    * table (S = #sources), and every pairwise Jaccard estimate is
+    * matching-components/12 over that tiny frame. At 100 TB the sketch
+    * table is what you persist per crawl snapshot; estimating overlap
+    * between two snapshots is then S² work on KILOBYTES — the pairwise
+    * expansion here is the collect-to-one-row pattern (no join, no
+    * cartesian), fine for source-level cardinalities. The estimate is
+    * fully deterministic (no sampling), hence exactly hash-checkable.
+    */
+  val corpusOverlap: QueryDef = QueryDef(
+    "corpus_overlap",
+    (s, d) => {
+      val sigCols = (0 until SigLen).map(j => min(col(s"m$j")).as(s"m$j"))
+      val srcSig = signatures(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source")).agg(sigCols.head, sigCols.tail: _*)
+      val fields = "source" +: (0 until SigLen).map(j => s"m$j")
+      val nMatch = (0 until SigLen)
+        .map(j => s"CAST(p.x.m$j = p.y.m$j AS INT)").mkString(" + ")
+      srcSig
+        .groupBy()
+        .agg(expr(s"array_sort(collect_list(struct(${fields.mkString(", ")})))")
+          .as("ss"))
+        .select(explode(expr(
+          "flatten(transform(ss, (x, i) -> " +
+            "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS x, y AS y))))"))
+          .as("p"))
+        .select(col("p.x.source").as("s1"), col("p.y.source").as("s2"),
+          expr(s"CAST($nMatch AS INT)").as("n_match"))
+        .withColumn("est_jaccard", col("n_match") / lit(SigLen.toDouble))
+        .orderBy(col("s1"), col("s2"))
+    },
+    Some {
+      val mins = (0 until SigLen).map(j => s"min(m$j) AS m$j").mkString(", ")
+      val nMatch = (0 until SigLen)
+        .map(j => s"CAST(a.m$j = b.m$j AS INT)").mkString(" + ")
+      s"""
+      WITH $sqlSignatures,
+      ds AS (SELECT s.*, d.source FROM sig s JOIN documents d USING (doc_id)),
+      ss AS (SELECT source, $mins FROM ds GROUP BY 1)
+      SELECT a.source AS s1, b.source AS s2,
+             CAST($nMatch AS INT) AS n_match,
+             CAST($nMatch AS INT) / ${SigLen}e0 AS est_jaccard
+      FROM ss a JOIN ss b ON a.source < b.source
+      ORDER BY s1, s2
+      """
+    },
+    doc = "pairwise source overlap estimate from mergeable MinHash union sketches")
+
   /** Levenshtein verify over LSH candidates — the character-level twin of
     * [[ngramJaccard]]'s set-level verify, for catching near-dups whose
     * difference is a small in-place edit rather than re-ordered shingles.
@@ -2044,6 +2099,70 @@ object Extended {
     """),
     doc = "corpus-unigram cross-entropy per doc (micro-bit integer sums)")
 
+  /** DSIR-style importance weighting for data selection: score every
+    * document by how much more likely its tokens are under a TARGET
+    * unigram model (here: the English sub-corpus, standing in for the
+    * high-quality domain) than under the overall corpus model —
+    * per-token log2 likelihood ratio with add-one smoothing, averaged
+    * over the doc. Docs with positive average ratio look target-like and
+    * would be up-sampled. One vocabulary pass computes BOTH models
+    * (conditional count inside the same groupBy — never two scans), and
+    * the per-token ratio collapses to a single log2 of a ratio of exact
+    * integer products ((n_t+1)(Nc+V) / (n_c+1)(Nt+V)) — both factors are
+    * exact in 64-bit, so the only float op is one log2, quantized to
+    * integer micro-bits before the per-doc sum (the perplexity_unigram
+    * discipline: exact long addition, order-free, cross-engine). Scale:
+    * the vocab join is the same broadcast shape as perplexity_unigram;
+    * the one-row totals frame rides as a broadcast scalar.
+    */
+  val importanceWeights: QueryDef = QueryDef(
+    "importance_weights",
+    (s, d) => {
+      val toks = docWords(s, d)
+        .select(col("doc_id"), col("lang"), explode(col("w")).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(
+        count(lit(1)).as("n_c"),
+        count(when(col("lang") === "en", 1)).as("n_t"))
+      val tot = vocab.agg(
+        sum(col("n_c")).as("nc"), sum(col("n_t")).as("nt"),
+        count(lit(1)).as("v"))
+      toks.join(broadcast(vocab), Seq("term"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), expr(
+          "CAST(floor(log2(CAST((n_t + 1) * (nc + v) AS DOUBLE) / " +
+            "CAST((n_c + 1) * (nt + v) AS DOUBLE)) * 1000000e0 + 0.5e0) AS BIGINT)")
+          .as("ubits"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("ubits")).as("su"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          Text.hround(
+            col("su").cast("double") / col("n_tokens").cast("double") / lit(1e6),
+            4).as("lr_bits"))
+        .withColumn("favored", col("lr_bits") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      toks AS (SELECT doc_id, lang, unnest(w) AS term FROM ws),
+      vocab AS (SELECT term, count(*) AS n_c,
+                       count(*) FILTER (WHERE lang = 'en') AS n_t
+                FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS nc,
+                     CAST(sum(n_t) AS BIGINT) AS nt,
+                     count(*) AS v FROM vocab),
+      sc AS (SELECT doc_id, lang,
+               CAST(floor(log2(CAST((n_t + 1) * (nc + v) AS DOUBLE) /
+                 CAST((n_c + 1) * (nt + v) AS DOUBLE)) * 1000000e0 + 0.5e0) AS BIGINT) AS ubits
+             FROM toks JOIN vocab USING (term), tot),
+      pd AS (SELECT doc_id, lang, count(*) AS n_tokens,
+               CAST(sum(ubits) AS DOUBLE) AS su FROM sc GROUP BY 1, 2)
+      SELECT doc_id, lang, n_tokens,
+             ${Text.sqlHround("su / CAST(n_tokens AS DOUBLE) / 1e6", 4)} AS lr_bits,
+             ${Text.sqlHround("su / CAST(n_tokens AS DOUBLE) / 1e6", 4)} > 0 AS favored
+      FROM pd ORDER BY doc_id
+    """),
+    doc = "per-doc avg log2 likelihood ratio (target vs corpus unigram) for data selection")
+
   /** Symmetric int8 quantization of the embedding column + reconstruction
     * error report — the compression step an ANN serving path applies
     * before sharding 100 TB of vectors (4× smaller, SIMD-friendly
@@ -2149,7 +2268,7 @@ object Extended {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
-    incrementalDedup, lineDedup, simhash,
+    incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
     docEntropy,
     cosineTopK, annLsh, annIvf, embedNearDup, annRecall,

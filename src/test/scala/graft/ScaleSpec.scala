@@ -48,10 +48,12 @@ class ScaleSpec extends SparkSpec {
     // distinct-priority dim — both sides constant-size by construction.
     // nearest_knn_irregular broadcasts its ONE-ROW in-plan cell-pitch
     // aggregate (G = sqrt(area*K/N)) into both join sides — same shape.
+    // importance_weights crosses the ONE-ROW model-totals frame (Nc, Nt,
+    // V) with the token stream — perplexity_unigram's exact shape.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
       "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk",
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
-      "nearest_knn_irregular")
+      "nearest_knn_irregular", "importance_weights")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
