@@ -2163,6 +2163,49 @@ object Extended {
     """),
     doc = "per-doc avg log2 likelihood ratio (target vs corpus unigram) for data selection")
 
+  /** Exact heavy-hitter terms via a 2-pass Misra-Gries sketch — the
+    * vocabulary-scale pattern: pass 1 runs the mergeable MG Aggregator
+    * ([[graft.functions.MisraGries]], k=28 counters) as one global
+    * aggregate, so the shuffle carries ≤ k (term, weight) pairs per
+    * partition instead of the full vocabulary; pass 2 exact-counts ONLY
+    * the ≤ k surviving candidates (broadcast semi-join on the candidate
+    * list) and keeps those with count·(k+1) > N. The MG guarantee —
+    * every term with true count > N/(k+1) survives the sketch under any
+    * merge order — makes the 2-pass result EXACT and deterministic, so
+    * the DuckDB oracle is simply the direct GROUP BY + HAVING. The
+    * threshold compare is integer (count·30 > N): no division, no float.
+    * k=29 sits below the fixture vocabulary (31), so eviction and the
+    * merge pivot actually run, and the 1/30 threshold lands inside the
+    * near-uniform frequency band at every SF (14-16 hitters pass, the
+    * rest fail). At 100 TB: exact top-terms shuffles billions of vocab
+    * keys; this shuffles 29·P sketch rows + one tiny candidate count.
+    */
+  val heavyHitters: QueryDef = QueryDef(
+    "heavy_hitters",
+    (s, d) => {
+      val K = 29
+      import s.implicits._
+      val toks = docWords(s, d).select(explode(col("w")).as("term"))
+      val mg = udaf(new graft.functions.MisraGries(K), Encoders.STRING)
+      val cands = toks.agg(mg(col("term")).as("cand"))
+        .select(explode(col("cand")).as("term"))
+      val tot = toks.agg(count(lit(1)).as("nn"))
+      toks.join(broadcast(cands), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") * (K + 1) > col("nn"))
+        .select(col("term"), col("n"))
+        .orderBy(col("term"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      toks AS (SELECT unnest(w) AS term FROM ws)
+      SELECT term, count(*) AS n FROM toks GROUP BY 1
+      HAVING count(*) * 30 > (SELECT count(*) FROM toks)
+      ORDER BY term
+    """),
+    doc = "exact heavy hitters (count > N/30) via mergeable Misra-Gries candidates + verify pass")
+
   /** Symmetric int8 quantization of the embedding column + reconstruction
     * error report — the compression step an ANN serving path applies
     * before sharding 100 TB of vectors (4× smaller, SIMD-friendly
@@ -2277,5 +2320,5 @@ object Extended {
     curationPipeline, trainTestSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, docChunks, tfidf,
     bm25TopK, decontaminate, repetitionScore, packSequences,
-    perplexityUnigram, quantizeEmbeddings, boilerplateFrac)
+    perplexityUnigram, quantizeEmbeddings, boilerplateFrac, heavyHitters)
 }

@@ -50,10 +50,12 @@ class ScaleSpec extends SparkSpec {
     // aggregate (G = sqrt(area*K/N)) into both join sides — same shape.
     // importance_weights crosses the ONE-ROW model-totals frame (Nc, Nt,
     // V) with the token stream — perplexity_unigram's exact shape.
+    // heavy_hitters broadcasts its ONE-ROW total-count frame and the
+    // ≤ k-row Misra-Gries candidate list — both KB-scale by construction.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
       "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk",
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
-      "nearest_knn_irregular", "importance_weights")
+      "nearest_knn_irregular", "importance_weights", "heavy_hitters")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
