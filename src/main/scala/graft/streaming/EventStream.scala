@@ -331,6 +331,58 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One shard's current heavy-hitter candidates after a micro-batch. */
+  final case class ShardCands(shard: Int, terms: Array[String])
+
+  /** Streaming Misra-Gries: the heavy-hitter sketch (`heavy_hitters`'
+    * pass 1) maintained INCREMENTALLY over an unbounded term stream.
+    * Terms are sharded by a deterministic hash so state parallelizes;
+    * every occurrence of a term lands in the same shard, so a term heavy
+    * in the GLOBAL stream (count > N/(k+1) ≥ N_shard/(k+1)) is guaranteed
+    * alive in its shard's sketch — the union of shard candidate sets is a
+    * superset of the true heavy hitters at every micro-batch boundary,
+    * exactly the pass-1 contract the batch query verifies with an exact
+    * recount. State per shard is ≤ k (term, weight) pairs — O(k·shards)
+    * total regardless of stream length: the bounded-state property that
+    * makes the sketch streamable at all. Reuses [[graft.functions
+    * .MisraGries]]'s reduce (same algorithm object, no reimplementation).
+    */
+  class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, String, ShardCands] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[graft.functions.MgBuf] = _
+    @transient private lazy val mg = new graft.functions.MisraGries(k)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[graft.functions.MgBuf]("mg",
+        org.apache.spark.sql.Encoders.product[graft.functions.MgBuf],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        shard: Int, rows: Iterator[String],
+        timers: TimerValues): Iterator[ShardCands] = {
+      var buf = if (st.exists()) st.get() else mg.zero
+      rows.foreach { t => buf = mg.reduce(buf, t) }
+      st.update(buf)
+      Iterator.single(ShardCands(shard, buf.terms.sorted))
+    }
+  }
+
+  /** Streaming wiring: shard terms by hash, keep one MG sketch per shard.
+    * The candidate union across shards' LATEST rows is the streaming
+    * pass-1 output; a periodic exact recount of those ≤ k·shards terms
+    * (foreachBatch or a batch job over the lake) completes the exact
+    * 2-pass result just as in the batch `heavy_hitters`.
+    */
+  def heavyHittersState(ds: Dataset[String], k: Int, shards: Int): Dataset[ShardCands] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(t => math.floorMod(t.hashCode, shards))
+      .transformWithState(new MisraGriesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents)

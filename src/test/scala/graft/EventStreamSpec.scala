@@ -358,4 +358,50 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState: streaming Misra-Gries keeps every heavy hitter") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Zipf-ish stream split across two micro-batches mid-term — state
+    // must carry partial counts across the batch boundary
+    val stream = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"t$i"))
+    val (b1, b2) = stream.splitAt(stream.length / 2)
+    val k = 6
+    val n = stream.length
+    val mustSurvive = stream.groupBy(identity).collect {
+      case (t, occ) if occ.size.toLong * (k + 1) > n => t
+    }.toSet
+    assert(mustSurvive.nonEmpty, "fixture must contain heavy hitters")
+    val mem = MemoryStream[String]
+    val q = EventStream.heavyHittersState(mem.toDS(), k, shards = 3)
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val hist = spark.table("mg_out").as[EventStream.ShardCands].collect()
+      // latest emission per shard = current sketch state
+      val latest = hist.zipWithIndex.groupBy(_._1.shard)
+        .map { case (_, rows) => rows.maxBy(_._2)._1 }
+      latest.foreach(sc => assert(sc.terms.length <= k,
+        s"shard ${sc.shard} sketch exceeded k"))
+      val cands = latest.flatMap(_.terms).toSet
+      assert(mustSurvive.subsetOf(cands),
+        s"streaming sketch lost guaranteed heavy hitter(s) ${mustSurvive -- cands}")
+      // pass-2 exact recount of candidates == plain exact heavy hitters
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val twoPass = cands.filter(t => exact(t) * (k + 1) > n)
+      assert(twoPass == mustSurvive)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
