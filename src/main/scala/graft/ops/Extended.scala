@@ -1183,6 +1183,58 @@ object Extended {
     """),
     doc = "embedding near-dup via banded sign-LSH candidates, cosine >= 0.2")
 
+  /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
+    * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
+    * sign-LSH candidates — embed_near_dup's verified subplan) but whose
+    * n-gram shingle sets are far (exact Jaccard < 0.5). A rewritten or
+    * translated-and-back document shares meaning, not shingles; MinHash
+    * and SimHash both miss it, which is exactly why curation pipelines
+    * run a semantic pass after the lexical ones. Composes two verified
+    * subplans (the embedding candidates and the shingle sets), joined
+    * only on the candidate pairs — never pairwise over the corpus; docs
+    * under 3 words carry no shingle set and are excluded (inner join),
+    * mirrored by the oracle. vec_id and doc_id are the fixtures' shared
+    * identity.
+    */
+  val paraphrasePairs: QueryDef = QueryDef(
+    "paraphrase_pairs",
+    (s, d) => {
+      val sets = shingleHashes(s, d)
+        .select(col("doc_id"), expr("array_sort(array_distinct(hs))").as("sh"))
+        .withColumn("n_sh", size(col("sh")).cast("long"))
+      embedNearDup.fn(s, d)
+        .filter(col("cos6") >= 0.35)
+        .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("n_sh").as("n1")).hint("shuffle_hash"), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("n_sh").as("n2")).hint("shuffle_hash"), Seq("d2"))
+        .withColumn("inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .withColumn("jac",
+          Text.hround(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jac") < 0.5)
+        .select(col("d1"), col("d2"), col("cos6"), col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH $sqlShingleHashCtes,
+      sem AS (SELECT d1, d2, cos6 FROM (${embedNearDup.oracle.get}) WHERE cos6 >= 0.35),
+      sets AS (SELECT doc_id, list_sort(list_distinct(hs)) AS sh FROM hss),
+      j AS (
+        SELECT s.d1, s.d2, s.cos6,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2
+        FROM sem s
+        JOIN sets a ON a.doc_id = s.d1
+        JOIN sets b ON b.doc_id = s.d2)
+      SELECT d1, d2, cos6, jac FROM (
+        SELECT d1, d2, cos6,
+               ${Text.sqlHround("inter / (n1 + n2 - inter)", 4)} AS jac
+        FROM j)
+      WHERE jac < 0.5 ORDER BY d1, d2
+    """),
+    doc = "semantically-near, lexically-far pairs (cosine >= 0.35, shingle Jaccard < 0.5)")
+
   /** ANN recall as a first-class, oracle-checked metric: per query id,
     * how many of the brute-force cosine top-5 each approximate method
     * (multi-table sign-LSH, IVF nprobe=2) recovered. The quality gauge a
@@ -2314,7 +2366,7 @@ object Extended {
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
     docEntropy,
-    cosineTopK, annLsh, annIvf, embedNearDup, annRecall,
+    cosineTopK, annLsh, annIvf, embedNearDup, paraphrasePairs, annRecall,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
