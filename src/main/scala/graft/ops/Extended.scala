@@ -263,7 +263,7 @@ object Extended {
     // min-propagation. At 100 TB this is the difference between an edge
     // list sized by the corpus and one sized by its square per bucket.
     // (Star graphs can add ~1 hop of diameter over cliques when buckets
-    // overlap off-hub; the doubled step below absorbs that.)
+    // overlap off-hub; the doubled step in ccOverEdges absorbs that.)
     val star = bandsOf(signatures(s, d))
       .groupBy(col("band"), col("bkey"))
       .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
@@ -272,22 +272,32 @@ object Extended {
         "transform(slice(ds, 2, size(ds) - 1), y -> struct(element_at(ds, 1) AS d1, y AS d2))"))
         .as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    ccOverEdges(star)
+  }
+
+  /** Min-label connected components over ANY undirected edge list
+    * (d1, d2) → (doc_id, cluster_id = min reachable id). Shared by the
+    * lexical family (`dup_clusters`/`cluster_canonical`, star edges from
+    * LSH buckets) and the semantic family (`semantic_dedup`, embedding
+    * near-dup pairs).
+    */
+  private def ccOverEdges(edges: DataFrame): DataFrame = {
     // adjacency pre-partitioned on the lookup key n: the per-round
     // neighbor join then reads the cached layout instead of re-shuffling
     // the edge list every iteration (the edge list is the big side —
     // at 100 TB this is the shuffle you pay once, not once per round)
-    val sym = star.union(star.select(col("d2").as("d1"), col("d1").as("d2")))
+    val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("v", "n").repartition(col("n")).persist()
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    // HUB-MIN INIT, not own-id: lbl0(v) = min(v, min hub over v's buckets)
-    // — the first propagation hop folded into the same groupBy shuffle
-    // that the own-id variant spent on distinct(), so it is a free round.
-    // An isolated bucket (the common near-dup component) is already at
-    // its fixpoint before the loop runs a single step.
-    var lbl = star.select(col("d2").as("v"), col("d1").as("l"))
-      .union(star.select(col("d1").as("v"), col("d1").as("l")))
-      .groupBy(col("v")).agg(min(col("l")).as("lbl")).localCheckpoint(false)
+    // NEIGHBOR-MIN INIT, not own-id: lbl0(v) = min(v, min neighbor) —
+    // the first propagation hop folded into the same groupBy shuffle
+    // the own-id variant spent on distinct(), so it is a free round
+    // (on star edges this is exactly the bucket-hub min). A component
+    // whose min vertex is everyone's direct neighbor — the common
+    // near-dup shape — starts at its fixpoint before the loop runs.
+    var lbl = sym.groupBy(col("v"))
+      .agg(least(col("v"), min(col("n"))).as("lbl")).localCheckpoint(false)
     var prevSum = -1L
     var converged = false
     var it = 0
@@ -1234,6 +1244,55 @@ object Extended {
       WHERE jac < 0.5 ORDER BY d1, d2
     """),
     doc = "semantically-near, lexically-far pairs (cosine >= 0.35, shingle Jaccard < 0.5)")
+
+  /** SemDedup-style semantic dedup: connected components over the
+    * EMBEDDING near-dup graph (banded sign-LSH candidates, cosine
+    * ≥ 0.2 — embed_near_dup's verified pair set), then one kept
+    * representative per semantic cluster (longest text, tie = lowest
+    * id — `cluster_canonical`'s election rule). Where the lexical
+    * cluster family collapses copy-paste duplication, this collapses
+    * MEANING duplication (template rewrites, boilerplate paraphrases):
+    * the pass embedding-based curation pipelines run after lexical
+    * dedup. Reuses the generic min-label CC loop (ccOverEdges) — the
+    * edge list is candidate-pair-sized, never corpus²; vec_id and
+    * doc_id are the fixtures' shared identity.
+    */
+  val semanticDedup: QueryDef = QueryDef(
+    "semantic_dedup",
+    (s, d) => {
+      val w = Window.partitionBy(col("cluster_id"))
+      ccOverEdges(embedNearDup.fn(s, d).select(col("d1"), col("d2")))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canon_id"),
+          col("n_docs"), col("n_chars"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      sem AS (SELECT d1, d2 FROM (${embedNearDup.oracle.get})),
+      ssym AS (SELECT d1 AS v, d2 AS n FROM sem
+               UNION ALL SELECT d2, d1 FROM sem),
+      sreach(v, r) AS (
+        SELECT v, v FROM (SELECT DISTINCT v FROM ssym)
+        UNION
+        SELECT ssym.v, sreach.r FROM sreach JOIN ssym ON sreach.v = ssym.n),
+      scc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM sreach GROUP BY 1),
+      sj AS (SELECT scc.doc_id, scc.cluster_id, d.n_chars
+             FROM scc JOIN documents d USING (doc_id)),
+      sr AS (SELECT *,
+               count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+             FROM sj)
+      SELECT cluster_id, doc_id AS canon_id, n_docs, n_chars
+      FROM sr WHERE rn = 1 ORDER BY cluster_id
+    """),
+    doc = "one kept representative per semantic (embedding) near-dup cluster")
 
   /** ANN recall as a first-class, oracle-checked metric: per query id,
     * how many of the brute-force cosine top-5 each approximate method
@@ -2366,7 +2425,8 @@ object Extended {
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
     docEntropy,
-    cosineTopK, annLsh, annIvf, embedNearDup, paraphrasePairs, annRecall,
+    cosineTopK, annLsh, annIvf, embedNearDup, paraphrasePairs,
+    semanticDedup, annRecall,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,

@@ -118,8 +118,8 @@ class ScaleSpec extends SparkSpec {
     // and dup_clusters (iterate-to-convergence is driver-coordinated).
     val eager = Set("box_range_filter", "split_partitioned_write",
       "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
-      "cluster_canonical", "compact_small_files", "schema_evolution_read",
-      "xml_sink_roundtrip")
+      "cluster_canonical", "semantic_dedup", "compact_small_files",
+      "schema_evolution_read", "xml_sink_roundtrip")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
