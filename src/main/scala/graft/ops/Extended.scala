@@ -57,8 +57,12 @@ object Extended {
     * asserts the exchange is reused). At 100 TB this is exactly the
     * "hash once, reuse" layout you want.
     */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    docWords(s, d)
+  /** [[shingleHashes]] over any (doc_id, w) frame — parameterized so the
+    * streaming ingestion path (EventStream.incrementalDedupStream) can
+    * run the identical hash pipeline on an unbounded source.
+    */
+  private[graft] def shingleHashesOf(dw: DataFrame): DataFrame =
+    dw
       .select(col("doc_id"),
         expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hw"))
       // The exchange sits BETWEEN the md5 word-hash array and the
@@ -75,14 +79,32 @@ object Extended {
           s"(element_at(hw, i) * 961 + element_at(hw, i + 1) * 31 + element_at(hw, i + 2)) % $P)")
         .as("hs"))
 
-  /** MinHash signature frame: doc_id, m0..m11. */
-  private[graft] def signatures(s: SparkSession, d: String): DataFrame = {
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashesOf(docWords(s, d))
+
+  /** MinHash signature frame (doc_id, m0..m11) over any (doc_id, w) frame. */
+  private[graft] def signaturesOf(dw: DataFrame): DataFrame = {
     val mins = (0 until SigLen).map { j =>
       expr(s"CAST(array_min(transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT)")
         .as(s"m$j")
     }
-    shingleHashes(s, d).select(col("doc_id") +: mins: _*)
+    shingleHashesOf(dw).select(col("doc_id") +: mins: _*)
   }
+
+  /** MinHash signature frame: doc_id, m0..m11. */
+  private[graft] def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(docWords(s, d))
+
+  /** The persistable incremental-dedup state: one row per LSH bucket with
+    * the min doc_id holding it — what `incremental_dedup` probes and what
+    * the streaming ingestion path joins as a static side.
+    */
+  private[graft] def bucketStoreOf(docs: DataFrame): DataFrame =
+    bandsOf(signaturesOf(
+      docs.select(col("doc_id"), Text.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)))
+      .groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("old_min"))
 
   /** Spark-SQL fragment computing Text.h32 inside a lambda. */
   private def sqlSparkH32(x: String): String =
@@ -440,14 +462,12 @@ object Extended {
   val incrementalDedup: QueryDef = QueryDef(
     "incremental_dedup",
     (s, d) => {
-      val bands = bandsOf(signatures(s, d))
-      val corpus = bands.filter(col("doc_id") % 10 < 8)
-        .groupBy(col("band"), col("bkey"))
-        .agg(min(col("doc_id")).as("old_min"))
+      val corpus = bucketStoreOf(
+        Tables.documents(s, d).filter(col("doc_id") % 10 < 8))
       val batch = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") % 10 >= 8)
       batch
-        .join(bands.filter(col("doc_id") % 10 >= 8)
+        .join(bandsOf(signatures(s, d)).filter(col("doc_id") % 10 >= 8)
           .join(corpus, Seq("band", "bkey"))
           .groupBy(col("doc_id")).agg(min(col("old_min")).as("dup_of")),
           Seq("doc_id"), "left")

@@ -383,6 +383,30 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming ingestion dedup — `incremental_dedup`'s unbounded twin:
+    * new documents arrive on a stream, the corpus signature store
+    * ([[graft.ops.Extended.bucketStoreOf]]: one (band, bkey) → min
+    * doc_id row per LSH bucket) is the STATIC side of a stream-static
+    * left join. The stream side runs the IDENTICAL MinHash/banding
+    * pipeline as batch (same md5 word hashes, same shingle polynomial,
+    * same band keys — all row-local, so it streams without watermarks),
+    * probes the store, and the Update-mode per-doc min aggregate emits
+    * (doc_id, dup_of, kept). State is O(docs in flight); the store is
+    * refreshed by re-running the batch store builder on the grown
+    * corpus — exactly the snapshot cadence a production ingest runs.
+    */
+  def incrementalDedupStream(
+      docs: DataFrame, corpusBuckets: DataFrame): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), graft.core.Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    graft.ops.Extended.bandsOf(graft.ops.Extended.signaturesOf(dw))
+      .join(corpusBuckets, Seq("band", "bkey"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("old_min")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents)

@@ -359,6 +359,36 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-static incremental dedup against the corpus bucket store") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val store = graft.ops.Extended.bucketStoreOf(corpusDocs)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.incrementalDedupStream(
+        mem.toDS().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // doc 10 copies corpus doc 1's text exactly: every band bucket
+      // matches -> dup_of = 1; doc 11 shares no shingle -> kept
+      mem.addData(
+        (10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "totally different words here indeed"))
+      q.processAllAvailable()
+      // a later batch still probes the same static store
+      mem.addData((12L, "one two three four five six seven"))
+      q.processAllAvailable()
+      val out = spark.table("incdedup_out")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .groupBy(_._1).map { case (id, rows) => id -> rows.last }
+      assert(out(10L) == ((10L, Some(1L), false)))
+      assert(out(11L) == ((11L, None, true)))
+      assert(out(12L) == ((12L, Some(2L), false)))
+    } finally q.stop()
+  }
+
   test("transformWithState: streaming Misra-Gries keeps every heavy hitter") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
