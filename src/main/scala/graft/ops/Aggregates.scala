@@ -37,13 +37,17 @@ object Aggregates {
     """),
     doc = "G3 exact count-distinct (2-shuffle expand)")
 
-  /** G3 scale variant — HLL++ approximate distinct: ONE pass, no expand
-    * shuffle; the only formulation that survives 100 TB high-cardinality
-    * keys. DuckDB's HLL differs from Spark's HLL++, so the sketch VALUE
-    * can't be hash-compared — instead the query emits the exact count plus
-    * a boolean certifying the estimate sits within 5% of it (rsd=0.02 →
-    * 5% is >2σ), and the oracle computes the exact count and literal TRUE.
-    * That makes the tolerance contract itself hash-checkable; OperatorSpec
+  /** G3 scale variant — HLL++ approximate distinct: the sketch itself is
+    * ONE pass with no expand shuffle, the formulation that survives
+    * 100 TB high-cardinality keys. DuckDB's HLL differs from Spark's
+    * HLL++, so the sketch VALUE can't be hash-compared — instead the
+    * query emits the exact count plus a boolean certifying the estimate
+    * sits within 5% of it (rsd=0.02 → 5% is >2σ), and the oracle
+    * computes the exact count and literal TRUE. NOTE the exact
+    * countDistinct leg exists ONLY for this fixture-scale tolerance
+    * contract — it re-adds the expand shuffle the sketch avoids, so the
+    * registered query benches the verification harness, not the bare
+    * sketch; production keeps just the approx column. OperatorSpec
     * additionally bounds the raw error.
     */
   val approxDistinctQ: QueryDef = QueryDef(
@@ -120,16 +124,20 @@ object Aggregates {
     """),
     doc = "G5 describe-style summary incl. exact quartiles")
 
-  /** G5 scale twin — the PLANS.md-promised approx_percentile path: a
-    * single-pass mergeable quantile sketch instead of exact `percentile`'s
-    * full per-group value collection — the only formulation that survives
-    * 100 TB per-group value sets. DuckDB's sketch differs, so the sketch
-    * VALUES can't be hash-compared — instead each approx quartile is
-    * certified to land inside the exact-rank window [p-0.01, p+0.01]
-    * (accuracy=1000 guarantees rank error ≤ 0.001, so ±0.01 is 10× slack)
-    * and the oracle emits the group key, count, and literal TRUEs. The
-    * tolerance contract is thereby hash-checkable; OperatorSpec still
-    * bounds the raw error against the exact quartiles.
+  /** G5 scale twin — the PLANS.md-promised approx_percentile path: the
+    * sketch leg is a single-pass mergeable quantile summary instead of
+    * exact `percentile`'s full per-group value collection — the
+    * formulation that survives 100 TB per-group value sets. DuckDB's
+    * sketch differs, so the sketch VALUES can't be hash-compared —
+    * instead each approx quartile is certified to land inside the
+    * exact-rank window [p-0.01, p+0.01] (accuracy=1000 guarantees rank
+    * error ≤ 0.001, so ±0.01 is 10× slack) and the oracle emits the
+    * group key, count, and literal TRUEs. NOTE the exact `percentile`
+    * window leg exists ONLY for this fixture-scale tolerance contract —
+    * it collects per-group values, so the registered query benches the
+    * verification harness, not the bare sketch; production keeps just
+    * the approx column. OperatorSpec still bounds the raw error against
+    * the exact quartiles.
     */
   val summaryStatsApprox: QueryDef = QueryDef(
     "summary_stats_approx",

@@ -57,14 +57,19 @@ object Extended {
     * asserts the exchange is reused). At 100 TB this is exactly the
     * "hash once, reuse" layout you want.
     */
-  /** [[shingleHashes]] over any (doc_id, w) frame — parameterized so the
-    * streaming ingestion path (EventStream.incrementalDedupStream) can
-    * run the identical hash pipeline on an unbounded source.
+  /** [[shingleHashes]] over any (doc_id, w, carry...) frame —
+    * parameterized so the streaming ingestion path
+    * (EventStream.incrementalDedupStream) can run the identical hash
+    * pipeline on an unbounded source. Non-`w` columns ride through
+    * (streaming needs its event-time column to survive to the
+    * watermarked aggregate); batch callers pass ONLY (doc_id, w) so the
+    * exchange never carries document bodies.
     */
-  private[graft] def shingleHashesOf(dw: DataFrame): DataFrame =
+  private[graft] def shingleHashesOf(dw: DataFrame): DataFrame = {
+    val keep = dw.columns.filterNot(_ == "w").map(col).toSeq
     dw
-      .select(col("doc_id"),
-        expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hw"))
+      .select(keep :+
+        expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hw"): _*)
       // The exchange sits BETWEEN the md5 word-hash array and the
       // polynomial combine: element_at(hw, i) must address a MATERIALIZED
       // array. If hw stays a same-stage expression, CollapseProject
@@ -74,26 +79,31 @@ object Extended {
       // consumers. Post-exchange, the polynomial is cheap integer math
       // even when consumers inline it.
       .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(
+      .select(keep :+ expr(
         s"transform(sequence(1, size(hw) - 2), i -> " +
           s"(element_at(hw, i) * 961 + element_at(hw, i + 1) * 31 + element_at(hw, i + 2)) % $P)")
-        .as("hs"))
+        .as("hs"): _*)
+  }
 
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shingleHashesOf(docWords(s, d))
+    shingleHashesOf(docWords(s, d).select(col("doc_id"), col("w")))
 
-  /** MinHash signature frame (doc_id, m0..m11) over any (doc_id, w) frame. */
+  /** MinHash signature frame (doc_id, carry..., m0..m11) over any
+    * (doc_id, w, carry...) frame.
+    */
   private[graft] def signaturesOf(dw: DataFrame): DataFrame = {
     val mins = (0 until SigLen).map { j =>
       expr(s"CAST(array_min(transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT)")
         .as(s"m$j")
     }
-    shingleHashesOf(dw).select(col("doc_id") +: mins: _*)
+    val sh = shingleHashesOf(dw)
+    val keep = sh.columns.filterNot(_ == "hs").map(col).toSeq
+    sh.select(keep ++ mins: _*)
   }
 
   /** MinHash signature frame: doc_id, m0..m11. */
   private[graft] def signatures(s: SparkSession, d: String): DataFrame =
-    signaturesOf(docWords(s, d))
+    signaturesOf(docWords(s, d).select(col("doc_id"), col("w")))
 
   /** The persistable incremental-dedup state: one row per LSH bucket with
     * the min doc_id holding it — what `incremental_dedup` probes and what
@@ -160,14 +170,18 @@ object Extended {
 
   // ---- 2. MinHash + LSH near-dup ---------------------------------------
 
-  /** LSH banding: signature → (doc_id, band, bkey), one row per band. */
+  /** LSH banding: signature → (doc_id, carry..., band, bkey), one row
+    * per band; non-signature columns ride through.
+    */
   private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val ks = (0 until Rows).map(r => s"m${b * Rows + r}")
       s"struct($b AS band, concat(${ks.mkString(", '|', ")}) AS bkey)"
     }.mkString(", ")
-    sig.select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val sigCols = (0 until SigLen).map(j => s"m$j").toSet
+    val keep = sig.columns.filterNot(sigCols).map(col).toSeq
+    sig.select(keep :+ explode(expr(s"array($bandStructs)")).as("bs"): _*)
+      .select(keep ++ Seq(col("bs.band").as("band"), col("bs.bkey").as("bkey")): _*)
   }
 
   /** Distinct candidate pairs (d1 < d2) sharing any LSH band bucket.
@@ -2296,7 +2310,7 @@ object Extended {
 
   /** Exact heavy-hitter terms via a 2-pass Misra-Gries sketch — the
     * vocabulary-scale pattern: pass 1 runs the mergeable MG Aggregator
-    * ([[graft.functions.MisraGries]], k=28 counters) as one global
+    * ([[graft.functions.MisraGries]], k=29 counters) as one global
     * aggregate, so the shuffle carries ≤ k (term, weight) pairs per
     * partition instead of the full vocabulary; pass 2 exact-counts ONLY
     * the ≤ k surviving candidates (broadcast semi-join on the candidate

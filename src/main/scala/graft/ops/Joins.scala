@@ -154,11 +154,11 @@ object Joins {
   private val sqlSLon = "(abs(CAST(c_custkey AS DOUBLE) * 7.3e0) % 300e0 - 150e0)"
   private val sqlPLat = "(abs(s_acctbal) % 100e0 - 50e0)"
   private val sqlPLon = "(abs(CAST(s_suppkey AS DOUBLE) * 7.3e0) % 300e0 - 150e0)"
+  /** The one shared haversine text — [[Scalars.sqlHaversineKm]] carries
+    * the IEEE-parity and asin-clamp rationale; never fork the formula.
+    */
   private def sqlHavKm(lat1: String, lon1: String, lat2: String, lon2: String): String =
-    s"2e0 * 6371.0088e0 * asin(sqrt(least(1e0, " +
-      s"pow(sin(radians(($lat2 - ($lat1)) / 2e0)), 2e0) + " +
-      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
-      s"pow(sin(radians(($lon2 - ($lon1)) / 2e0)), 2e0))))"
+    Scalars.sqlHaversineKm(lat1, lon1, lat2, lon2)
 
   val nearestKnnIrregular: QueryDef = QueryDef(
     "nearest_knn_irregular",

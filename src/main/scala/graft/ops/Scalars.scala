@@ -265,7 +265,7 @@ object Scalars {
     */
   private val sqlLat = "(abs(c_acctbal) % 120e0 - 60e0)"
   private val sqlLon = "(abs(CAST(c_custkey AS DOUBLE) * 7.3e0) % 360e0 - 180e0)"
-  private def sqlHaversineKm(lat1: String, lon1: String, lat2: String, lon2: String): String =
+  private[graft] def sqlHaversineKm(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"2e0 * 6371.0088e0 * asin(sqrt(least(1e0, " +
       s"pow(sin(radians(($lat2 - ($lat1)) / 2e0)), 2e0) + " +
       s"cos(radians($lat1)) * cos(radians($lat2)) * " +

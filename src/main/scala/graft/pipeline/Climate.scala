@@ -51,19 +51,29 @@ object Climate {
   private[graft] def stampUtf8Bom(dir: String): Unit = {
     val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
     def walk(f: java.io.File): Unit =
-      if (f.isDirectory) f.listFiles().foreach(walk)
+      if (f.isDirectory)
+        // listFiles is null (not empty) if the dir vanished; parallel
+        // suites overwrite this shared sink dir mid-walk (GoldenReference
+        // runs alongside the query specs), so tolerate disappearance
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
       else if (f.getName.endsWith(".csv")) {
         val p = f.toPath
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        val stamped = bytes.length >= 3 && bytes(0) == bom(0) &&
-          bytes(1) == bom(1) && bytes(2) == bom(2)
-        if (!stamped) {
-          java.nio.file.Files.write(p, bom ++ bytes)
-          // the commit wrote through Hadoop's ChecksumFileSystem: its
-          // .crc sidecar no longer matches the rewritten bytes and a
-          // later read throws ChecksumException — drop it
-          java.nio.file.Files.deleteIfExists(
-            p.resolveSibling("." + f.getName + ".crc"))
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val stamped = bytes.length >= 3 && bytes(0) == bom(0) &&
+            bytes(1) == bom(1) && bytes(2) == bom(2)
+          if (!stamped) {
+            java.nio.file.Files.write(p, bom ++ bytes)
+            // the commit wrote through Hadoop's ChecksumFileSystem: its
+            // .crc sidecar no longer matches the rewritten bytes and a
+            // later read throws ChecksumException — drop it
+            java.nio.file.Files.deleteIfExists(
+              p.resolveSibling("." + f.getName + ".crc"))
+          }
+        } catch {
+          // a concurrent overwrite deleted the part file between the
+          // walk and the read — the overwriting run stamps its own files
+          case _: java.nio.file.NoSuchFileException => ()
         }
       }
     walk(new java.io.File(dir))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Join, JoinHint, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
+  Join, JoinHint, LogicalPlan, ResolvedHint, UnaryNode}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Analysis CHECK rule (the engine's fourth extension point, after
@@ -34,18 +34,20 @@ import org.apache.spark.sql.internal.SQLConf
 object NoUnhintedCartesian extends (LogicalPlan => Unit) {
   private val Conf = "spark.graft.failOnCartesian"
 
-  /** The hint must govern THIS join side: accept a ResolvedHint only as
-    * the direct child or through transparent wrappers (alias/projection).
-    * A whole-subtree search would let an unrelated broadcast() buried
-    * below an already-joined input legitimize an unbounded cartesian
-    * above it.
+  /** The hint must govern THIS join side: accept a ResolvedHint reached
+    * through UNARY nodes only (alias, projection, filter, limit, sort,
+    * aggregate — exactly the nodes Spark's own EliminateResolvedHint
+    * propagates hints up through, so anything Spark would honor as a
+    * hint on this side counts). Binary nodes stop the descent: a
+    * broadcast() buried below an already-joined input governs THAT
+    * join, and letting it legitimize an unbounded cartesian above it
+    * would gut the guard.
     */
   @annotation.tailrec
   private def hinted(p: LogicalPlan): Boolean = p match {
-    case _: ResolvedHint  => true
-    case a: SubqueryAlias => hinted(a.child)
-    case pr: Project      => hinted(pr.child)
-    case _                => false
+    case _: ResolvedHint => true
+    case u: UnaryNode    => hinted(u.child)
+    case _               => false
   }
 
   private def oneRow(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L)

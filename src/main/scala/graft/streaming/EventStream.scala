@@ -384,27 +384,38 @@ object EventStream {
   }
 
   /** Streaming ingestion dedup — `incremental_dedup`'s unbounded twin:
-    * new documents arrive on a stream, the corpus signature store
-    * ([[graft.ops.Extended.bucketStoreOf]]: one (band, bkey) → min
-    * doc_id row per LSH bucket) is the STATIC side of a stream-static
-    * left join. The stream side runs the IDENTICAL MinHash/banding
-    * pipeline as batch (same md5 word hashes, same shingle polynomial,
-    * same band keys — all row-local, so it streams without watermarks),
-    * probes the store, and the Update-mode per-doc min aggregate emits
-    * (doc_id, dup_of, kept). State is O(docs in flight); the store is
-    * refreshed by re-running the batch store builder on the grown
-    * corpus — exactly the snapshot cadence a production ingest runs.
+    * new documents (doc_id, ts, text) arrive on a stream, the corpus
+    * signature store ([[graft.ops.Extended.bucketStoreOf]]: one
+    * (band, bkey) → min doc_id row per LSH bucket) is the STATIC side
+    * of a stream-static left join. The stream side runs the IDENTICAL
+    * MinHash/banding pipeline as batch (same md5 word hashes, same
+    * shingle polynomial, same band keys — the event-time column rides
+    * through the parameterized helpers), probes the store, and an
+    * Update-mode per-(window, doc) min aggregate merges the 4 band
+    * verdicts. The 10-minute watermark + 5-minute ingest window bound
+    * the aggregate's state: rows evict once the watermark passes their
+    * window — state is O(docs per watermark horizon), NOT O(docs ever
+    * streamed). Docs under 3 words carry no signature and are emitted
+    * kept=true via the stateless union branch — the batch contract.
+    * The store is refreshed by re-running the batch builder on the
+    * grown corpus, exactly the snapshot cadence a production ingest
+    * runs.
     */
   def incrementalDedupStream(
       docs: DataFrame, corpusBuckets: DataFrame): DataFrame = {
-    val dw = docs
-      .select(col("doc_id"), graft.core.Text.words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-    graft.ops.Extended.bandsOf(graft.ops.Extended.signaturesOf(dw))
+    val dw = docs.withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        graft.core.Text.words(col("text")).as("w"))
+    val verdicts = graft.ops.Extended.bandsOf(graft.ops.Extended.signaturesOf(
+        dw.filter(size(col("w")) >= 3).select(col("doc_id"), col("w"), col("ts"))))
       .join(corpusBuckets, Seq("band", "bkey"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(window(col("ts"), "5 minutes"), col("doc_id"))
       .agg(min(col("old_min")).as("dup_of"))
       .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+    val shortKept = dw.filter(size(col("w")) < 3)
+      .select(col("doc_id"), lit(null).cast("long").as("dup_of"),
+        lit(true).as("kept"))
+    verdicts.union(shortKept)
   }
 
   val all: Seq[QueryDef] =

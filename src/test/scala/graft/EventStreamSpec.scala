@@ -365,20 +365,23 @@ class EventStreamSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six seven")).toDF("doc_id", "text")
     val store = graft.ops.Extended.bucketStoreOf(corpusDocs)
-    val mem = MemoryStream[(Long, String)]
+    val mem = MemoryStream[(Long, Timestamp, String)]
     val q = EventStream.incrementalDedupStream(
-        mem.toDS().toDF("doc_id", "text"), store)
+        mem.toDS().toDF("doc_id", "ts", "text"), store)
       .writeStream.format("memory").queryName("incdedup_out")
       .outputMode(OutputMode.Update()).start()
     try {
       // doc 10 copies corpus doc 1's text exactly: every band bucket
-      // matches -> dup_of = 1; doc 11 shares no shingle -> kept
+      // matches -> dup_of = 1; doc 11 shares no shingle -> kept;
+      // doc 13 is under 3 words -> no signature, kept via the
+      // stateless branch
       mem.addData(
-        (10L, "alpha beta gamma delta epsilon zeta"),
-        (11L, "totally different words here indeed"))
+        (10L, ts(0), "alpha beta gamma delta epsilon zeta"),
+        (11L, ts(1), "totally different words here indeed"),
+        (13L, ts(1), "two words"))
       q.processAllAvailable()
       // a later batch still probes the same static store
-      mem.addData((12L, "one two three four five six seven"))
+      mem.addData((12L, ts(2), "one two three four five six seven"))
       q.processAllAvailable()
       val out = spark.table("incdedup_out")
         .as[(Long, Option[Long], Boolean)].collect()
@@ -386,6 +389,7 @@ class EventStreamSpec extends SparkSpec {
       assert(out(10L) == ((10L, Some(1L), false)))
       assert(out(11L) == ((11L, None, true)))
       assert(out(12L) == ((12L, Some(2L), false)))
+      assert(out(13L) == ((13L, None, true)))
     } finally q.stop()
   }
 

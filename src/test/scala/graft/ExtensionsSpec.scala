@@ -108,6 +108,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unhinted cartesian"))
     // explicitly hinted: allowed (the brute-force-baseline shape)
     assert(a.crossJoin(broadcast(b)).count() === 9)
+    // hint under a unary node (filter): Spark's EliminateResolvedHint
+    // still honors it, so the guard must too
+    assert(a.crossJoin(broadcast(b).filter(col("y") >= 0)).count() === 9)
+    // ...but a hint below a JOIN on that side governs that join, not
+    // this cartesian — still rejected
+    val e2 = intercept[Exception] {
+      a.crossJoin(b.join(broadcast(spark.range(3).toDF("z")),
+        col("y") === col("z")))
+    }
+    assert(e2.getMessage.contains("unhinted cartesian"))
     // one-row side (scalar cross join): allowed without a hint
     assert(a.crossJoin(b.agg(count(lit(1)).as("n"))).count() === 3)
     // per-session escape hatch
