@@ -35,6 +35,29 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "dim join not broadcast")
   }
 
+  test("no shuffle in the dedup/signature family carries document bodies") {
+    // The round-4 helper parameterization lets carry columns ride the
+    // MinHash pipeline (streaming needs its event-time column); batch
+    // callers must keep passing only (doc_id, w) so the signature
+    // exchange shuffles hashes, never text. This locks that invariant
+    // mechanically for every registered consumer of the pipeline.
+    val family = Seq("minhash_lsh_pairs", "dup_clusters", "cluster_canonical",
+      "incremental_dedup", "minhash_calibration", "ngram_jaccard_pairs",
+      "decontaminate", "boilerplate_frac", "corpus_overlap",
+      "semantic_dedup", "paraphrase_pairs")
+    family.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      shuffles.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"$name shuffles the document body: ${e.output.map(_.name)}")
+      }
+    }
+  }
+
   test("no unintended nested-loop or cartesian join in ANY query plan") {
     // These queries broadcast a deliberately tiny side against every row:
     // the brute-force top-k baseline (whole point: score all pairs), IVF
