@@ -149,8 +149,12 @@ object Extended {
   val exactDedup: QueryDef = QueryDef(
     "exact_dedup",
     (s, d) => {
+      // prune text BEFORE the window: the body feeds sha2 and nothing
+      // else, so the dedup exchange shuffles the 32-byte digest + 3
+      // scalars — never the documents themselves (guarded in ScaleSpec)
       val h = Tables.documents(s, d)
-        .withColumn("h", sha2(col("text"), 256))
+        .select(col("doc_id"), col("lang"), col("source"),
+          sha2(col("text"), 256).as("h"))
       val w = Window.partitionBy(col("h"))
       h.withColumn("n_dups", count(lit(1)).over(w))
         .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))

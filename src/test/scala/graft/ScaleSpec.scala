@@ -41,10 +41,10 @@ class ScaleSpec extends SparkSpec {
     // callers must keep passing only (doc_id, w) so the signature
     // exchange shuffles hashes, never text. This locks that invariant
     // mechanically for every registered consumer of the pipeline.
-    val family = Seq("minhash_lsh_pairs", "dup_clusters", "cluster_canonical",
-      "incremental_dedup", "minhash_calibration", "ngram_jaccard_pairs",
-      "decontaminate", "boilerplate_frac", "corpus_overlap",
-      "semantic_dedup", "paraphrase_pairs")
+    val family = Seq("exact_dedup", "minhash_lsh_pairs", "dup_clusters",
+      "cluster_canonical", "incremental_dedup", "minhash_calibration",
+      "ngram_jaccard_pairs", "decontaminate", "boilerplate_frac",
+      "corpus_overlap", "semantic_dedup", "paraphrase_pairs")
     family.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.sparkPlan
