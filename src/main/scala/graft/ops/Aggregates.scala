@@ -42,7 +42,9 @@ object Aggregates {
     * 100 TB high-cardinality keys. DuckDB's HLL differs from Spark's
     * HLL++, so the sketch VALUE can't be hash-compared — instead the
     * query emits the exact count plus a boolean certifying the estimate
-    * sits within 5% of it (rsd=0.02 → 5% is >2σ), and the oracle
+    * sits within 10% of it (rsd=0.02 → 10% is 5σ, wide enough that an
+    * HLL++ implementation change or a new scale factor can't flip the
+    * boolean; OperatorSpec keeps the tight bound), and the oracle
     * computes the exact count and literal TRUE. NOTE the exact
     * countDistinct leg exists ONLY for this fixture-scale tolerance
     * contract — it re-adds the expand shuffle the sketch avoids, so the
@@ -59,14 +61,14 @@ object Aggregates {
           countDistinct(col("o_custkey")).as("n_cust_exact"))
         .select(col("o_orderpriority"), col("n_cust_exact"),
           (abs(col("approx") - col("n_cust_exact")) <=
-            col("n_cust_exact") * 0.05).as("within_5pct"))
+            col("n_cust_exact") * 0.10).as("within_10pct"))
         .orderBy(col("o_orderpriority")),
     Some("""
       SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust_exact,
-             TRUE AS within_5pct
+             TRUE AS within_10pct
       FROM orders GROUP BY 1 ORDER BY 1
     """),
-    doc = "G3 scale path: single-pass HLL++ with hash-checkable 5% tolerance contract")
+    doc = "G3 scale path: single-pass HLL++ with hash-checkable 10% tolerance contract")
 
   /** G4 — global min/max/count as a standalone query (the reference's
     * whole-array `float(min())/float(max())` diagnostics, annual.py:522).

@@ -45,6 +45,16 @@ object Graph {
     * construction-time jobs in ScaleSpec's laziness guard) keeps the
     * whole query one lazy plan; the first action populates the cache and
     * the other two references scan it.
+    *
+    * The persist is DELIBERATELY never unpersisted: the query fn returns
+    * a lazy DataFrame, so there is no "after the action" point inside the
+    * fn to release it, and CacheManager dedups the identical plan to one
+    * InMemoryRelation per sfDir (edge list ≤ |V|² = 625 rows here; nation
+    * count, not corpus-sized, at any SF). Unified memory can evict it
+    * under pressure, so the steady-state cost in a long session is one
+    * evictable edge-list cache entry — acceptable; revisit with a
+    * QueryExecutionListener-driven unpersist only if bench shows cache
+    * pressure.
     */
   val pagerank: QueryDef = QueryDef(
     "pagerank_trade",

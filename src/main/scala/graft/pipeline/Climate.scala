@@ -42,11 +42,15 @@ object Climate {
     * (process_climate_amazon_monthly.py:461, annual.py:506 — the BOM is
     * there so Excel detects UTF-8): stamp the 3-byte BOM onto every part
     * CSV after the commit. Java ships no "utf-8-sig" charset and the CSV
-    * writer has no BOM switch, so this is a post-commit touch-up —
-    * driver-side but file-COUNT-bounded (like the commit protocol's own
-    * renames), never a data pass. Idempotent: already-stamped files are
-    * left alone. Readers are unaffected: with header=true the BOM rides
-    * the header line, which schema-on-read skips.
+    * writer has no BOM switch, so this is a post-commit touch-up. It IS a
+    * driver-side data pass over the sink files (unavoidable: prepending
+    * to a file means rewriting it), but a STREAMING one — BOM + a
+    * fixed-buffer transferTo into a temp sibling, then an atomic rename —
+    * so driver memory stays O(1) regardless of part-file size; only the
+    * sink's own bytes are touched, never the corpus. Idempotent:
+    * already-stamped files are left alone. Readers are unaffected: with
+    * header=true the BOM rides the header line, which schema-on-read
+    * skips.
     */
   private[graft] def stampUtf8Bom(dir: String): Unit = {
     val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
@@ -59,11 +63,23 @@ object Climate {
       else if (f.getName.endsWith(".csv")) {
         val p = f.toPath
         try {
-          val bytes = java.nio.file.Files.readAllBytes(p)
-          val stamped = bytes.length >= 3 && bytes(0) == bom(0) &&
-            bytes(1) == bom(1) && bytes(2) == bom(2)
+          val head = new Array[Byte](3)
+          val n = {
+            val in = java.nio.file.Files.newInputStream(p)
+            try in.readNBytes(head, 0, 3) finally in.close()
+          }
+          val stamped = n == 3 && head(0) == bom(0) &&
+            head(1) == bom(1) && head(2) == bom(2)
           if (!stamped) {
-            java.nio.file.Files.write(p, bom ++ bytes)
+            val tmp = p.resolveSibling("." + f.getName + ".bomtmp")
+            val out = java.nio.file.Files.newOutputStream(tmp)
+            try {
+              out.write(bom)
+              val in = java.nio.file.Files.newInputStream(p)
+              try in.transferTo(out) finally in.close()
+            } finally out.close()
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             // the commit wrote through Hadoop's ChecksumFileSystem: its
             // .crc sidecar no longer matches the rewritten bytes and a
             // later read throws ChecksumException — drop it
