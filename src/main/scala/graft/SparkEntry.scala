@@ -18,6 +18,7 @@ object SparkEntry {
     ops.Filters.all ++ ops.Scalars.all ++ ops.Joins.all ++
       ops.Aggregates.all ++ ops.Windows.all ++ ops.Extended.all ++
       ops.Analytics.all ++ ops.Relational.all ++ ops.Graph.all ++
+      ops.Clustering.all ++
       ops.Multimodal.all ++ ops.Typed.all ++
       streaming.EventStream.all ++ pipeline.Climate.all
 

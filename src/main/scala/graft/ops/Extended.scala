@@ -2248,6 +2248,71 @@ object Extended {
     """),
     doc = "corpus-unigram cross-entropy per doc (micro-bit integer sums)")
 
+  /** Bigram language-model perplexity with add-one smoothing — the
+    * stronger LM-quality signal next to perplexity_unigram (repetitive
+    * or machine-generated text scores much lower bigram surprise than
+    * unigram). Model: p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V) where c(w1·)
+    * counts w1 as a bigram PREFIX and V is the corpus vocabulary, all
+    * exact integers — the only float op per token is one log2 of a ratio
+    * of identical operands, quantized to integer micro-bits before the
+    * per-doc sum (the perplexity_unigram discipline: exact long addition
+    * is order-independent across partitions, so the per-doc aggregate is
+    * bit-identical cross-engine). Scale shape: bigram expansion stays
+    * in-plan (transform over the words array, no self-join and no
+    * per-doc window); the two model joins are equi-joins on the bigram /
+    * prefix key — broadcast at fixture scale, plain shuffle joins at
+    * 100 TB where the bigram vocabulary no longer fits a broadcast; the
+    * one-row V frame rides as a broadcast scalar (intended BNLJ).
+    */
+  val perplexityBigram: QueryDef = QueryDef(
+    "perplexity_bigram",
+    (s, d) => {
+      val ws = docWords(s, d)
+      val bi = ws.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+            .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bv = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_b"))
+      val pv = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_p"))
+      val vv = ws.select(explode(col("w")).as("term"))
+        .agg(countDistinct(col("term")).as("v"))
+      bi.join(bv, Seq("w1", "w2")).join(pv, Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"), expr(
+          "CAST(floor(-log2(CAST(n_b + 1 AS DOUBLE) / CAST(n_p + v AS DOUBLE))" +
+            " * 1000000e0 + 0.5e0) AS BIGINT)").as("ubits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ubits")).as("su"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Text.hround(
+            col("su").cast("double") / col("n_bigrams").cast("double") / lit(1e6),
+            4).as("bits"))
+        .withColumn("ppl", Text.hround(pow(lit(2.0), col("bits")), 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      bi AS (SELECT doc_id, unnest(w[1:len(w) - 1]) AS w1,
+                    unnest(w[2:len(w)]) AS w2 FROM ws),
+      bv AS (SELECT w1, w2, count(*) AS n_b FROM bi GROUP BY 1, 2),
+      pv AS (SELECT w1, count(*) AS n_p FROM bi GROUP BY 1),
+      vv AS (SELECT count(DISTINCT term) AS v
+             FROM (SELECT unnest(w) AS term FROM ws)),
+      sc AS (SELECT doc_id,
+               CAST(floor(-log2(CAST(n_b + 1 AS DOUBLE) / CAST(n_p + v AS DOUBLE))
+                 * 1000000e0 + 0.5e0) AS BIGINT) AS ubits
+             FROM bi JOIN bv USING (w1, w2) JOIN pv USING (w1), vv),
+      pd AS (SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(ubits) AS DOUBLE) AS su FROM sc GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             ${Text.sqlHround("su / CAST(n_bigrams AS DOUBLE) / 1e6", 4)} AS bits,
+             ${Text.sqlHround(
+        "pow(2e0, " + Text.sqlHround("su / CAST(n_bigrams AS DOUBLE) / 1e6", 4) + ")", 2)} AS ppl
+      FROM pd ORDER BY doc_id
+    """),
+    doc = "add-one-smoothed bigram LM perplexity per doc (micro-bit integer sums)")
+
   /** DSIR-style importance weighting for data selection: score every
     * document by how much more likely its tokens are under a TARGET
     * unigram model (here: the English sub-corpus, standing in for the
@@ -2470,5 +2535,6 @@ object Extended {
     curationPipeline, trainTestSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, docChunks, tfidf,
     bm25TopK, decontaminate, repetitionScore, packSequences,
-    perplexityUnigram, quantizeEmbeddings, boilerplateFrac, heavyHitters)
+    perplexityUnigram, perplexityBigram, quantizeEmbeddings,
+    boilerplateFrac, heavyHitters)
 }

@@ -250,6 +250,52 @@ object Relational {
     },
     doc = "Morton-code clustering: per-Z-range bounding boxes on both dims")
 
+  /** Bucketed co-located join — the OTHER storage-layout primitive next
+    * to zorder_cluster: write both fact tables bucketed (and sorted) by
+    * the join key once, and every subsequent join on that key skips BOTH
+    * exchanges — at 100 TB the single biggest shuffle in the repeated
+    * fact-fact join is gone (BucketingSpec asserts the no-exchange plan
+    * property). The fn IS the write-then-join round trip: bucketed
+    * saveAsTable into a session-unique database (sfDir+pid keyed, like
+    * the CSV sink — concurrent sessions never clobber), then a
+    * merge-hinted join (the hint forces the sort-merge path at fixture
+    * scale where auto-broadcast would bypass the bucketed layout; at
+    * production scale neither side broadcasts and the hint is a no-op).
+    * The write is a deliberately EAGER construction step (ScaleSpec
+    * eager set) — it is a sink round trip, like json_sink_roundtrip.
+    */
+  val bucketedJoin: QueryDef = QueryDef(
+    "bucketed_join",
+    (s, d) => {
+      val db = ("graft_bk_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        ProcessHandle.current().pid()).toLowerCase
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      s.table(s"$db.lineitem_b").hint("merge")
+        .join(s.table(s"$db.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Num.sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+             ${Num.sqlSum2("l_quantity")} AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "bucketed-by-join-key tables joined without shuffling either side")
+
   /** The `spark.sql(...)` entry point — the OTHER half of the API surface
     * (every other query drives the DataFrame DSL; a reference user coming
     * from SQL writes this instead). Registers the fixture as a temp view
@@ -454,6 +500,6 @@ object Relational {
 
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
-      zorderCluster, sqlPricing, sqlShippingPriority, sqlExistsSubquery,
-      sqlCorrelatedSubquery, globalRowIndex)
+      zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
+      sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex)
 }

@@ -75,10 +75,16 @@ class ScaleSpec extends SparkSpec {
     // V) with the token stream — perplexity_unigram's exact shape.
     // heavy_hitters broadcasts its ONE-ROW total-count frame and the
     // ≤ k-row Misra-Gries candidate list — both KB-scale by construction.
+    // kmeans_embed/embed_outliers/knn_classify broadcast K-row centroid
+    // frames, one-row mean/threshold scalars, or the tiny query set —
+    // all KB-scale builds (ops/Clustering.scala scaladocs); and
+    // perplexity_bigram rides its ONE-ROW vocabulary-size frame exactly
+    // like perplexity_unigram.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
       "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk",
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
-      "nearest_knn_irregular", "importance_weights", "heavy_hitters")
+      "nearest_knn_irregular", "importance_weights", "heavy_hitters",
+      "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
@@ -142,7 +148,7 @@ class ScaleSpec extends SparkSpec {
     val eager = Set("box_range_filter", "split_partitioned_write",
       "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
       "cluster_canonical", "semantic_dedup", "compact_small_files",
-      "schema_evolution_read", "xml_sink_roundtrip")
+      "schema_evolution_read", "xml_sink_roundtrip", "bucketed_join")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
