@@ -123,5 +123,76 @@ object Graph {
     },
     doc = s"integer-exact damped PageRank, $Iters fixed join+agg iterations on the trade graph")
 
-  val all: Seq[QueryDef] = Seq(pagerank)
+  /** Per-node triangle participation on the undirected trade graph —
+    * the clustering-coefficient numerator, and the classic test that a
+    * relational engine can do multi-hop graph patterns without a graph
+    * framework. Edges are DIRECTION-COLLAPSED (least/greatest, distinct)
+    * then ORIENTED low→high, which makes the two-hop wedge join
+    * (a<b ⋈ b<c) enumerate each candidate triangle exactly once and
+    * bounds the wedge count by Σ d²(v) of the ORIENTED degree — the
+    * standard trick that keeps intermediate size survivable on
+    * power-law graphs at scale (every hub's edges point INTO it, so its
+    * oriented out-degree stays small). The closing (a,c) probe and both
+    * hops are plain equi-joins; the thrice-referenced oriented edge list
+    * is pinned with persist() exactly like pagerank's (same deliberate
+    * session-lifetime cache, same rationale — see pagerank scaladoc).
+    * Pure integer compute; nodes outside any triangle report 0 via the
+    * left join to the nation dim.
+    */
+  val triangleCount: QueryDef = QueryDef(
+    "triangle_count",
+    (s, d) => {
+      val raw = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+      val edges = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .persist()
+      val wedges = edges.select(col("a"), col("b").as("m"))
+        .join(edges.select(col("a").as("m"), col("b").as("c")), Seq("m"))
+      val tris = wedges.join(edges.select(col("a"), col("b").as("c")),
+        Seq("a", "c"))
+        .select(col("a"), col("m").as("b"), col("c"))
+      val perNode = tris
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+        .join(perNode, Seq("node"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH raw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw),
+      tris AS (
+        SELECT e1.a, e1.b AS m, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pn AS (SELECT node, count(*) AS n_tri FROM (
+               SELECT unnest([a, m, c]) AS node FROM tris) GROUP BY 1)
+      SELECT n.n_name, coalesce(pn.n_tri, 0) AS n_tri
+      FROM nation n LEFT JOIN pn ON pn.node = n.n_nationkey
+      ORDER BY n.n_name
+    """),
+    doc = "oriented-wedge triangle counting per nation on the trade graph")
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangleCount)
 }

@@ -480,7 +480,51 @@ object Joins {
     """),
     doc = "native as-of join exec (custom plan+strategy), payload carried through")
 
+  /** Bloom-pruned semi-join reduction — the 100 TB fact-dim join
+    * optimization made structural (functions/Bloom.scala has the full
+    * scale story). The dim side (high-value orders, ~4% selectivity at
+    * every fixture SF) aggregates its join keys into one KB-scale Bloom
+    * sketch, delivered to the fact scan as a scalar subquery; fact rows
+    * failing `might_contain` never reach the join shuffle. False
+    * positives survive the prune but are removed by the exact equi-join
+    * that follows, so the result is EXACTLY the unpruned join — which is
+    * what the oracle checks (DuckDB runs the plain join; any bloom
+    * false-NEGATIVE would show up as a missing row / hash mismatch).
+    * The temp-view name is session-unique per sfDir so concurrent
+    * sessions never cross-wire sketches.
+    */
+  val bloomPrunedJoin: QueryDef = QueryDef(
+    "bloom_pruned_join",
+    (s, d) => {
+      graft.functions.BloomFunctions.register(s)
+      val view = ("graft_bf_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        ProcessHandle.current().pid()).toLowerCase
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      dim.agg(expr("graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)")
+        .as("bf")).createOrReplaceTempView(view)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .filter(expr(
+          s"graft_might_contain((SELECT bf FROM $view), xxhash64(l_orderkey))"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Num.sum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+             ${Num.sqlSum2("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 480000.0
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "Bloom-sketch semi-join reduction; exact join removes false positives")
+
   val all: Seq[QueryDef] =
     Seq(pivotAlign, snapJoin, nearestWindow, nearestKnnIrregular, dimEnrich,
-      asof, asofNative, saltedSkewJoin, bigJoinBrand, rangeJoin, mergeUpsert)
+      asof, asofNative, saltedSkewJoin, bigJoinBrand, rangeJoin, mergeUpsert,
+      bloomPrunedJoin)
 }

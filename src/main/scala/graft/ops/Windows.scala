@@ -251,6 +251,82 @@ object Windows {
     """),
     doc = "forward-fill nulls per key (last ignore-nulls, growing frame)")
 
+  /** Linear time-interpolation gap repair — forward_fill's better-behaved
+    * sibling for continuous sensor series: each null takes the value
+    * interpolated between the key's previous and next non-null readings,
+    * weighted by TIME position (epoch microseconds, so unequal gap
+    * spacing interpolates correctly). Two per-key windows (growing /
+    * shrinking frame) fetch both anchors in one pass each — no self-join,
+    * no spine. Edge discipline: leading nulls take the next anchor,
+    * trailing nulls the previous, and a zero-width time gap (both
+    * anchors in the same microsecond) degenerates to the previous value
+    * — every branch guarded identically in both engines. Parity: the
+    * anchors and epoch deltas are exact (verbatim doubles / BIGINTs), so
+    * the interpolation is a chain of IEEE ops on identical operands,
+    * hround'd to 4 dp.
+    */
+  val linearInterpFill: QueryDef = QueryDef(
+    "linear_interp_fill",
+    (s, d) => {
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val base = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("v_gappy",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("anchor_us",
+          when(col("v_gappy").isNotNull, col("us")))
+      val anchored = base
+        .withColumn("pv", last(col("v_gappy"), ignoreNulls = true).over(wPrev))
+        .withColumn("pu", last(col("anchor_us"), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v_gappy"), ignoreNulls = true).over(wNext))
+        .withColumn("nu", first(col("anchor_us"), ignoreNulls = true).over(wNext))
+      anchored.withColumn("v_interp", Text.hround(
+          when(col("v_gappy").isNotNull, col("v_gappy"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nu") === col("pu"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("us") - col("pu")).cast("double") /
+                (col("nu") - col("pu")).cast("double"))), 4))
+        .select(col("event_id"), col("user_id"), col("v_gappy"),
+          col("v_interp"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_gappy,
+               CASE WHEN event_type = 'error' THEN NULL ELSE epoch_us(ts) END AS anchor_us
+        FROM events),
+      a AS (
+        SELECT *,
+          last_value(v_gappy IGNORE NULLS) OVER wp AS pv,
+          last_value(anchor_us IGNORE NULLS) OVER wp AS pu,
+          first_value(v_gappy IGNORE NULLS) OVER wn AS nv,
+          first_value(anchor_us IGNORE NULLS) OVER wn AS nu
+        FROM b
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id, v_gappy,
+             ${Text.sqlHround(
+        """CASE WHEN v_gappy IS NOT NULL THEN v_gappy
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               WHEN nu = pu THEN pv
+               ELSE pv + (nv - pv) *
+                 (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)) END""", 4)}
+               AS v_interp
+      FROM a ORDER BY event_id
+    """),
+    doc = "per-key linear time-interpolation of null readings (two window passes)")
+
   /** Time-RANGE trailing window: per-user 7-day trailing event count and
     * exact-decimal sum — the frame is defined by the TIME interval, not a
     * row count (RANGE, not ROWS: irregular event spacing means row frames
@@ -652,7 +728,7 @@ object Windows {
 
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
-      minmaxScale, forwardFill, trailing7d, ntileBucket, scd2History,
-      sessionizeBatch, markovTransitions, ewmaSmooth, climatologyAnomaly,
-      rollingCorr, rollingDistinct7d)
+      minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
+      scd2History, sessionizeBatch, markovTransitions, ewmaSmooth,
+      climatologyAnomaly, rollingCorr, rollingDistinct7d)
 }
