@@ -440,7 +440,155 @@ object Analytics {
     """),
     doc = "chi-square independence: one shuffle to cells, windows over cells only")
 
+  /** Market-basket association mining over order baskets (items = the
+    * distinct part BRANDS in one order): pair co-occurrence count,
+    * support, and lift per unordered brand pair. The scale-critical
+    * choice is the PAIR ENUMERATION: baskets are grouped once per order
+    * and pairs expand IN-PLAN from the sorted basket array (the
+    * groupBy+pair-expand house shape — no items-side self-join, which
+    * would re-execute the item derivation under stacked broadcasts).
+    * Per-basket expansion is O(k²) with k bounded by lines-per-order
+    * (~7), so the blowup is a small constant × lineitem — at 100 TB the
+    * heavy shuffle keys are (order) then (brand,brand), both equi-keyed
+    * with map-side combine, and the brand-count dim (≤25 rows) plus the
+    * one-row basket total ride as broadcasts (ScaleSpec-intended scalar
+    * shape). Parity: support/lift are single IEEE divisions of exact
+    * integer operands, hround'd.
+    */
+  val marketBasket: QueryDef = QueryDef(
+    "market_basket_lift",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+        .distinct()
+      val baskets = items.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val totals = baskets.agg(count(lit(1)).as("nb"))
+      val brandN = items.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_one"))
+      val pairs = baskets
+        .select(explode(expr(
+          "flatten(transform(bs, (x, i) -> transform(" +
+            "slice(bs, i + 2, size(bs) - i - 1), y -> " +
+            "struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(brandN.select(col("p_brand").as("brand_a"),
+          col("n_one").as("n_a"))), Seq("brand_a"))
+        .join(broadcast(brandN.select(col("p_brand").as("brand_b"),
+          col("n_one").as("n_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(totals))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          Text.hround(col("n_ab").cast("double") / col("nb"), 6)
+            .as("support"),
+          Text.hround((col("nb") * col("n_ab")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy(col("brand_a"), col("brand_b"))
+    },
+    Some(s"""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      t AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items),
+      ba AS (SELECT p_brand, count(*) AS n_one FROM items GROUP BY 1),
+      pr AS (
+        SELECT i1.p_brand AS brand_a, i2.p_brand AS brand_b,
+               count(*) AS n_ab
+        FROM items i1 JOIN items i2
+          ON i1.l_orderkey = i2.l_orderkey AND i1.p_brand < i2.p_brand
+        GROUP BY 1, 2)
+      SELECT p.brand_a, p.brand_b, p.n_ab, a.n_one AS n_a, b.n_one AS n_b,
+             ${Text.sqlHround("CAST(p.n_ab AS DOUBLE) / t.nb", 6)} AS support,
+             ${Text.sqlHround(
+        "CAST(t.nb * p.n_ab AS DOUBLE) / CAST(a.n_one * b.n_one AS DOUBLE)",
+        6)} AS lift
+      FROM pr p
+      CROSS JOIN t
+      JOIN ba a ON a.p_brand = p.brand_a
+      JOIN ba b ON b.p_brand = p.brand_b
+      ORDER BY brand_a, brand_b
+    """),
+    doc = "brand-pair co-occurrence with support/lift; in-plan pair expansion")
+
+  /** Welch's unequal-variance t-test between two deterministic user
+    * cohorts (user_id parity — chi_square_independence's split) on
+    * purchase value: the A/B-test primitive. ONE partial+final moment
+    * aggregation (n, Σx, Σx² as exact decimals per cohort — the
+    * corr_regr discipline) then a 2-row pivot; mean/variance/t/df are
+    * IEEE chains on identical operands, so the statistic matches DuckDB
+    * bit-for-bit before the final hround. At 100 TB this is a single
+    * map-side-combining scan — the only shuffle carries 2 rows.
+    */
+  val abTestWelch: QueryDef = QueryDef(
+    "ab_test_welch",
+    (s, d) => {
+      val dec = col("value").cast("decimal(18,2)")
+      val m = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 2).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s1"),
+          sum(dec * dec).cast("double").as("s2"))
+      val p = m.agg(
+        max(when(col("grp") === 0, col("n"))).as("n_a"),
+        max(when(col("grp") === 0, col("s1"))).as("s1a"),
+        max(when(col("grp") === 0, col("s2"))).as("s2a"),
+        max(when(col("grp") === 1, col("n"))).as("n_b"),
+        max(when(col("grp") === 1, col("s1"))).as("s1b"),
+        max(when(col("grp") === 1, col("s2"))).as("s2b"))
+      val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+      val va = (col("s2a") - col("s1a") * col("s1a") / na) / (na - lit(1.0))
+      val vb = (col("s2b") - col("s1b") * col("s1b") / nb) / (nb - lit(1.0))
+      val se2 = va / na + vb / nb
+      p.select(col("n_a"), col("n_b"),
+          Text.hround(col("s1a") / na, 4).as("mean_a"),
+          Text.hround(col("s1b") / nb, 4).as("mean_b"),
+          Text.hround((col("s1a") / na - col("s1b") / nb) / sqrt(se2), 4)
+            .as("t_stat"),
+          Text.hround(se2 * se2 / ((va / na) * (va / na) / (na - lit(1.0)) +
+            (vb / nb) * (vb / nb) / (nb - lit(1.0))), 2).as("dof"))
+    },
+    Some {
+      val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"
+      val va = s"((s2a - s1a * s1a / $na) / ($na - 1.0))"
+      val vb = s"((s2b - s1b * s1b / $nb) / ($nb - 1.0))"
+      val se2 = s"($va / $na + $vb / $nb)"
+      s"""
+      WITH m AS (
+        SELECT user_id % 2 AS grp, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      p AS (
+        SELECT max(CASE WHEN grp = 0 THEN n END) AS n_a,
+               max(CASE WHEN grp = 0 THEN s1 END) AS s1a,
+               max(CASE WHEN grp = 0 THEN s2 END) AS s2a,
+               max(CASE WHEN grp = 1 THEN n END) AS n_b,
+               max(CASE WHEN grp = 1 THEN s1 END) AS s1b,
+               max(CASE WHEN grp = 1 THEN s2 END) AS s2b
+        FROM m)
+      SELECT n_a, n_b,
+             ${Text.sqlHround(s"s1a / $na", 4)} AS mean_a,
+             ${Text.sqlHround(s"s1b / $nb", 4)} AS mean_b,
+             ${Text.sqlHround(s"(s1a / $na - s1b / $nb) / sqrt($se2)", 4)}
+               AS t_stat,
+             ${Text.sqlHround(s"$se2 * $se2 / (($va / $na) * ($va / $na) / ($na - 1.0) + ($vb / $nb) * ($vb / $nb) / ($nb - 1.0))", 2)}
+               AS dof
+      FROM p
+    """
+    },
+    doc = "Welch unequal-variance t-test from one exact-moment aggregation")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
-      robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare)
+      robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
+      marketBasket, abTestWelch)
 }

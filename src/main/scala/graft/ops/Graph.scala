@@ -194,5 +194,81 @@ object Graph {
     """),
     doc = "oriented-wedge triangle counting per nation on the trade graph")
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangleCount)
+  /** Single-source BFS shortest paths on the bipartite customer–supplier
+    * trade graph (high-value orders only, o_totalprice > 450000 — the
+    * graph stays sparse enough at every fixture SF that hop distances
+    * span 0–5, not a trivial all-ones star). Six FIXED min-plus
+    * relaxation rounds, each round one equi-join of the reached-distance
+    * frame with the symmetric edge list plus a min-groupBy — the whole
+    * search is ONE lazy plan (pagerank's discipline; no driver loop, no
+    * collect). Supplier node ids live at 1e9 + s_suppkey so the two key
+    * spaces never collide. The seed is the min customer key IN-PLAN (a
+    * one-row aggregate UNIONed into the frame — no scalar cross join).
+    * The 6-round cap is mirrored exactly by the oracle's `dd < 6`
+    * recursion guard, so nodes farther than 6 hops are -1 on BOTH
+    * engines by construction. At 100 TB: the edge list is the distinct
+    * (custkey, suppkey) projection of the filtered fact join — partial
+    * agg collapses it before the shuffle — and each round's join is
+    * edge-list-sized, never fact-sized; the six-times-referenced edge
+    * frame is persist()-pinned like pagerank's (same deliberate
+    * session-lifetime cache, same rationale).
+    */
+  val shortestPathBfs: QueryDef = QueryDef(
+    "shortest_path_bfs",
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cn"),
+          (lit(1000000000L) + col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges = e0.select(col("cn").as("a"), col("sn").as("b"))
+        .union(e0.select(col("sn").as("a"), col("cn").as("b")))
+        .persist()
+      var dist = e0.agg(min(col("cn")).as("node"))
+        .select(col("node"), lit(0).as("d"))
+      for (_ <- 1 to 6) {
+        val next = dist.join(edges, col("node") === col("a"))
+          .select(col("b").as("node"), (col("d") + lit(1)).as("d"))
+        dist = dist.union(next).groupBy(col("node"))
+          .agg(min(col("d")).as("d"))
+      }
+      val nodes = Tables.customer(s, d)
+        .select(col("c_custkey").as("node"), lit("cust").as("kind"))
+        .union(Tables.supplier(s, d)
+          .select((lit(1000000000L) + col("s_suppkey")).as("node"),
+            lit("supp").as("kind")))
+      nodes.join(dist, Seq("node"), "left")
+        .select(col("node"), col("kind"),
+          coalesce(col("d"), lit(-1)).cast("int").as("dist"))
+        .orderBy(col("node"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS cn, 1000000000 + l.l_suppkey AS sn
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 450000.0),
+      src AS (SELECT min(cn) AS sk FROM e0),
+      e AS (SELECT cn AS a, sn AS b FROM e0
+            UNION SELECT sn, cn FROM e0),
+      w AS (
+        WITH RECURSIVE w(node, dd) AS (
+          SELECT sk, 0 FROM src
+          UNION
+          SELECT e.b, w.dd + 1 FROM w JOIN e ON e.a = w.node WHERE w.dd < 6)
+        SELECT node, min(dd) AS md FROM w GROUP BY 1),
+      nodes AS (
+        SELECT c_custkey AS node, 'cust' AS kind FROM customer
+        UNION ALL
+        SELECT 1000000000 + s_suppkey, 'supp' FROM supplier)
+      SELECT n.node, n.kind,
+             CAST(coalesce(w.md, -1) AS INTEGER) AS dist
+      FROM nodes n LEFT JOIN w ON w.node = n.node
+      ORDER BY n.node
+    """),
+    doc = "single-source BFS hop distance (6 fixed rounds, one lazy plan)")
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs)
 }

@@ -80,11 +80,14 @@ class ScaleSpec extends SparkSpec {
     // all KB-scale builds (ops/Clustering.scala scaladocs); and
     // perplexity_bigram rides its ONE-ROW vocabulary-size frame exactly
     // like perplexity_unigram.
+    // market_basket_lift crosses its ONE-ROW basket-total frame with the
+    // bounded brand-pair aggregate — the same scalar-subquery shape.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
       "ann_recall", "domain_mix_sample", "funnel_conversion", "bm25_topk",
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
       "nearest_knn_irregular", "importance_weights", "heavy_hitters",
-      "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram")
+      "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram",
+      "market_basket_lift")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
