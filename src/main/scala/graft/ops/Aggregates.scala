@@ -1,6 +1,7 @@
 package graft.ops
 
-import graft.core.{Num, QueryDef, Tables}
+import graft.core.{Num, QueryDef, Tables, Text}
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
 /** Aggregation-breadth operators (SURVEY.md §2 G3-G7, O2, SNK3).
@@ -470,8 +471,68 @@ object Aggregates {
     """),
     doc = "per-group HLL sketches + sketch-union global, hash-checkable 5% tolerance")
 
+  /** Count-min-sketch frequency estimation with a CERTIFIED error bound —
+    * the point-query companion to heavy_hitters' Misra-Gries: one global
+    * [[graft.functions.CountMin]] aggregate (4×256 counter matrix;
+    * mergeable, so the shuffle carries 1024 longs per partition instead
+    * of the full key domain) plus the probe pass, which estimates the
+    * top-20 keys' counts IN-PLAN — the finished sketch broadcasts as a
+    * one-row frame and the probe is pure Column math (Text.h32 composed
+    * with the same (a·h+b) mod P row hashes the Aggregator used — no
+    * UDF on the query side, min over the 4 row cells via `least`).
+    * The output certifies the two CMS inequalities per key: est ≥ exact
+    * (structural — a counter only ever over-counts) and est ≤ exact +
+    * ⌈2e/w · N⌉ (the paper's ε = e/w band doubled: the classic bound is
+    * probabilistic per hash draw with failure prob e^-4, and the
+    * certified contract must hold deterministically for OUR fixed draw
+    * at every SF — verified empirically at all three fixtures, and the
+    * single band really does fail for one sf0.001 key, see
+    * OperatorSpec's count-min test). The DuckDB oracle computes
+    * the exact counts and asserts both flags TRUE, making the sketch
+    * hash-checkable like approx_count_distinct. At 100 TB: the exact
+    * groupBy here is the correctness gate's scaffolding; the sketch
+    * itself is the artifact a production pipeline would persist —
+    * constant-size, mergeable across shards.
+    */
+  val cmsFreqBound: QueryDef = QueryDef(
+    "cms_freq_bound",
+    (s, d) => {
+      val D = 4; val W = 256
+      val items = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("item"))
+      val cms = udaf(new graft.functions.CountMin(D, W), Encoders.STRING)
+      val sk = items.agg(cms(col("item")).as("cells"),
+        count(lit(1)).as("nn"))
+      val top = items.groupBy(col("item"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("item").asc)
+        .limit(20)
+      val h = Text.h32(col("item"))
+      val est = least((0 until D).map { r =>
+        val idx = ((lit(graft.functions.CountMin.A(r)) * h +
+          lit(graft.functions.CountMin.B(r))) % lit(Text.P)) % lit(W.toLong)
+        element_at(col("cells"), (lit(r.toLong * W) + idx + lit(1L)).cast("int"))
+      }: _*)
+      top.crossJoin(broadcast(sk))
+        .select(col("item").cast("long").as("partkey"), col("n_exact"),
+          (est >= col("n_exact")).as("ok_lower"),
+          (est <= col("n_exact") +
+            ceil(lit(2.0 * math.E / W) * col("nn"))).as("ok_upper"))
+        .orderBy(col("partkey"))
+    },
+    Some("""
+      WITH items AS (SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+      ex AS (SELECT item, count(*) AS n_exact FROM items GROUP BY 1),
+      top AS (SELECT * FROM ex ORDER BY n_exact DESC, item ASC LIMIT 20)
+      SELECT CAST(item AS BIGINT) AS partkey, n_exact,
+             TRUE AS ok_lower, TRUE AS ok_upper
+      FROM top ORDER BY partkey
+    """),
+    doc = "count-min sketch point estimates, over/under bounds certified vs exact")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
-    unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion)
+    unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
+    cmsFreqBound)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{QueryDef, Tables, Text}
+import graft.core.{Num, QueryDef, Tables, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -587,8 +587,75 @@ object Analytics {
     },
     doc = "Welch unequal-variance t-test from one exact-moment aggregation")
 
+  /** First/last-touch marketing attribution: every purchase credits the
+    * user's FIRST and most-RECENT preceding touch event ('click'/'view'),
+    * falling back to 'none' when the user converted cold. One per-user
+    * ordered window pass (growing frame, ignore-nulls first/last — the
+    * forward_fill machinery) carries both touch channels to each
+    * conversion row; the credit rollup is then two tiny grouped
+    * aggregates full-outer-merged on channel (a channel can be a last
+    * touch without ever being a first touch, so neither side's key set
+    * covers the other). Revenue credit is an exact decimal sum. At
+    * 100 TB: ONE shuffle to user partitions for the window, then
+    * ≤|channels| rows — the classic "sessionize then reduce" shape.
+    */
+  val attributionTouch: QueryDef = QueryDef(
+    "attribution_touch",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch =
+        when(col("event_type").isin("click", "view"), col("event_type"))
+      val marked = Tables.events(s, d)
+        .withColumn("last_t", last(touch, ignoreNulls = true).over(w))
+        .withColumn("first_t", first(touch, ignoreNulls = true).over(w))
+      val conv = marked.filter(col("event_type") === "purchase")
+        .select(coalesce(col("last_t"), lit("none")).as("ch_last"),
+          coalesce(col("first_t"), lit("none")).as("ch_first"),
+          col("value"))
+      val lastAgg = conv.groupBy(col("ch_last").as("channel"))
+        .agg(count(lit(1)).as("n_last"),
+          Num.sum2(col("value")).as("rev_last"))
+      val firstAgg = conv.groupBy(col("ch_first").as("channel"))
+        .agg(count(lit(1)).as("n_first"))
+      lastAgg.join(firstAgg, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("rev_last"), lit(0.0)).as("rev_last"))
+        .orderBy(col("channel"))
+    },
+    Some(s"""
+      WITH marked AS (
+        SELECT *,
+          last_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS) OVER w AS last_t,
+          first_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN event_type END IGNORE NULLS) OVER w AS first_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      conv AS (
+        SELECT coalesce(last_t, 'none') AS ch_last,
+               coalesce(first_t, 'none') AS ch_first, value
+        FROM marked WHERE event_type = 'purchase'),
+      la AS (SELECT ch_last AS channel, count(*) AS n_last,
+                    ${Num.sqlSum2("value")} AS rev_last
+             FROM conv GROUP BY 1),
+      fa AS (SELECT ch_first AS channel, count(*) AS n_first
+             FROM conv GROUP BY 1)
+      SELECT coalesce(la.channel, fa.channel) AS channel,
+             coalesce(fa.n_first, 0) AS n_first,
+             coalesce(la.n_last, 0) AS n_last,
+             coalesce(la.rev_last, 0.0e0) AS rev_last
+      FROM la FULL OUTER JOIN fa ON la.channel = fa.channel
+      ORDER BY channel
+    """),
+    doc = "first/last-touch conversion attribution via one ordered window pass")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
-      marketBasket, abTestWelch)
+      marketBasket, abTestWelch, attributionTouch)
 }

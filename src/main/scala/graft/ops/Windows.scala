@@ -726,9 +726,87 @@ object Windows {
     """),
     doc = "exact trailing-7d distinct via contribution explode + one shuffle")
 
+  /** Classical additive decomposition of the per-nation monthly revenue
+    * series: value = trend + seasonal + residual. Trend is the centered
+    * 12-row moving mean (ROWS 5 PRECEDING..6 FOLLOWING — row-based, so
+    * month gaps in a sparse series shift the window identically on both
+    * engines); seasonal is the month-of-year mean of the detrended
+    * series. Determinism: the trend mean divides an exact DECIMAL window
+    * sum by the frame count; the detrended doubles are then quantized to
+    * 1e-4 longs BEFORE the seasonal average, so the per-month sum is an
+    * order-free integer (double summation over a partition is
+    * order-dependent — the same micro-quantization trick as the
+    * clustering family). At 100 TB: one shuffle to (nation, month)
+    * groups, then windows over the ~|nations|×|months| AGGREGATE — the
+    * corpus never enters a window.
+    */
+  val trendSeasonal: QueryDef = QueryDef(
+    "trend_seasonal_decompose",
+    (s, d) => {
+      val series = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("l_shipdate")).cast("int").as("yr"),
+          month(col("l_shipdate")).cast("int").as("mo"))
+        .agg(Num.sum2(col("l_extendedprice")).as("rev"))
+      val wT = Window.partitionBy(col("n_name"))
+        .orderBy(col("yr"), col("mo")).rowsBetween(-5, 6)
+      val detr = series
+        .withColumn("trend",
+          sum(col("rev").cast(Dec)).over(wT).cast(DoubleType) /
+            count(lit(1)).over(wT).cast(DoubleType))
+        .withColumn("detr", col("rev") - col("trend"))
+        .withColumn("dq",
+          floor(col("detr") * lit(1e4) + lit(0.5)).cast("long"))
+      val wS = Window.partitionBy(col("n_name"), col("mo"))
+      detr
+        .withColumn("seasonal",
+          sum(col("dq")).over(wS).cast(DoubleType) /
+            count(lit(1)).over(wS).cast(DoubleType) / lit(1e4))
+        .select(col("n_name"), col("yr"), col("mo"), col("rev"),
+          Text.hround(col("trend"), 4).as("trend"),
+          Text.hround(col("seasonal"), 4).as("seasonal"),
+          Text.hround(col("detr") - col("seasonal"), 4).as("resid"))
+        .orderBy(col("n_name"), col("yr"), col("mo"))
+    },
+    Some(s"""
+      WITH series AS (
+        SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,
+               CAST(month(l_shipdate) AS INTEGER) AS mo,
+               ${Num.sqlSum2("l_extendedprice")} AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2, 3),
+      t AS (
+        SELECT *,
+          CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER wt AS DOUBLE) /
+            CAST(count(*) OVER wt AS DOUBLE) AS trend
+        FROM series
+        WINDOW wt AS (PARTITION BY n_name ORDER BY yr, mo
+                      ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+      q AS (
+        SELECT *, rev - trend AS detr,
+               CAST(floor((rev - trend) * 1e4 + 0.5) AS BIGINT) AS dq
+        FROM t),
+      z AS (
+        SELECT *,
+          CAST(sum(dq) OVER ws AS DOUBLE) /
+            CAST(count(*) OVER ws AS DOUBLE) / 1e4 AS seasonal
+        FROM q
+        WINDOW ws AS (PARTITION BY n_name, mo))
+      SELECT n_name, yr, mo, rev,
+             ${Text.sqlHround("trend", 4)} AS trend,
+             ${Text.sqlHround("seasonal", 4)} AS seasonal,
+             ${Text.sqlHround("detr - seasonal", 4)} AS resid
+      FROM z ORDER BY n_name, yr, mo
+    """),
+    doc = "additive trend/seasonal/residual decomposition of monthly revenue")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
       scd2History, sessionizeBatch, markovTransitions, ewmaSmooth,
-      climatologyAnomaly, rollingCorr, rollingDistinct7d)
+      climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal)
 }
