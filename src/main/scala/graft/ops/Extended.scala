@@ -1927,6 +1927,51 @@ object Extended {
     """),
     doc = "target-mixture domain resampling: in-plan rates, integral hash Bernoulli")
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    * "Weighted random sampling with a reservoir", IPL 2006): each item
+    * draws u ∈ (0,1) and the k LARGEST u^(1/w) win, which is exactly a
+    * w-weighted k-sample. The engine compares in log space — log2(u)/w,
+    * monotone in u^(1/w) — with the deterministic-u discipline of the
+    * whole sampling family: u = (h32(doc_id)+0.5)/2^32, so the sample is
+    * reproducible and oracle-checkable (a true rand() is neither). Weight
+    * = n_chars: longer documents are proportionally likelier to be drawn
+    * (size-weighted corpus subsampling). The key is quantized to integer
+    * micro-units BEFORE the top-k compare (the perplexity micro-bit
+    * discipline: the only float op is one log2 of an exactly-representable
+    * quotient, and both engines floor at 1e-6 — ties break on doc_id, so
+    * the cut is total-order stable cross-engine). Scale: the global
+    * top-50 compiles to TakeOrderedAndProject — per-partition local
+    * top-k, driver merges k·P candidates, no shuffle and no full sort;
+    * the per-row cost is one md5, so this runs as a pure map stage at
+    * 100 TB exactly like `uniform_sample_k`.
+    */
+  val weightedSampleK: QueryDef = QueryDef(
+    "weighted_sample_k",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr(sqlSparkH32("CAST(doc_id AS STRING)")).as("h"))
+        .withColumn("key_mb",
+          floor(log2((col("h").cast("double") + lit(0.5)) / lit(4294967296.0))
+            / col("n_chars").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("key_mb"))
+        .orderBy(col("key_mb").desc, col("doc_id"))
+        .limit(50)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, source, n_chars, key_mb FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(floor(log2((h + 0.5e0) / 4294967296e0)
+                 / CAST(n_chars AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT)
+                 AS key_mb
+        FROM (SELECT doc_id, source, n_chars,
+                     ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} AS h
+              FROM documents)
+        ORDER BY key_mb DESC, doc_id LIMIT 50)
+      ORDER BY doc_id
+    """),
+    doc = "Efraimidis-Spirakis weighted top-50 sample by n_chars (TakeOrdered, no shuffle)")
+
   /** Fixed-size overlapping document chunking — the LLM-ingestion step
     * that splits long documents into training/context windows. Chunks of
     * 20 words with 5-word overlap (stride 15; production: 2048/256 —
@@ -2313,6 +2358,70 @@ object Extended {
     """),
     doc = "add-one-smoothed bigram LM perplexity per doc (micro-bit integer sums)")
 
+  /** Collocation mining by pointwise mutual information — the corpus-
+    * linguistics signal for multi-word expressions ("new york"-style
+    * pairs whose co-occurrence beats chance): PMI(w1,w2) =
+    * log2(p(w1,w2) / (p(w1)·p(w2))) over the bigram event space, i.e.
+    * log2(n_b·N / (n_p·n_s)) with n_p/n_s the prefix/suffix marginals.
+    * Everything inside the log2 is EXACT 64-bit integer products
+    * (n_b·N ≤ ~1e12 at sf0.1, well under 2^53, so the double quotient is
+    * one rounding away from exact) — the perplexity micro-bit discipline
+    * again: one float log2, quantized to integer micro-bits, ties at the
+    * top-30 cut broken by (w1, w2). The min-support filter (n_b >= 5,
+    * verified discriminating at ALL three SFs) keeps the classic PMI
+    * rare-pair pathology out. Scale shape: the expensive bigram expansion
+    * is aggregated ONCE into the bigram-vocab frame `bv`; all three
+    * marginals re-aggregate bv's post-shuffle output, so the plan reuses
+    * the single Exchange over (w1, w2) (ReusedExchange) instead of
+    * re-running the corpus expansion three times — bigram-vocab-sized
+    * joins after that, broadcast at fixture scale, plain shuffle
+    * equi-joins at 100 TB. The one-row N frame rides as a broadcast
+    * scalar (intended BNLJ, ScaleSpec-listed).
+    */
+  val collocationPmi: QueryDef = QueryDef(
+    "collocation_pmi",
+    (s, d) => {
+      val ws = docWords(s, d)
+      val bi = ws.select(
+        explode(expr("transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bv = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_b"))
+      val pv = bv.groupBy(col("w1")).agg(sum(col("n_b")).as("n_p"))
+      val sv = bv.groupBy(col("w2")).agg(sum(col("n_b")).as("n_s"))
+      val nv = bv.agg(sum(col("n_b")).as("n_tot"))
+      bv.filter(col("n_b") >= 5)
+        .join(pv, Seq("w1")).join(sv, Seq("w2"))
+        .crossJoin(broadcast(nv))
+        .select(col("w1"), col("w2"), col("n_b"),
+          expr("CAST(floor(log2(CAST(n_b * n_tot AS DOUBLE) / " +
+            "CAST(n_p * n_s AS DOUBLE)) * 1000000e0 + 0.5e0) AS BIGINT)")
+            .as("pmi_mb"))
+        .orderBy(col("pmi_mb").desc, col("w1"), col("w2"))
+        .limit(30)
+        .orderBy(col("w1"), col("w2"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      bi AS (SELECT unnest(w[1:len(w) - 1]) AS w1,
+                    unnest(w[2:len(w)]) AS w2 FROM ws),
+      bv AS (SELECT w1, w2, count(*) AS n_b FROM bi GROUP BY 1, 2),
+      pv AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS n_p FROM bv GROUP BY 1),
+      sv AS (SELECT w2, CAST(sum(n_b) AS BIGINT) AS n_s FROM bv GROUP BY 1),
+      nv AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_tot FROM bv)
+      SELECT w1, w2, n_b, pmi_mb FROM (
+        SELECT w1, w2, n_b,
+               CAST(floor(log2(CAST(n_b * n_tot AS DOUBLE) /
+                 CAST(n_p * n_s AS DOUBLE)) * 1000000e0 + 0.5e0) AS BIGINT)
+                 AS pmi_mb
+        FROM bv JOIN pv USING (w1) JOIN sv USING (w2), nv
+        WHERE n_b >= 5
+        ORDER BY pmi_mb DESC, w1, w2 LIMIT 30)
+      ORDER BY w1, w2
+    """),
+    doc = "top-30 PMI collocations (min-support 5; single bigram exchange, reused)")
+
   /** DSIR-style importance weighting for data selection: score every
     * document by how much more likely its tokens are under a TARGET
     * unigram model (here: the English sub-corpus, standing in for the
@@ -2533,8 +2642,9 @@ object Extended {
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, stratifiedSample,
-    uniformSampleK, reservoirSample, domainMixSample, docChunks, tfidf,
+    uniformSampleK, reservoirSample, domainMixSample, weightedSampleK,
+    docChunks, tfidf,
     bm25TopK, decontaminate, repetitionScore, packSequences,
-    perplexityUnigram, perplexityBigram, quantizeEmbeddings,
+    perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters)
 }

@@ -45,6 +45,39 @@ object EventStream {
     """),
     doc = "tumbling 1-day window agg (streaming twin carries a watermark)")
 
+  /** Sliding (hopping) event-time windows — `window(ts, 7 days, 1 day)`:
+    * every event lands in the 7 daily-aligned windows covering it, giving
+    * a 7-day rolling aggregate that advances once per day. Spark expands
+    * the overlap IN-PLAN (one generated row per covering window, then a
+    * plain hash aggregate on (window, event_type)) — no self-join and no
+    * per-key window function, so at 100 TB the cost is a fixed 7×
+    * row-expansion feeding one shuffle on the (already daily-aligned)
+    * window start, and the same code runs under `readStream` with a
+    * watermark exactly like the tumbling twin. The oracle reproduces
+    * Spark's window assignment from first principles: window starts
+    * covering ts are date_trunc('day', ts) − k days for k = 0..6
+    * (day-aligned starts in (ts − 7d, ts]).
+    */
+  val slidingWindow: QueryDef = QueryDef(
+    "sliding_window_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "7 days", "1 day").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Num.sum2(col("value")).as("sum_value"))
+        .select(col("win.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type")),
+    Some(s"""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - k * INTERVAL '1 day'
+               AS win_start,
+             event_type, count(*) AS n_events,
+             ${Num.sqlSum2("value")} AS sum_value
+      FROM events, range(7) t(k)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "sliding 7d/1d hopping window agg (in-plan 7x expansion, one shuffle)")
+
   /** Session windows (30-minute gap) per user — Spark's `session_window`
     * runs in batch too; the oracle reproduces it with the lag/gap-island
     * construction. Spark's session is the half-open [start, last + gap):
@@ -419,6 +452,6 @@ object EventStream {
   }
 
   val all: Seq[QueryDef] =
-    Seq(tumblingWindow, sessionWindow, intervalJoinEvents,
+    Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents)
 }
