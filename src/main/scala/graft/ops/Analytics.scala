@@ -654,8 +654,139 @@ object Analytics {
     """),
     doc = "first/last-touch conversion attribution via one ordered window pass")
 
+  /** Mann-Whitney U rank-sum test (the non-parametric sibling of
+    * `ab_test_welch`, robust to the heavy-tailed revenue distributions a
+    * t-test mishandles) between the same even/odd user split. The engine
+    * never ranks ROWS: it aggregates to the DISTINCT-VALUE frame first
+    * (one shuffle with map-side combine), and computes midranks from a
+    * cumulative count over that frame — 2·midrank = 2·cum_less + t + 1
+    * stays an exact integer, so rank sums, U, and the tie-correction term
+    * Σ(t³−t) are all exact 64-bit integer aggregates; the ONLY float ops
+    * are the final normal approximation (tie-corrected variance) and one
+    * sqrt, mirrored operand-for-operand in the oracle before hround. The
+    * distinct-value cumsum is a single-partition window over the (already
+    * tiny, value-cardinality-sized) aggregate — the documented
+    * small-frame-window trade-off (PLANS.md); at true 100 TB cardinality
+    * you'd range-partition the cumulative count first.
+    */
+  val mannWhitneyU: QueryDef = QueryDef(
+    "mann_whitney_u",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("grp"), col("value"))
+      val byV = ev.groupBy(col("value"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("t_a"))
+      val wLess = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mr = byV
+        .withColumn("mr2",
+          lit(2L) * coalesce(sum(col("t")).over(wLess), lit(0L)) +
+            col("t") + lit(1L))
+      val m = mr.agg(
+        sum(col("t_a")).as("n_a"),
+        sum(col("t") - col("t_a")).as("n_b"),
+        sum(col("t_a") * col("mr2")).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+      val nA = col("n_a"); val nB = col("n_b"); val n = nA + nB
+      val u2 = col("r2a") - nA * (nA + lit(1L))
+      val variance = (nA * nB).cast("double") / lit(12.0) *
+        ((n + lit(1L)).cast("double") -
+          col("tt").cast("double") / (n * (n - lit(1L))).cast("double"))
+      m.select(nA, nB,
+        (u2.cast("double") / lit(2.0)).as("u_a"),
+        Text.hround((u2 - nA * nB).cast("double") /
+          (lit(2.0) * sqrt(variance)), 6).as("z6"))
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id % 2 AS grp, value FROM events
+                  WHERE event_type = 'purchase'),
+      bv AS (SELECT value, count(*) AS t,
+               CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+             FROM ev GROUP BY 1),
+      mr AS (SELECT t, t_a,
+               2 * coalesce(CAST(sum(t) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) + t + 1 AS mr2
+             FROM bv),
+      m AS (SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+                   CAST(sum(t - t_a) AS BIGINT) AS n_b,
+                   CAST(sum(t_a * mr2) AS BIGINT) AS r2a,
+                   CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM mr)
+      SELECT n_a, n_b,
+             CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2e0 AS u_a,
+             ${Text.sqlHround(
+      "CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / " +
+        "(2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0 * " +
+        "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tt AS DOUBLE) / " +
+        "CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))))", 6)} AS z6
+      FROM m
+    """),
+    doc = "Mann-Whitney U rank-sum test, tie-corrected, exact-integer midranks")
+
+  /** CUSUM mean-shift changepoint detection (Page 1954) on the daily
+    * purchase-revenue series: S_t = Σ_{i≤t}(x_i − x̄) peaks at the point
+    * where the series mean shifts, so the argmax |S_t| day is flagged as
+    * the changepoint. The whole statistic stays EXACT: daily revenue is
+    * an exact decimal sum converted to integer cents, and the mean is
+    * never divided out — the engine scales to S_t·n = n·cum_t − t·total
+    * (pure 64-bit integers, ≤ ~7e9 at sf0.1), so there is no float
+    * anywhere and the argmax flag is an integer comparison; |S| ties
+    * flag every tied day identically on both engines. Shape: one
+    * corpus-sized aggregate to ≤|days| rows, then windows over that tiny
+    * frame only (the trend_seasonal discipline — a global window is fine
+    * BECAUSE it runs on the aggregate, never the events).
+    */
+  val cusumChangepoint: QueryDef = QueryDef(
+    "cusum_changepoint",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_ev"),
+          (sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("xc"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      daily
+        .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+        .withColumn("cum", sum(col("xc")).over(wCum))
+        .withColumn("tot", sum(col("xc")).over(wFull))
+        .withColumn("nd", count(lit(1)).over(wFull))
+        .withColumn("cusum_n", col("nd") * col("cum") - col("t") * col("tot"))
+        .withColumn("is_cp",
+          abs(col("cusum_n")) === max(abs(col("cusum_n"))).over(wFull))
+        .select(col("day"), col("n_ev"), col("xc"), col("cusum_n"),
+          col("is_cp"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_ev,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      c AS (
+        SELECT day, n_ev, xc,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(sum(xc) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum,
+               CAST(sum(xc) OVER () AS BIGINT) AS tot,
+               CAST(count(*) OVER () AS BIGINT) AS nd
+        FROM daily),
+      x AS (SELECT day, n_ev, xc, nd * cum - t * tot AS cusum_n FROM c)
+      SELECT day, n_ev, xc, cusum_n,
+             abs(cusum_n) = max(abs(cusum_n)) OVER () AS is_cp
+      FROM x ORDER BY day
+    """),
+    doc = "CUSUM mean-shift changepoint on daily revenue (all-integer, argmax flag)")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
-      marketBasket, abTestWelch, attributionTouch)
+      marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
+      cusumChangepoint)
 }

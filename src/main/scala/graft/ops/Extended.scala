@@ -2632,7 +2632,50 @@ object Extended {
     """),
     doc = "fraction of distinct shingles that are corpus-common (boilerplate signal)")
 
+  /** Johnson-Lindenstrauss random projection of the 64-d embeddings to
+    * 8 dims with a ±1 sign matrix (Achlioptas 2003, "Database-friendly
+    * random projections": Rademacher entries preserve pairwise distances
+    * in expectation exactly like Gaussian ones, and need no float
+    * matrix). The sign matrix is DETERMINISTIC — s(j,i) from the parity
+    * of md5("rp:j:i") — generated once driver-side and inlined as array
+    * literals in BOTH plans, so the oracle multiplies bit-identical
+    * constants. Each output dim is one `graft_dot` (native codegen'd
+    * left-to-right summation = DuckDB's list_dot_product evaluation
+    * order, so the float chains match operand-for-operand) scaled by
+    * 1/√8 and hround'd. Shape: entirely row-local — zero shuffles before
+    * the output sort; at 100 TB this is THE standard pre-LSH/pre-index
+    * dimensionality reduction, and it runs as a pure map stage.
+    */
+  val randomProjection: QueryDef = {
+    val K = 8; val D = 64
+    val signs: Seq[Seq[Int]] = (1 to K).map { j =>
+      (1 to D).map(i => if (Text.jvmH32(s"rp:$j:$i") % 2 == 0) 1 else -1)
+    }
+    QueryDef(
+      "random_projection",
+      (s, d) => {
+        val cols = signs.zipWithIndex.map { case (sv, j0) =>
+          Text.hround(
+            expr(s"graft_dot(v, array(${sv.map(x => s"$x.0D").mkString(", ")}))") /
+              sqrt(lit(8.0)), 6).as(s"p${j0 + 1}")
+        }
+        vecs(s, d).select(col("vec_id") +: cols: _*).orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH v AS ($sqlVecs)
+        SELECT vec_id,
+          ${signs.zipWithIndex.map { case (sv, j0) =>
+        Text.sqlHround(
+          s"list_dot_product(v, [${sv.map(x => s"${x}e0").mkString(", ")}])" +
+            " / sqrt(8e0)", 6) + s" AS p${j0 + 1}"
+      }.mkString(",\n          ")}
+        FROM v ORDER BY vec_id
+      """),
+      doc = "JL +/-1 random projection 64d -> 8d (deterministic signs, row-local)")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    randomProjection,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
