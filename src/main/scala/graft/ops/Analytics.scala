@@ -784,9 +784,208 @@ object Analytics {
     """),
     doc = "CUSUM mean-shift changepoint on daily revenue (all-integer, argmax flag)")
 
+  /** Autocorrelation function of daily purchase revenue at lags 1..7 —
+    * the seasonality detector feeding `trend_seasonal_decompose`'s
+    * period choice. De-meaning is kept EXACT by scaling instead of
+    * dividing: d_t = n·x_t − T (integer cents·n), so every ACF term is a
+    * product of two exact integers; products run in DECIMAL(19,0)² →
+    * DECIMAL(38,0) sums (both engines' exact decimal lattice — a double
+    * sum would be frame-walk-order-dependent, the Windows.scala rule),
+    * and the single float op is the final num/den division under hround.
+    * The 7 lags come from ONE ordered window pass (7 lag columns,
+    * stacked in-plan) — no series self-join; all windows run over the
+    * ≤|days| daily aggregate. The one-row denominator frame rides as a
+    * broadcast scalar (ScaleSpec-intended BNLJ).
+    */
+  val autocorrDaily: QueryDef = QueryDef(
+    "autocorr_daily",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("xc"))
+      val wFull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wDay = Window.orderBy(col("day"))
+      val dm = daily
+        .withColumn("tot", sum(col("xc")).over(wFull))
+        .withColumn("nd", count(lit(1)).over(wFull))
+        .withColumn("dn", (col("nd") * col("xc") - col("tot"))
+          .cast("decimal(19,0)"))
+      val den = dm.agg(sum(col("dn") * col("dn")).as("den"))
+      val lags = (1 to 7).map(k => lag(col("dn"), k).over(wDay).as(s"l$k"))
+      val stacked = dm.select(col("day") +: col("dn") +: lags: _*)
+        .select(col("dn"), expr(
+          s"stack(7, ${(1 to 7).map(k => s"${k}L, l$k").mkString(", ")}) AS (k, dl)"))
+        .filter(col("dl").isNotNull)
+      stacked
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("dn") * col("dl")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("k"), col("n_pairs"),
+          Text.hround(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf6"))
+        .orderBy(col("k"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      c AS (SELECT day, xc,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+              CAST(sum(xc) OVER () AS BIGINT) AS tot,
+              CAST(count(*) OVER () AS BIGINT) AS nd
+            FROM daily),
+      dm AS (SELECT t, CAST(nd * xc - tot AS DECIMAL(19,0)) AS dn FROM c),
+      den AS (SELECT sum(dn * dn) AS den FROM dm)
+      SELECT k, count(*) AS n_pairs,
+             ${Text.sqlHround(
+      "CAST(sum(a.dn * b.dn) AS DOUBLE) / CAST(any_value(den.den) AS DOUBLE)",
+      6)} AS acf6
+      FROM range(1, 8) kk(k), dm a, dm b, den
+      WHERE b.t = a.t - kk.k
+      GROUP BY k ORDER BY k
+    """),
+    doc = "daily-revenue ACF lags 1-7 (exact decimal moments, one window pass)")
+
+  /** Benford first-significant-digit conformance test on purchase
+    * amounts — the classic fraud/data-quality screen. The digit is
+    * extracted EXACTLY: value → integer cents (exact 2-dp decimal cast ×
+    * 100), then the first character of the cents' decimal string — no
+    * float log10 anywhere near the digit. A 1..9 spine left-join makes
+    * absent digits an explicit 0 row. Expected counts n·log10(1+1/d) and
+    * the χ² terms are floats from exact integers (operand-mirrored);
+    * each digit's χ² contribution is micro-quantized to a long BEFORE
+    * the cross-digit total so the 9-term sum is order-free (the
+    * Windows.scala double-window-sum rule), and the total rides on every
+    * row from a full-frame window over the 9-row spine. Shape: one
+    * map-side-combining aggregate to 9 rows; everything after is
+    * constant-sized.
+    */
+  val benfordDigits: QueryDef = QueryDef(
+    "benford_digit_test",
+    (s, d) => {
+      val cents = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("value").cast("decimal(18,2)") * lit(100))
+          .cast("long").as("c"))
+        .filter(col("c") >= 1L)
+      val obs = cents
+        .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+      val spine = (s.range(1, 10)).select(col("id").cast("int").as("digit"))
+      val wFull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val joined = spine.join(obs, Seq("digit"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .withColumn("n", sum(col("o")).over(wFull))
+      val e = col("n").cast("double") *
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      val contribU = floor((col("o").cast("double") - e) *
+        (col("o").cast("double") - e) / e * lit(1e6) + lit(0.5)).cast("long")
+      joined
+        .withColumn("e4", Text.hround(e, 4))
+        .withColumn("cu", contribU)
+        .withColumn("chi2q",
+          sum(col("cu")).over(wFull).cast("double") / lit(1e6))
+        .select(col("digit"), col("o"), col("e4"), col("chi2q"))
+        .orderBy(col("digit"))
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'),
+      obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                     count(*) AS o
+              FROM cents WHERE c >= 1 GROUP BY 1),
+      sp AS (SELECT CAST(k AS INTEGER) AS digit, coalesce(o, 0) AS o
+             FROM range(1, 10) kk(k) LEFT JOIN obs ON obs.digit = kk.k),
+      wn AS (SELECT digit, o, CAST(sum(o) OVER () AS BIGINT) AS n FROM sp),
+      ct AS (SELECT digit, o, n,
+               CAST(n AS DOUBLE) * log10(1e0 + 1e0 / CAST(digit AS DOUBLE)) AS e,
+               CAST(floor((CAST(o AS DOUBLE) -
+                 CAST(n AS DOUBLE) * log10(1e0 + 1e0 / CAST(digit AS DOUBLE))) *
+                 (CAST(o AS DOUBLE) -
+                 CAST(n AS DOUBLE) * log10(1e0 + 1e0 / CAST(digit AS DOUBLE))) /
+                 (CAST(n AS DOUBLE) * log10(1e0 + 1e0 / CAST(digit AS DOUBLE))) *
+                 1000000e0 + 0.5e0) AS BIGINT) AS cu
+             FROM wn)
+      SELECT digit, o, ${Text.sqlHround("e", 4)} AS e4,
+             CAST(CAST(sum(cu) OVER () AS BIGINT) AS DOUBLE) / 1000000e0
+               AS chi2q
+      FROM ct ORDER BY digit
+    """),
+    doc = "Benford first-digit chi-square screen (exact digit, micro-quantized terms)")
+
+  /** Join-key skew diagnostics for `l_partkey` — the planning input for
+    * salting/AQE-skew decisions (`salted_skew_join`): key count, max and
+    * top-1 share, and the Gini coefficient of the per-key count
+    * distribution. Never sorts keys: the per-key counts collapse to the
+    * COUNT HISTOGRAM (42 distinct counts at sf0.1 vs 20k keys), and the
+    * sorted-index Gini formula Σ(2i−n−1)c_i telescopes per histogram run
+    * to c·m·(2·i0 + m − 1 − n − 1) — exact 64-bit integers with i0 from
+    * a cumulative window over the tiny histogram. Two-level aggregation
+    * (fact → key counts → histogram) keeps every shuffle key-bounded;
+    * windows touch only the ≤|distinct-counts| frame. Float = the two
+    * final ratios under hround.
+    */
+  val skewProfile: QueryDef = QueryDef(
+    "skew_profile",
+    (s, d) => {
+      val keyCnt = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val hist = keyCnt.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+      val wCum = Window.orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wFull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val runs = hist
+        .withColumn("i0", coalesce(sum(col("m")).over(wCum), lit(0L)) + lit(1L))
+        .withColumn("nk", sum(col("m")).over(wFull))
+        .withColumn("nr", sum(col("cnt") * col("m")).over(wFull))
+        .withColumn("gnum",
+          col("cnt") * col("m") *
+            (lit(2L) * col("i0") + col("m") - lit(1L) - col("nk") - lit(1L)))
+      runs.agg(
+          max(col("nk")).as("n_keys"), max(col("nr")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          sum(col("gnum")).as("gn"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          Text.hround(col("max_cnt").cast("double") /
+            col("n_rows").cast("double"), 6).as("top1_share6"),
+          Text.hround(col("gn").cast("double") /
+            (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini6"))
+    },
+    Some(s"""
+      WITH kc AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      hist AS (SELECT cnt, count(*) AS m FROM kc GROUP BY 1),
+      runs AS (
+        SELECT cnt, m,
+               coalesce(CAST(sum(m) OVER (ORDER BY cnt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) + 1 AS i0,
+               CAST(sum(m) OVER () AS BIGINT) AS nk,
+               CAST(sum(cnt * m) OVER () AS BIGINT) AS nr
+        FROM hist),
+      g AS (SELECT nk, nr, cnt,
+              cnt * m * (2 * i0 + m - 1 - nk - 1) AS gnum
+            FROM runs)
+      SELECT max(nk) AS n_keys, max(nr) AS n_rows, max(cnt) AS max_cnt,
+             ${Text.sqlHround(
+      "CAST(max(cnt) AS DOUBLE) / CAST(max(nr) AS DOUBLE)", 6)}
+               AS top1_share6,
+             ${Text.sqlHround(
+      "CAST(CAST(sum(gnum) AS BIGINT) AS DOUBLE) / " +
+        "CAST(max(nk) * max(nr) AS DOUBLE)", 6)} AS gini6
+      FROM g
+    """),
+    doc = "l_partkey skew profile: top-1 share + histogram-telescoped exact Gini")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
       marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
-      cusumChangepoint)
+      cusumChangepoint, autocorrDaily, benfordDigits, skewProfile)
 }

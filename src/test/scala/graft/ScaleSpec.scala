@@ -87,7 +87,8 @@ class ScaleSpec extends SparkSpec {
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
       "nearest_knn_irregular", "importance_weights", "heavy_hitters",
       "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram",
-      "market_basket_lift", "cms_freq_bound", "collocation_pmi")
+      "market_basket_lift", "cms_freq_bound", "collocation_pmi",
+      "autocorr_daily")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
