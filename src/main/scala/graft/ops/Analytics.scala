@@ -983,9 +983,118 @@ object Analytics {
     """),
     doc = "l_partkey skew profile: top-1 share + histogram-telescoped exact Gini")
 
+  /** Sequential-pattern mining: the top-25 event-type TRIGRAMS across
+    * user journeys (the order-3 sibling of `markov_transitions`'
+    * bigrams — "view>click>purchase" beats any bag-of-events signal for
+    * funnel design). Each user's journey is assembled ONCE with the
+    * deterministic (ts, event_id) sort inside the grouped collect, and
+    * trigram expansion is the doc_chunks transform-over-sequence shape —
+    * entirely in-plan, no self-joins, no windows. Per-user journeys are
+    * the one genuinely unbounded collect (a power user's events must fit
+    * an executor row — same bound `pack_sequences` documents); the
+    * trigram aggregate itself is 5³-bounded here and
+    * vocabulary-bounded in general. Counts are exact integers; the
+    * top-25 cut orders (n DESC, trigram) on both engines.
+    */
+  val eventTrigrams: QueryDef = QueryDef(
+    "event_trigrams",
+    (s, d) => {
+      val seqs = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(col("user_id"),
+          expr("transform(evs, x -> x.event_type)").as("seq"))
+        .filter(size(col("seq")) >= 3)
+      seqs
+        .select(col("user_id"), explode(expr(
+          "transform(sequence(1, size(seq) - 2), " +
+            "i -> concat_ws('>', slice(seq, i, 3)))")).as("trigram"))
+        .groupBy(col("trigram"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(25)
+        .orderBy(col("trigram"))
+    },
+    Some("""
+      WITH seqs AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1),
+      tg AS (
+        SELECT user_id,
+               unnest([array_to_string(seq[i:i+2], '>')
+                 FOR i IN generate_series(1, len(seq) - 2)]) AS trigram
+        FROM seqs WHERE len(seq) >= 3)
+      SELECT trigram, n, n_users FROM (
+        SELECT trigram, count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM tg GROUP BY 1
+        ORDER BY n DESC, trigram LIMIT 25)
+      ORDER BY trigram
+    """),
+    doc = "top-25 event-type trigrams across user journeys (in-plan expansion)")
+
+  /** Theil-Sen robust trend estimator over the daily revenue series —
+    * the median of all pairwise slopes (x_j−x_i)/(j−i), insensitive to
+    * the outlier days that wreck OLS (`corr_regr`'s slope). Slopes are
+    * doubles computed from identical exact-integer operands on both
+    * engines (one correctly-rounded division), so the slope ORDER — and
+    * therefore the lower-median pick by row_number — matches
+    * cross-engine exactly; ties order by (i, j). The pair expansion is
+    * an inequality join between two copies of the ≤|days| aggregate
+    * (30 rows → 435 pairs) — an intended broadcast nested-loop on a
+    * CONSTANT-sized frame (ScaleSpec-listed), nothing corpus-sized; at
+    * a million-point series you would switch to the O(n log n)
+    * randomized median-of-slopes selection, which this formulation's
+    * sort-and-pick generalizes to.
+    */
+  val theilSenSlope: QueryDef = QueryDef(
+    "theil_sen_slope",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("xc"))
+        .withColumn("t", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+      val a = daily.select(col("t").as("ta"), col("xc").as("xa"))
+      val b = daily.select(col("t").as("tb"), col("xc").as("xb"))
+      val pairs = a.join(b, col("tb") > col("ta"))
+        .select(col("ta"), col("tb"),
+          ((col("xb") - col("xa")).cast("double") /
+            (col("tb") - col("ta")).cast("double")).as("slp"))
+      val wFull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      pairs
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("slp"), col("ta"), col("tb"))).cast("long"))
+        .withColumn("np", count(lit(1)).over(wFull))
+        .filter(col("rn") === (col("np") + lit(1L)) / lit(2L))
+        .select(col("np").as("n_pairs"), Text.hround(col("slp"), 6).as("slope6"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      c AS (SELECT xc, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily),
+      p AS (SELECT a.t AS ta, b.t AS tb,
+              CAST(b.xc - a.xc AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slp
+            FROM c a, c b WHERE b.t > a.t),
+      r AS (SELECT slp,
+              CAST(row_number() OVER (ORDER BY slp, ta, tb) AS BIGINT) AS rn,
+              CAST(count(*) OVER () AS BIGINT) AS np
+            FROM p)
+      SELECT np AS n_pairs, ${Text.sqlHround("slp", 6)} AS slope6
+      FROM r WHERE rn = (np + 1) // 2
+    """),
+    doc = "Theil-Sen median-of-slopes robust trend over daily revenue")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
       marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
-      cusumChangepoint, autocorrDaily, benfordDigits, skewProfile)
+      cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
+      eventTrigrams, theilSenSlope)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{QueryDef, Tables, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -270,5 +270,94 @@ object Graph {
     """),
     doc = "single-source BFS hop distance (6 fixed rounds, one lazy plan)")
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs)
+  /** Neighbor-set Jaccard similarity — the classic link-prediction /
+    * role-similarity score — for every wedge-connected nation pair on
+    * the undirected trade graph: J(a,c) = |N(a)∩N(c)| / |N(a)∪N(c)|.
+    * Common neighbors are counted as WEDGES through the symmetric edge
+    * list (the `triangle_count` machinery: two equi-joins on the middle
+    * vertex, a<c to emit each pair once) — candidate pairs are only
+    * those with ≥1 common neighbor, never the quadratic all-pairs set;
+    * the union size telescopes to deg(a)+deg(c)−common from the degree
+    * frame, so everything is exact integers until the final ratio under
+    * hround. At 100 TB the wedge join needs the standard hub cap
+    * (bound the middle-vertex degree, as `dup_clusters`' star contraction
+    * does); the nation graph's max degree is 24, so the cap is a no-op
+    * here and is omitted. The edge frame is persist()-pinned — same
+    * deliberate session-lifetime cache as pagerank's, same rationale.
+    */
+  val nodeJaccard: QueryDef = QueryDef(
+    "node_jaccard",
+    (s, d) => {
+      val raw = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+      val sym = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .persist()
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val common = sym.select(col("v").as("m"), col("u").as("a"))
+        .join(sym.select(col("v").as("m"), col("u").as("c")), Seq("m"))
+        .filter(col("a") < col("c"))
+        .groupBy(col("a"), col("c")).agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+        .join(deg.select(col("u").as("c"), col("deg").as("deg_c")), Seq("c"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("a"),
+            col("n_name").as("a_name"))), Seq("a"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("c"),
+            col("n_name").as("c_name"))), Seq("c"))
+        .select(col("a_name"), col("c_name"), col("common"),
+          col("deg_a"), col("deg_c"),
+          Text.hround(col("common").cast("double") /
+            (col("deg_a") + col("deg_c") - col("common")).cast("double"), 6)
+            .as("jac6"))
+        .orderBy(col("a_name"), col("c_name"))
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw),
+      sym AS (SELECT a AS u, b AS v FROM e
+              UNION ALL SELECT b AS u, a AS v FROM e),
+      deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+      cm AS (SELECT s1.u AS a, s2.u AS c, count(*) AS common
+             FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+             GROUP BY 1, 2)
+      SELECT na.n_name AS a_name, nc.n_name AS c_name, cm.common,
+             da.deg AS deg_a, dc.deg AS deg_c,
+             ${Text.sqlHround(
+      "CAST(cm.common AS DOUBLE) / CAST(da.deg + dc.deg - cm.common AS DOUBLE)",
+      6)} AS jac6
+      FROM cm
+      JOIN deg da ON da.u = cm.a
+      JOIN deg dc ON dc.u = cm.c
+      JOIN nation na ON na.n_nationkey = cm.a
+      JOIN nation nc ON nc.n_nationkey = cm.c
+      ORDER BY a_name, c_name
+    """),
+    doc = "neighbor-set Jaccard for wedge-connected nation pairs (exact ints, hround ratio)")
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
+    nodeJaccard)
 }
