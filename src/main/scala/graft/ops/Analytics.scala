@@ -1091,10 +1091,75 @@ object Analytics {
     """),
     doc = "Theil-Sen median-of-slopes robust trend over daily revenue")
 
+  /** Pareto/ABC inventory classification — parts ranked by revenue,
+    * classed A while cumulative share ≤ 80%, B to 95%, C beyond (the
+    * 80/20 warehouse staple). Revenue is exact integer cents; the class
+    * boundary test is the INTEGRAL cross-multiplication cum·100 ≤ tot·80
+    * (≈2.3e14 at sf0.1, well inside 64-bit) so no float touches the
+    * classification; the only floats are the two reported shares under
+    * hround. The cumulative sum runs over the per-part AGGREGATE
+    * (key-cardinality-sized, 20k rows at sf0.1 — never the fact table),
+    * ordered (revenue DESC, partkey) for a total cross-engine order; at
+    * a billion-key catalog this one window is the piece to
+    * range-partition, which the classification (a monotone threshold on
+    * the cumsum) survives unchanged.
+    */
+  val paretoAbc: QueryDef = QueryDef(
+    "pareto_abc",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("rc"))
+      val wCum = Window.orderBy(col("rc").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      rev
+        .withColumn("cum", sum(col("rc")).over(wCum))
+        .withColumn("tot", sum(col("rc")).over(wFull))
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("rev_cents"),
+          max(col("tot")).as("tot"))
+        .select(col("abc_class"), col("n_parts"), col("rev_cents"),
+          Text.hround(col("rev_cents").cast("double") /
+            col("tot").cast("double"), 6).as("share6"))
+        .orderBy(col("abc_class"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS rc
+        FROM lineitem GROUP BY 1),
+      c AS (SELECT l_partkey, rc,
+              CAST(sum(rc) OVER (ORDER BY rc DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum,
+              CAST(sum(rc) OVER () AS BIGINT) AS tot
+            FROM rev),
+      k AS (SELECT rc, tot,
+              CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                   WHEN cum * 100 <= tot * 95 THEN 'B'
+                   ELSE 'C' END AS abc_class
+            FROM c)
+      SELECT abc_class, count(*) AS n_parts,
+             CAST(sum(rc) AS BIGINT) AS rev_cents,
+             ${Text.sqlHround(
+      "CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / CAST(max(tot) AS DOUBLE)", 6)}
+               AS share6
+      FROM k GROUP BY 1 ORDER BY abc_class
+    """),
+    doc = "Pareto/ABC revenue classification (integral 80/95 boundaries, exact cents)")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
       marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
       cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
-      eventTrigrams, theilSenSlope)
+      eventTrigrams, theilSenSlope, paretoAbc)
 }

@@ -2674,8 +2674,66 @@ object Extended {
       doc = "JL +/-1 random projection 64d -> 8d (deterministic signs, row-local)")
   }
 
+  /** Corpus-composition analysis: pairwise cosine similarity between the
+    * unigram term-count profiles of every SOURCE pair — the "which feeds
+    * overlap" diagnostic behind domain-mixing decisions
+    * (`domain_mix_sample` sets the rates; this explains them). The dot
+    * product is a vocabulary-keyed EQUI-join of the (source, term, c)
+    * profile with itself (a<b): per-term fanout is bounded by |sources|²
+    * — 400 here — regardless of corpus size, so there is no all-pairs
+    * document work anywhere; norms come from one grouped Σc². Counts and
+    * both quadratic sums are exact 64-bit integers; the one float is the
+    * final cosine under hround. At 100 TB the profile frame is
+    * vocab-sized (shuffle on term), the output |sources|²-sized — the
+    * whole query is two small aggregates and one equi-join.
+    */
+  val sourceSimilarity: QueryDef = QueryDef(
+    "source_similarity",
+    (s, d) => {
+      val tc = docWords(s, d)
+        .select(col("source"), explode(col("w")).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val nrm = tc.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("ss"))
+      tc.select(col("term"), col("source").as("sa"), col("c").as("ca"))
+        .join(tc.select(col("term"), col("source").as("sb"), col("c").as("cb")),
+          Seq("term"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(broadcast(nrm.select(col("source").as("sa"), col("ss").as("ssa"))),
+          Seq("sa"))
+        .join(broadcast(nrm.select(col("source").as("sb"), col("ss").as("ssb"))),
+          Seq("sb"))
+        .select(col("sa"), col("sb"), col("dot"),
+          Text.hround(col("dot").cast("double") /
+            (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))),
+            6).as("cos6"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      tc AS (SELECT source, term, count(*) AS c
+             FROM (SELECT source, unnest(w) AS term FROM ws) GROUP BY 1, 2),
+      nrm AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS ss
+              FROM tc GROUP BY 1),
+      dots AS (SELECT a.source AS sa, b.source AS sb,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+               FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source
+               GROUP BY 1, 2)
+      SELECT sa, sb, dot,
+             ${Text.sqlHround(
+      "CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * " +
+        "sqrt(CAST(nb.ss AS DOUBLE)))", 6)} AS cos6
+      FROM dots
+      JOIN nrm na ON na.source = dots.sa
+      JOIN nrm nb ON nb.source = dots.sb
+      ORDER BY sa, sb
+    """),
+    doc = "pairwise cosine of source term profiles (vocab-keyed equi-join, exact ints)")
+
   val all: Seq[QueryDef] = Seq(
-    randomProjection,
+    randomProjection, sourceSimilarity,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,

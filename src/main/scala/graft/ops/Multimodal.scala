@@ -161,5 +161,98 @@ object Multimodal {
     """),
     doc = "binaryFile source: per-file opaque-bytes ingestion + glob pruning")
 
-  val all: Seq[QueryDef] = Seq(mediaFeatures, frameSample, binaryFilesScan)
+  /** Perceptual-hash near-duplicate detection over the binary payloads —
+    * the image-dedup stage of a multimodal training pipeline (aHash:
+    * average-threshold bits over a downsampled thumbnail, then banded
+    * Hamming search). The DECODE STEP IS THE DETERMINISTIC FAKE this
+    * file documents: a real codec would emit an 8×4 luma thumbnail; here
+    * the payload is decoded back to tokens and each of 32 "pixels" is a
+    * CHUNK aggregate (sum of word hashes mod 256) — deliberately
+    * locality-preserving exactly like real block-averaged pixels, so a
+    * small payload edit perturbs one pixel, not the whole hash (a plain
+    * payload-md5 expansion was measured vacuous: zero near-dup pairs at
+    * two of three SFs). Everything downstream is REAL and scale-true:
+    * average-threshold bits stay exact integers (32·p_i ≥ Σp), the
+    * 32-bit hash shards into 4×8-bit bands (pigeonhole-complete for
+    * Hamming ≤ 3; the emit filter keeps the tight ≤ 1 matches), and
+    * candidates come from the simhash_near_dup groupBy+pair-expand —
+    * never a hash self-join, buckets capped at 1000. Payloads below 32
+    * words are dropped (sub-thumbnail images): their trailing zero
+    * pixels otherwise correlate every short doc with every other.
+    */
+  val imagePhashNearDup: QueryDef = QueryDef(
+    "image_phash_near_dup",
+    (s, d) => {
+      val h32x = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+      val ph = media(s, d)
+        .select(col("doc_id"),
+          Text.words(decode(col("payload"), "UTF-8")).as("w"))
+        .filter(size(col("w")) >= 32)
+        .withColumn("cs", expr("(size(w) + 31) div 32"))
+        .withColumn("px", expr(
+          "transform(sequence(1, 32), i -> " +
+            s"aggregate(slice(w, (i - 1) * cs + 1, cs), CAST(0 AS BIGINT), " +
+            s"(a, x) -> a + $h32x) % 256)"))
+        .withColumn("sp", expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("ph", expr(
+          "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
+            "a + IF(32 * element_at(px, i) >= sp, " +
+            "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
+        .select(col("doc_id"), col("ph"))
+      val bandStructs = (0 until 4).map(b =>
+        s"struct($b AS band, shiftright(ph, ${8 * b}) & 255 AS code)")
+        .mkString(", ")
+      ph
+        .select(explode(expr(s"array($bandStructs)")).as("bs"),
+          struct(col("doc_id"), col("ph")).as("m"))
+        .select(col("bs.band").as("band"), col("bs.code").as("code"), col("m"))
+        .groupBy(col("band"), col("code"))
+        .agg(expr("array_sort(collect_list(m))").as("ms"))
+        .filter(size(col("ms")).between(2, 1000))
+        .select(explode(expr(
+          "flatten(transform(ms, (x, i) -> " +
+            "transform(slice(ms, i + 2, size(ms)), y -> " +
+            "struct(x.doc_id AS d1, y.doc_id AS d2, " +
+            "CAST(bit_count(x.ph ^ y.ph) AS INT) AS hamming))))")).as("p"))
+        .filter(col("p.hamming") <= 1)
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+          col("p.hamming").as("hamming"))
+        .distinct()
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH ws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
+      ws32 AS (SELECT * FROM ws WHERE len(w) >= 32),
+      px AS (SELECT doc_id,
+              [CAST(coalesce(list_sum([${Text.sqlH32("x")}
+                  FOR x IN w[(i-1)*((len(w)+31)//32)+1 : i*((len(w)+31)//32)]]),
+                  0) AS BIGINT) % 256
+               FOR i IN generate_series(1, 32)] AS px
+             FROM ws32),
+      ph AS (SELECT doc_id,
+              CAST(list_sum([CASE WHEN 32 * px[i] >= CAST(list_sum(px) AS BIGINT)
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+                     FOR i IN generate_series(1, 32)]) AS BIGINT) AS ph
+             FROM px),
+      sbands AS (
+        SELECT doc_id, ph, b.band, (ph >> (8 * b.band)) & 255 AS code
+        FROM ph, range(4) b(band)),
+      spairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM sbands a
+        JOIN (SELECT band, code FROM sbands GROUP BY 1, 2
+              HAVING count(*) BETWEEN 2 AND 1000) ok
+          ON a.band = ok.band AND a.code = ok.code
+        JOIN sbands b ON a.band = b.band AND a.code = b.code
+          AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming FROM (
+        SELECT p.d1, p.d2, CAST(bit_count(xor(x.ph, y.ph)) AS INT) AS hamming
+        FROM spairs p JOIN ph x ON x.doc_id = p.d1
+        JOIN ph y ON y.doc_id = p.d2)
+      WHERE hamming <= 1 ORDER BY d1, d2
+    """),
+    doc = "perceptual-hash (aHash) near-dup over binary payloads, banded Hamming<=1")
+
+  val all: Seq[QueryDef] = Seq(mediaFeatures, frameSample, binaryFilesScan,
+    imagePhashNearDup)
 }
