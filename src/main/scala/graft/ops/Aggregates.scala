@@ -530,9 +530,94 @@ object Aggregates {
     """),
     doc = "count-min sketch point estimates, over/under bounds certified vs exact")
 
+  /** Multi-rule data-quality audit — the one-pass generalization of
+    * SNK3's `input_validation` from one predicate to a rule SUITE
+    * (referential integrity, domain ranges, key uniqueness), emitted as
+    * one row per rule with violation counts and rates. Cost discipline:
+    * the five lineitem-side rules (orphans via null-extended LEFT join,
+    * negative charge, quantity range, discount range, ship-before-order)
+    * come from a SINGLE joined scan folded into one aggregate row and
+    * stacked in-plan — never one scan per rule; key uniqueness is its
+    * own grouped pass on orders (violations = Σ(cnt−1), the excess
+    * rows). Everything is exact integer counts; the only float is the
+    * rate under hround. At 100 TB: one fact join (the same shuffle any
+    * fact query pays) + one dim aggregate, and the output is
+    * |rules|-sized.
+    */
+  val dqRuleSummary: QueryDef = QueryDef(
+    "dq_rule_summary",
+    (s, d) => {
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), lit(1).as("hit")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+      val liRules = j.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orph"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("neg"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("disc"),
+          sum(when(col("hit").isNotNull &&
+            col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+            .as("shiporder"))
+        .select(expr("stack(5, " +
+          "'discount_out_of_range', disc, " +
+          "'lineitem_orphans', orph, " +
+          "'negative_charge', neg, " +
+          "'qty_out_of_range', qty, " +
+          "'ship_before_order', shiporder) AS (rule, n_viol)"),
+          col("n").as("n_checked"))
+      val pkRule = Tables.orders(s, d)
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") - 1).as("n_viol"), sum(col("cnt")).as("n_checked"))
+        .select(lit("dup_order_pk").as("rule"), col("n_viol"),
+          col("n_checked"))
+      liRules.unionByName(pkRule)
+        .select(col("rule"), col("n_viol"), col("n_checked"),
+          Text.hround(col("n_viol").cast("double") /
+            col("n_checked").cast("double"), 6).as("viol_rate6"))
+        .orderBy(col("rule"))
+    },
+    Some(s"""
+      WITH j AS (
+        SELECT l.*, o.o_orderdate,
+               CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS miss
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      li AS (
+        SELECT count(*) AS n,
+               CAST(sum(miss) AS BIGINT) AS orph,
+               CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS neg,
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                 THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(sum(CASE WHEN miss = 0 AND l_shipdate < o_orderdate
+                 THEN 1 ELSE 0 END) AS BIGINT) AS shiporder
+        FROM j),
+      pk AS (
+        SELECT CAST(sum(cnt - 1) AS BIGINT) AS n_viol,
+               CAST(sum(cnt) AS BIGINT) AS n_checked
+        FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)),
+      rules AS (
+        SELECT 'discount_out_of_range' AS rule, disc AS n_viol, n AS n_checked FROM li
+        UNION ALL SELECT 'lineitem_orphans', orph, n FROM li
+        UNION ALL SELECT 'negative_charge', neg, n FROM li
+        UNION ALL SELECT 'qty_out_of_range', qty, n FROM li
+        UNION ALL SELECT 'ship_before_order', shiporder, n FROM li
+        UNION ALL SELECT 'dup_order_pk', n_viol, n_checked FROM pk)
+      SELECT rule, n_viol, n_checked,
+             ${Text.sqlHround(
+      "CAST(n_viol AS DOUBLE) / CAST(n_checked AS DOUBLE)", 6)} AS viol_rate6
+      FROM rules ORDER BY rule
+    """),
+    doc = "six-rule data-quality audit: one joined scan + one dim pass, exact counts")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
-    cmsFreqBound)
+    cmsFreqBound, dqRuleSummary)
 }

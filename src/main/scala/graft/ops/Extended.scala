@@ -2732,8 +2732,109 @@ object Extended {
     """),
     doc = "pairwise cosine of source term profiles (vocab-keyed equi-join, exact ints)")
 
+  /** Asymmetric containment verify — the plagiarism/sub-document signal
+    * symmetric Jaccard misses: a short doc fully embedded in a long one
+    * has tiny Jaccard but containment ≈ 1 on the short side
+    * (c(A→B) = |A∩B|/|A|). Runs ONLY on the LSH candidate pairs like
+    * every verify stage (never a shingle self-join), intersecting the
+    * hash-once shingle sets row-locally; set sizes and the intersection
+    * are exact integers feeding identical-operand divisions under
+    * hround, and the keep rule (either direction ≥ 0.6) is checked
+    * discriminating at all three SFs. Same 100 TB discipline as
+    * `ngram_jaccard_pairs`: candidate-bounded work, ReusedExchange on
+    * the shingle subtree, shuffle_hash set joins.
+    */
+  val containmentPairs: QueryDef = QueryDef(
+    "containment_pairs",
+    (s, d) => {
+      val sets = shingleHashes(s, d)
+        .select(col("doc_id"),
+          expr("array_sort(array_distinct(hs))").as("sh"))
+        .withColumn("n_sh", size(col("sh")).cast("long"))
+      lshCandidates(s, d)
+        .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("n_sh").as("n1")).hint("shuffle_hash"), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("n_sh").as("n2")).hint("shuffle_hash"), Seq("d2"))
+        .withColumn("inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .withColumn("cont1", Text.hround(col("inter") / col("n1"), 4))
+        .withColumn("cont2", Text.hround(col("inter") / col("n2"), 4))
+        .filter(greatest(col("cont1"), col("cont2")) >= 0.6)
+        .select(col("d1"), col("d2"), col("inter"), col("cont1"), col("cont2"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH $sqlSignatures,
+      bands AS ($sqlBandsFromSig),
+      pairs AS ($sqlCappedPairs),
+      sets AS (SELECT doc_id, list_sort(list_distinct(hs)) AS sh FROM hss),
+      j AS (
+        SELECT p.d1, p.d2,
+               CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS inter,
+               len(s1.sh) AS n1, len(s2.sh) AS n2
+        FROM pairs p
+        JOIN sets s1 ON s1.doc_id = p.d1
+        JOIN sets s2 ON s2.doc_id = p.d2)
+      SELECT d1, d2, inter, cont1, cont2 FROM (
+        SELECT d1, d2, inter,
+               ${Text.sqlHround("inter / n1", 4)} AS cont1,
+               ${Text.sqlHround("inter / n2", 4)} AS cont2
+        FROM j)
+      WHERE greatest(cont1, cont2) >= 0.6 ORDER BY d1, d2
+    """),
+    doc = "asymmetric shingle containment >= 0.6 verify over LSH candidate pairs")
+
+  /** Per-source language mix — the corpus-composition table every
+    * multilingual data pipeline reports before mixing: per (source,
+    * lang) counts, within-source share, and the source's language
+    * ENTROPY (how mixed its feeds are). One grouped count, then windows
+    * over the ≤|sources|×|langs| aggregate partitioned BY SOURCE (never
+    * global); each entropy term (c/n)·log2(n/c) is micro-quantized to a
+    * long per row before the per-source window sum, so the cross-row
+    * accumulation is exact integers (the order-free discipline — a
+    * double window sum would depend on frame walk order).
+    */
+  val sourceLangMix: QueryDef = QueryDef(
+    "source_lang_mix",
+    (s, d) => {
+      val wSrc = Window.partitionBy(col("source"))
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(wSrc))
+        .withColumn("eu",
+          floor(col("c").cast("double") / col("n").cast("double") *
+            log2(col("n").cast("double") / col("c").cast("double")) *
+            lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("share6",
+          Text.hround(col("c").cast("double") / col("n").cast("double"), 6))
+        .withColumn("ent6", sum(col("eu")).over(wSrc).cast("double") / lit(1e6))
+        .select(col("source"), col("lang"), col("c"), col("share6"),
+          col("ent6"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some(s"""
+      WITH sl AS (SELECT source, lang, count(*) AS c
+                  FROM documents GROUP BY 1, 2),
+      n AS (SELECT source, lang, c,
+              CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM sl),
+      e AS (SELECT source, lang, c, n,
+              CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) *
+                log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) *
+                1000000e0 + 0.5e0) AS BIGINT) AS eu
+            FROM n)
+      SELECT source, lang, c,
+             ${Text.sqlHround("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+               AS share6,
+             CAST(CAST(sum(eu) OVER (PARTITION BY source) AS BIGINT) AS DOUBLE)
+               / 1000000e0 AS ent6
+      FROM e ORDER BY source, lang
+    """),
+    doc = "per-source language mix + entropy (micro-quantized, source-partitioned)")
+
   val all: Seq[QueryDef] = Seq(
-    randomProjection, sourceSimilarity,
+    randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
