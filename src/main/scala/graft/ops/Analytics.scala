@@ -1156,10 +1156,73 @@ object Analytics {
     """),
     doc = "Pareto/ABC revenue classification (integral 80/95 boundaries, exact cents)")
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * CRM staple: per purchasing user, days since last purchase (against
+    * the corpus max day, computed in-plan), purchase count, and exact
+    * cents spent, each scored into quintiles with ntile(5) so that 5 =
+    * best (most recent / most frequent / highest spend). Every input to
+    * the scoring is an exact integer, and each ntile ORDER BY ends in
+    * the user_id tiebreak so bucket assignment is total-order
+    * deterministic cross-engine (ntile's n/k±1 bucket-size rule is the
+    * same SQL semantics in both engines). The quintile windows run over
+    * the per-USER aggregate (150 → 15k rows at the fixture SFs, never
+    * events); at a billion-user table each global ntile is the
+    * documented range-partition point — the same trade `pareto_abc`
+    * carries.
+    */
+  val rfmSegmentation: QueryDef = QueryDef(
+    "rfm_segmentation",
+    (s, d) => {
+      val wFull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("n_purch"),
+          (sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("cents"))
+        .withColumn("recency_days",
+          datediff(max(col("last_day")).over(wFull), col("last_day"))
+            .cast("long"))
+        .withColumn("r_score",
+          ntile(5).over(Window.orderBy(col("recency_days").desc,
+            col("user_id"))))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("n_purch").asc, col("user_id"))))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("cents").asc, col("user_id"))))
+        .select(col("user_id"), col("recency_days"), col("n_purch"),
+          col("cents"), col("r_score"), col("f_score"), col("m_score"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+               count(*) AS n_purch,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      r AS (
+        SELECT user_id,
+               CAST(date_diff('day', last_day, max(last_day) OVER ())
+                 AS BIGINT) AS recency_days,
+               n_purch, cents
+        FROM p)
+      SELECT user_id, recency_days, n_purch, cents,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+               AS INTEGER) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY n_purch ASC, user_id)
+               AS INTEGER) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY cents ASC, user_id)
+               AS INTEGER) AS m_score
+      FROM r ORDER BY user_id
+    """),
+    doc = "RFM quintile segmentation over the per-user purchase aggregate")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
       marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
       cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
-      eventTrigrams, theilSenSlope, paretoAbc)
+      eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation)
 }

@@ -2833,8 +2833,51 @@ object Extended {
     """),
     doc = "per-source language mix + entropy (micro-quantized, source-partitioned)")
 
+  /** N-gram novelty scoring — per document, the fraction of its distinct
+    * 3-gram shingles that it INTRODUCES to the corpus (no lower-id doc
+    * contains them): the curation signal separating template/boilerplate
+    * rehashes (novelty → 0) from genuinely new text (novelty → 1), and
+    * the per-doc dual of `boilerplate_frac`. One grouped min over the
+    * exploded distinct shingle frame finds each shingle's first doc; the
+    * join back is the shingle-keyed equi-join every dedup op here uses
+    * (hash-once exchange, digest keys, never document bodies). Counts
+    * are exact integers; the single float ratio sits under hround.
+    * First-introduction is defined by doc_id order — the stable,
+    * deterministic tiebreak the dedup family already canonicalizes on.
+    */
+  val ngramNovelty: QueryDef = QueryDef(
+    "ngram_novelty",
+    (s, d) => {
+      val sh = shingleHashes(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("h")).distinct()
+      val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty4",
+          Text.hround(col("n_novel") / col("n_sh"), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $sqlShingleHashCtes,
+      sh AS (SELECT DISTINCT doc_id, s.h AS h FROM hss, unnest(hs) AS s(h)),
+      f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT doc_id, count(*) AS n_sh,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             ${Text.sqlHround(
+      "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "/ count(*)", 4)} AS novelty4
+      FROM sh JOIN f USING (h)
+      GROUP BY doc_id ORDER BY doc_id
+    """),
+    doc = "per-doc first-introduction shingle novelty (min-doc join, exact counts)")
+
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
+    ngramNovelty,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,

@@ -498,8 +498,70 @@ object Relational {
     """),
     doc = "global zipWithIndex without a single-partition window (bucket offsets)")
 
+  /** TPC-H-Q5-shaped local-supplier volume: revenue per nation from
+    * orders where the CUSTOMER's and SUPPLIER's nations coincide, inside
+    * one region and one order-date year-pair — the classic 6-table join
+    * (region→nation→customer→orders→lineitem→supplier) that exercises
+    * Catalyst's join reordering and broadcast selection end-to-end. The
+    * plan Catalyst picks is the one you want at 100 TB: region/nation
+    * (and at fixture scale customer/supplier) broadcast, the date filter
+    * pushed into the orders scan, and the co-nation predicate applied as
+    * an equi-join conjunct (s_nationkey = c_nationkey rides the supplier
+    * join key), never a post-join filter over a wider product. Revenue
+    * uses the engine's exact decimal discipline (sql_pricing_summary's
+    * floor(x·100+0.5)/100 half-up on an exact DECIMAL sum).
+    */
+  val sqlLocalSupplierVolume: QueryDef = QueryDef(
+    "sql_local_supplier_volume",
+    (s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT n_name,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                           AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+        FROM region_v r
+        JOIN nation_v n ON n.n_regionkey = r.r_regionkey
+        JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        JOIN orders_v o ON o.o_custkey = c.c_custkey
+        JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+                         AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """)
+    },
+    Some("""
+      SELECT n_name,
+             floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                         AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+      FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     AND s.s_nationkey = c.c_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """),
+    doc = "TPC-H-Q5-shaped 6-table local-supplier revenue (join reorder + broadcasts)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
-      sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex)
+      sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex,
+      sqlLocalSupplierVolume)
 }

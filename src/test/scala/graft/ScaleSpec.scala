@@ -108,7 +108,8 @@ class ScaleSpec extends SparkSpec {
     // Guard the hash-once property: the exchange must be REUSED, not
     // re-executed, everywhere the signature/shingle subtree is consumed.
     Seq(ops.Extended.minhashLsh, ops.Extended.ngramJaccard,
-      ops.Extended.editDistancePairs).foreach { q =>
+      ops.Extended.editDistancePairs, ops.Extended.containmentPairs)
+      .foreach { q =>
       val plan = planOf(q.fn(spark, sfDir))
       assert(plan.contains("ReusedExchange"),
         s"${q.name}: shingle-hash exchange not reused — " +
