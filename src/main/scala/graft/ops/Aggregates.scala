@@ -615,9 +615,50 @@ object Aggregates {
     """),
     doc = "six-rule data-quality audit: one joined scan + one dim pass, exact counts")
 
+  /** Incremental materialized-view maintenance — the partial-merge
+    * identity every streaming/batch MV system rests on: yesterday's
+    * per-key aggregate (days 1-15) MERGED with today's delta aggregate
+    * (days 16+) must equal the full recompute, which is exactly what the
+    * oracle computes. The merge is a full-outer join on the group key
+    * with coalesce'd mergeable states (count and exact integer cents —
+    * both associative), so the identity holds bit-for-bit, not
+    * approximately. At 100 TB this is the pattern that turns an O(corpus)
+    * nightly rebuild into an O(delta) upsert: the base side is
+    * |keys|-sized state, only the delta scans new data, and the same
+    * merge runs under foreachBatch in streaming.
+    */
+  val mvIncrementalMerge: QueryDef = QueryDef(
+    "mv_incremental_merge",
+    (s, d) => {
+      def slab(pred: org.apache.spark.sql.Column) =
+        Tables.events(s, d).filter(pred)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("value").cast("decimal(18,2)")) * lit(100))
+              .cast("long").as("c"))
+      val cut = to_date(col("ts")) < lit("2024-01-16").cast("date")
+      val base = slab(cut)
+        .select(col("event_type"), col("n").as("bn"), col("c").as("bc"))
+      val delta = slab(!cut)
+        .select(col("event_type"), col("n").as("dn"), col("c").as("dc"))
+      base.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1 ORDER BY event_type
+    """),
+    doc = "MV partial-merge identity: base+delta full-outer merge == full recompute")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
-    cmsFreqBound, dqRuleSummary)
+    cmsFreqBound, dqRuleSummary, mvIncrementalMerge)
 }

@@ -523,8 +523,72 @@ object Joins {
     """),
     doc = "Bloom-sketch semi-join reduction; exact join removes false positives")
 
+  /** Geohash spatial bucketing of the station points — the standard
+    * prefix-shareable spatial index key (Niemeyer's geohash: quantize
+    * lat/lon, bit-interleave longitude-first MSB-first, base-32 encode;
+    * here precision 4 = 20 bits = 10+10). Everything is exact integer
+    * bit arithmetic after two floor quantizations of identical IEEE
+    * operand chains, and the base-32 string is a pure per-5-bit
+    * substring lookup — all in-plan, zero UDFs, mirrored
+    * operator-for-operator in the oracle. The aggregate shuffles on the
+    * cell key (bounded fanout, map-side combine); geohash prefixes are
+    * what you'd range-partition or Z-order files by at 100 TB — this is
+    * the key-derivation step for `zorder_cluster`-style layouts on
+    * geo data.
+    */
+  val geohashCells: QueryDef = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    // interleaved 20-bit cell id: even bit positions (MSB-first) from
+    // longitude, odd from latitude — the geohash bit order.
+    val zSpark = (0 until 10).flatMap { i =>
+      Seq(s"shiftleft(shiftright(x, ${9 - i}) & 1, ${19 - 2 * i})",
+        s"shiftleft(shiftright(y, ${9 - i}) & 1, ${18 - 2 * i})")
+    }.mkString(" + ")
+    val zDuck = (0 until 10).flatMap { i =>
+      Seq(s"(((x >> ${9 - i}) & 1) << ${19 - 2 * i})",
+        s"(((y >> ${9 - i}) & 1) << ${18 - 2 * i})")
+    }.mkString(" + ")
+    val ghSpark = (0 until 4).map { k =>
+      s"substr('$alpha', CAST(shiftright(z, ${15 - 5 * k}) & 31 AS INT) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+    val ghDuck = (0 until 4).map { k =>
+      s"substr('$alpha', CAST((z >> ${15 - 5 * k}) & 31 AS INTEGER) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+    QueryDef(
+      "geohash_cells",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(col("c_custkey").as("station_id"),
+            expr(sqlSLat).as("slat"), expr(sqlSLon).as("slon"))
+          .withColumn("x",
+            floor((col("slon") + lit(180.0)) / lit(360.0) * lit(1024.0)))
+          .withColumn("y",
+            floor((col("slat") + lit(90.0)) / lit(180.0) * lit(1024.0)))
+          .withColumn("z", expr(zSpark))
+          .withColumn("gh4", expr(ghSpark))
+          .groupBy(col("gh4")).agg(count(lit(1)).as("n_stations"))
+          .orderBy(col("n_stations").desc, col("gh4"))
+          .limit(25)
+          .orderBy(col("gh4")),
+      Some(s"""
+        WITH st AS (SELECT c_custkey AS station_id,
+                           $sqlSLat AS slat, $sqlSLon AS slon FROM customer),
+        xy AS (SELECT station_id,
+                 CAST(floor((slon + 180e0) / 360e0 * 1024e0) AS BIGINT) AS x,
+                 CAST(floor((slat + 90e0) / 180e0 * 1024e0) AS BIGINT) AS y
+               FROM st),
+        zc AS (SELECT station_id, $zDuck AS z FROM xy),
+        gh AS (SELECT station_id, $ghDuck AS gh4 FROM zc)
+        SELECT gh4, n_stations FROM (
+          SELECT gh4, count(*) AS n_stations FROM gh GROUP BY 1
+          ORDER BY n_stations DESC, gh4 LIMIT 25)
+        ORDER BY gh4
+      """),
+      doc = "geohash-4 spatial bucketing (bit-interleave + base32, exact ints)")
+  }
+
   val all: Seq[QueryDef] =
     Seq(pivotAlign, snapJoin, nearestWindow, nearestKnnIrregular, dimEnrich,
       asof, asofNative, saltedSkewJoin, bigJoinBrand, rangeJoin, mergeUpsert,
-      bloomPrunedJoin)
+      bloomPrunedJoin, geohashCells)
 }

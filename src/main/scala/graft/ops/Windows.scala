@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Num, QueryDef, Tables, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -387,6 +388,27 @@ object Windows {
     """),
     doc = "decile bucketing per group (ntile window), per-bucket count/min/max")
 
+  /** The SCD2 validity-interval frame (user_id, ver, event_type,
+    * valid_from, valid_to, n_events) — shared by `scd2_history` (which
+    * just orders it) and `pit_join_scd2` (which probes it).
+    */
+  private def scd2Frame(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("event_type"), 1).over(ord)
+    val r = Tables.events(s, d)
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+      .withColumn("ver", sum(col("chg")).over(cum))
+    r.groupBy(col("user_id"), col("ver"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("ver"))))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
   /** SCD type-2 history build — the warehouse pattern for "what was this
     * entity's state, and when": collapse each user's event stream into
     * versioned validity intervals. A new version opens whenever the
@@ -401,23 +423,9 @@ object Windows {
     */
   val scd2History: QueryDef = QueryDef(
     "scd2_history",
-    (s, d) => {
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val prev = lag(col("event_type"), 1).over(ord)
-      val r = Tables.events(s, d)
-        .withColumn("chg",
-          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
-        .withColumn("ver", sum(col("chg")).over(cum))
-      r.groupBy(col("user_id"), col("ver"), col("event_type"))
-        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
-        .withColumn("valid_to", lead(col("valid_from"), 1)
-          .over(Window.partitionBy(col("user_id")).orderBy(col("ver"))))
-        .select(col("user_id"), col("ver"), col("event_type"),
-          col("valid_from"), col("valid_to"), col("n_events"))
-        .orderBy(col("user_id"), col("ver"))
-    },
+    (s, d) =>
+      scd2Frame(s, d)
+        .orderBy(col("user_id"), col("ver")),
     Some("""
       WITH o AS (
         SELECT user_id, ts, event_id, event_type,
@@ -441,6 +449,67 @@ object Windows {
       FROM g ORDER BY user_id, ver
     """),
     doc = "SCD type-2 validity intervals per user (gap-islands versions, lead-closed)")
+
+  /** Point-in-time (PIT) join against the SCD2 history — the "as the
+    * dimension stood THEN" probe that makes SCD2 useful: each purchase
+    * event joins the version whose [valid_from, valid_to) interval
+    * covers its timestamp (valid_to NULL = still open), then rolls up
+    * purchase count and exact cents per version. The join is an
+    * EQUI-join on user_id with the interval test as a residual
+    * conjunct — at 100 TB both sides shuffle once on the entity key and
+    * each probe scans only that entity's (history-bounded) versions;
+    * never a time-range cross product. Interval attribution is by
+    * timestamp only (boundary events with identical ts tie-break into
+    * the LATER version on both engines — half-open interval semantics),
+    * matching the oracle exactly.
+    */
+  val pitJoinScd2: QueryDef = QueryDef(
+    "pit_join_scd2",
+    (s, d) => {
+      val hist = scd2Frame(s, d)
+      val purch = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          col("value").cast("decimal(18,2)").as("pv"))
+      purch.join(hist,
+          col("pu") === col("user_id") && col("pts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("pts") < col("valid_to")))
+        .groupBy(col("user_id"), col("ver"), col("event_type"))
+        .agg(count(lit(1)).as("n_purch"),
+          (sum(col("pv")) * lit(100)).cast("long").as("cents"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      r AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
+        FROM o),
+      g AS (SELECT user_id, ver, event_type, min(ts) AS valid_from,
+                   count(*) AS n_events
+            FROM r GROUP BY 1, 2, 3),
+      hist AS (
+        SELECT user_id, ver, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+                 AS valid_to
+        FROM g),
+      p AS (SELECT user_id AS pu, ts AS pts,
+                   CAST(value AS DECIMAL(18,2)) AS pv
+            FROM events WHERE event_type = 'purchase')
+      SELECT h.user_id, h.ver, h.event_type, count(*) AS n_purch,
+             CAST(sum(pv) * 100 AS BIGINT) AS cents
+      FROM p JOIN hist h ON p.pu = h.user_id AND p.pts >= h.valid_from
+        AND (h.valid_to IS NULL OR p.pts < h.valid_to)
+      GROUP BY 1, 2, 3 ORDER BY h.user_id, h.ver
+    """),
+    doc = "point-in-time join of purchases to SCD2 versions (equi + interval residual)")
 
   /** Batch sessionization — the gap-island construction as an ENGINE
     * operator (the streaming twin is `session_window_agg`, whose oracle
@@ -807,6 +876,6 @@ object Windows {
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
-      scd2History, sessionizeBatch, markovTransitions, ewmaSmooth,
+      scd2History, pitJoinScd2, sessionizeBatch, markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal)
 }
