@@ -1219,10 +1219,142 @@ object Analytics {
     """),
     doc = "RFM quintile segmentation over the per-user purchase aggregate")
 
+  /** Chi-square post-hoc cell diagnosis — `chi_square_independence`
+    * says WHETHER the contingency table deviates; this says WHERE:
+    * per-cell expected counts and Haberman adjusted standardized
+    * residuals (o−e)/√(e·(1−rt/n)·(1−ct/n)), the quantity that is
+    * ~N(0,1) under independence so |res| > 2 flags the driving cells.
+    * Same shape as the parent test: one shuffle to the contingency
+    * cells, windows over the ≤|types|×|groups| cell frame only; the
+    * residual is an IEEE chain on exact integer marginals mirrored
+    * operand-for-operand, under hround.
+    */
+  val chiSquareResiduals: QueryDef = QueryDef(
+    "chi_square_residuals",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 2).as("grp"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("grp"))
+      val wa = Window.partitionBy()
+      cells
+        .withColumn("rt", sum(col("o")).over(wr))
+        .withColumn("ct", sum(col("o")).over(wc))
+        .withColumn("n", sum(col("o")).over(wa))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .select(col("event_type"), col("grp"), col("o"),
+          Text.hround(col("e"), 4).as("e4"),
+          Text.hround((col("o") - col("e")) /
+            sqrt(col("e") *
+              (lit(1.0) - col("rt").cast("double") / col("n")) *
+              (lit(1.0) - col("ct").cast("double") / col("n"))), 4)
+            .as("std_res4"))
+        .orderBy(col("event_type"), col("grp"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type, user_id % 2 AS grp, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, grp, o,
+               sum(o) OVER (PARTITION BY event_type) AS rt,
+               sum(o) OVER (PARTITION BY grp) AS ct,
+               sum(o) OVER () AS n
+        FROM cells),
+      c AS (SELECT *, CAST(rt AS DOUBLE) * ct / n AS e FROM m)
+      SELECT event_type, grp, o,
+             ${Text.sqlHround("e", 4)} AS e4,
+             ${Text.sqlHround(
+      "(o - e) / sqrt(e * (1e0 - CAST(rt AS DOUBLE) / n) * " +
+        "(1e0 - CAST(ct AS DOUBLE) / n))", 4)} AS std_res4
+      FROM c ORDER BY event_type, grp
+    """),
+    doc = "chi-square adjusted standardized residuals per contingency cell")
+
+  /** Forecast-accuracy scorecard for the 4-lag halving-kernel EWMA
+    * one-step-ahead forecast of daily revenue — the backtest every
+    * forecasting deployment needs. The forecast f_t = (8x_{t-1} +
+    * 4x_{t-2} + 2x_{t-3} + x_{t-4})/15 is kept RATIONAL: err·15 =
+    * 15·x_t − (8l1+4l2+2l3+l4) is an exact 64-bit integer in cents, so
+    * MAE and WAPE reduce to exact integer sums with one final division
+    * chain; sMAPE's per-day term is irreducibly float, so each term is
+    * micro-quantized to a long before the cross-day mean (the
+    * order-free-sum discipline). Scoring windows run over the ≤|days|
+    * daily aggregate; days without the full 4-lag history are excluded
+    * on both engines.
+    */
+  val forecastAccuracy: QueryDef = QueryDef(
+    "forecast_accuracy",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("xc"))
+      val w = Window.orderBy(col("day"))
+      val withLags = (1 to 4).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("xc"), k).over(w))
+      }
+      val f15 = lit(8L) * col("l1") + lit(4L) * col("l2") +
+        lit(2L) * col("l3") + col("l4")
+      val scored = withLags.filter(col("l4").isNotNull)
+        .withColumn("err15", lit(15L) * col("xc") - f15)
+        .withColumn("smq",
+          floor(lit(2.0) * abs(col("err15")).cast("double") /
+            (lit(15.0) * col("xc").cast("double") + f15.cast("double")) *
+            lit(1e6) + lit(0.5)).cast("long"))
+      scored.agg(
+          count(lit(1)).as("n_days"),
+          sum(abs(col("err15"))).as("sae15"),
+          sum(col("xc")).as("sx"),
+          sum(col("smq")).as("ssmq"))
+        .select(col("n_days"),
+          Text.hround(col("sae15").cast("double") / lit(15.0) /
+            col("n_days").cast("double") / lit(100.0), 2).as("mae2"),
+          Text.hround(col("sae15").cast("double") /
+            (lit(15.0) * col("sx").cast("double")), 6).as("wape6"),
+          (col("ssmq").cast("double") / col("n_days").cast("double") /
+            lit(1e6)).as("smape_q"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      lg AS (SELECT day, xc,
+               lag(xc, 1) OVER (ORDER BY day) AS l1,
+               lag(xc, 2) OVER (ORDER BY day) AS l2,
+               lag(xc, 3) OVER (ORDER BY day) AS l3,
+               lag(xc, 4) OVER (ORDER BY day) AS l4
+             FROM daily),
+      sc AS (SELECT xc,
+               15 * xc - (8 * l1 + 4 * l2 + 2 * l3 + l4) AS err15,
+               8 * l1 + 4 * l2 + 2 * l3 + l4 AS f15
+             FROM lg WHERE l4 IS NOT NULL),
+      q AS (SELECT xc, err15,
+              CAST(floor(2e0 * CAST(abs(err15) AS DOUBLE) /
+                (15e0 * CAST(xc AS DOUBLE) + CAST(f15 AS DOUBLE)) *
+                1000000e0 + 0.5e0) AS BIGINT) AS smq
+            FROM sc)
+      SELECT count(*) AS n_days,
+             ${Text.sqlHround(
+      "CAST(CAST(sum(abs(err15)) AS BIGINT) AS DOUBLE) / 15e0 / " +
+        "CAST(count(*) AS DOUBLE) / 100e0", 2)} AS mae2,
+             ${Text.sqlHround(
+      "CAST(CAST(sum(abs(err15)) AS BIGINT) AS DOUBLE) / " +
+        "(15e0 * CAST(CAST(sum(xc) AS BIGINT) AS DOUBLE))", 6)} AS wape6,
+             CAST(CAST(sum(smq) AS BIGINT) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) / 1000000e0 AS smape_q
+      FROM q
+    """),
+    doc = "EWMA one-step-ahead backtest: exact-integer MAE/WAPE, micro-quantized sMAPE")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
       marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
       cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
-      eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation)
+      eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation,
+      chiSquareResiduals, forecastAccuracy)
 }

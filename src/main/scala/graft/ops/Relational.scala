@@ -559,9 +559,71 @@ object Relational {
     """),
     doc = "TPC-H-Q5-shaped 6-table local-supplier revenue (join reorder + broadcasts)")
 
+  /** TPC-H-Q7-shaped cross-nation volume shipping: revenue flows between
+    * every DISTINCT (supplier-nation → customer-nation) pair by order
+    * year, top-20 flows (Q7 fixes two nations; the fixture's sparse
+    * small-SF trade makes any fixed pair vacuous at sf0.001, so the
+    * engine form keeps the full pair lattice and takes the top flows —
+    * same plan shape, no empty-result degenerate gate). Catalyst gets
+    * the same latitude as Q5: both nation dims broadcast twice under
+    * different aliases, the fact join chain shuffles once per key, and
+    * the final top-20 compiles to TakeOrderedAndProject over the
+    * |nations|²×|years| aggregate. Year is cast to INT on both engines
+    * (DuckDB year() is BIGINT — the dtype-drift gotcha); revenue keeps
+    * the exact-decimal discipline.
+    */
+  val sqlVolumeShipping: QueryDef = QueryDef(
+    "sql_volume_shipping",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT * FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(o.o_orderdate) AS INT) AS l_year,
+                 floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                 CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                             AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+          FROM supplier_v s
+          JOIN lineitem_v l ON s.s_suppkey = l.l_suppkey
+          JOIN orders_v o ON o.o_orderkey = l.l_orderkey
+          JOIN customer_v c ON c.c_custkey = o.o_custkey
+          JOIN nation_v n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation_v n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE n1.n_name <> n2.n_name
+          GROUP BY n1.n_name, n2.n_name, CAST(year(o.o_orderdate) AS INT)
+          ORDER BY revenue DESC, supp_nation, cust_nation, l_year
+          LIMIT 20)
+        ORDER BY supp_nation, cust_nation, l_year
+      """)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                           AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, supp_nation, cust_nation, l_year
+        LIMIT 20)
+      ORDER BY supp_nation, cust_nation, l_year
+    """),
+    doc = "TPC-H-Q7-shaped top-20 cross-nation revenue flows by year")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
       sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex,
-      sqlLocalSupplierVolume)
+      sqlLocalSupplierVolume, sqlVolumeShipping)
 }
