@@ -155,6 +155,44 @@ class EventStreamSpec extends SparkSpec {
       s"replayed batch duplicated rows: ${out.collect().toSeq}")
   }
 
+  test("foreachBatch incremental MV merge: running store equals full recompute") {
+    // The streaming twin of the batch `mv_incremental_merge` identity:
+    // each micro-batch contributes a partial (count, exact-cents)
+    // aggregate that is MERGED into a keyed store; after any number of
+    // batches the store must equal the full recompute — the associative
+    // mergeable-state property the MV pattern rests on.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val store = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+    val q = mem.toDF().toDF("event_type", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              (sum(col("value").cast("decimal(18,2)")) * lit(100))
+                .cast("long").as("c"))
+            .collect().foreach { r =>
+              val (n0, c0) = store.getOrElse(r.getString(0), (0L, 0L))
+              store(r.getString(0)) = (n0 + r.getLong(1), c0 + r.getLong(2))
+            }
+          ()
+      }
+      .start()
+    try {
+      mem.addData(("click", 1.25), ("view", 2.50), ("click", 3.10))
+      q.processAllAvailable()
+      mem.addData(("click", 0.65), ("purchase", 10.00))
+      q.processAllAvailable()
+      mem.addData(("view", 4.75))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(store("click") == ((3L, 500L)))
+    assert(store("view") == ((2L, 725L)))
+    assert(store("purchase") == ((1L, 1000L)))
+  }
+
   test("dedupStream: duplicates dropped within watermark, state evicted after") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
