@@ -2875,9 +2875,150 @@ object Extended {
     """),
     doc = "per-doc first-introduction shingle novelty (min-doc join, exact counts)")
 
+  /** Distribution drift per source vs the whole corpus, as
+    * Jensen-Shannon divergence over unigram distributions — the drift
+    * monitor a production data pipeline alarms on when a feed's content
+    * shifts. JS needs NO smoothing and no (source × vocab) expansion:
+    * for terms ABSENT from the source, p=0 makes m=q/2 so the Q-side
+    * KL contribution collapses to q·log2(2) = q — i.e. the whole absent
+    * mass is (1 − coverage) in CLOSED FORM from one integer sum, and
+    * only the PRESENT (source, term) rows are ever materialized
+    * (vocab-keyed equi-join, the source_similarity shape). Per-present-
+    * term contributions p·log2(p/m) + q·log2(q/m) are micro-quantized
+    * to longs before the per-source sum (order-free); p, q, m are
+    * ratios of exact integers. The one-row corpus-total frame rides as
+    * a broadcast scalar (ScaleSpec-intended).
+    */
+  val sourceDriftJs: QueryDef = QueryDef(
+    "source_drift_js",
+    (s, d) => {
+      val toks = docWords(s, d).select(col("source"), explode(col("w")).as("term"))
+      val tc = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val ns = tc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val vocab = tc.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+      val tot = vocab.agg(sum(col("ct")).as("n"))
+      val p = col("c").cast("double") / col("n_s").cast("double")
+      val q = col("ct").cast("double") / col("n").cast("double")
+      val m = (p + q) / lit(2.0)
+      tc.join(vocab, Seq("term"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cu",
+          floor((p * log2(p / m) + q * log2(q / m)) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("cu")).as("scu"),
+          sum(col("ct")).as("sct"), max(col("n")).as("n"))
+        .select(col("source"), col("n_terms"),
+          Text.hround(lit(0.5) * (col("scu").cast("double") / lit(1e6) +
+            (lit(1.0) - col("sct").cast("double") / col("n").cast("double"))),
+            6).as("js6"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      toks AS (SELECT source, unnest(w) AS term FROM ws),
+      tc AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM tc GROUP BY 1),
+      vocab AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM tc GROUP BY 1),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM vocab),
+      cu AS (
+        SELECT source,
+               CAST(floor((
+                 (CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                   log2((CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)) /
+                     ((CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE) +
+                       CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) / 2e0)) +
+                 (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   log2((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+                     ((CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE) +
+                       CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) / 2e0))
+                 ) * 1000000e0 + 0.5e0) AS BIGINT) AS cu,
+               ct, n
+        FROM tc JOIN vocab USING (term) JOIN ns USING (source), tot)
+      SELECT source, count(*) AS n_terms,
+             ${Text.sqlHround(
+      "0.5e0 * (CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000e0 + " +
+        "(1e0 - CAST(CAST(sum(ct) AS BIGINT) AS DOUBLE) / " +
+        "CAST(max(n) AS DOUBLE)))", 6)} AS js6
+      FROM cu GROUP BY source ORDER BY source
+    """),
+    doc = "per-source Jensen-Shannon drift vs corpus (closed-form absent mass)")
+
+  /** Quantization-quality recall audit: brute-force cosine top-5 over
+    * the int8-DEQUANTIZED embeddings vs the float baseline — the
+    * go/no-go metric for shipping quantized vectors to the ANN index
+    * (`quantize_embeddings` reports element error; THIS reports what
+    * actually matters, neighbor-set preservation). Same intended-tiny
+    * broadcast NLJ as `embed_cosine_topk` (query side vec_id % 100 = 0),
+    * same per-q_id recall join as `ann_recall`; the dequantized vector
+    * floor(x·127/mx + 0.5)·mx/127 is an IEEE chain on identical
+    * operands, so ranks — and the recall — match the oracle exactly.
+    */
+  val quantizedRecall: QueryDef = QueryDef(
+    "quantized_recall",
+    (s, d) => {
+      val base = cosineTopK.fn(s, d).filter(col("rn") <= 5)
+        .select(col("q_id"), col("nn_id"))
+      val dq = vecs(s, d)
+        .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("mx") > 0)
+        .withColumn("v2", expr(
+          "transform(v, x -> floor(x * 127e0 / mx + 0.5e0) * mx / 127e0)"))
+        .withColumn("nrm2", sqrt(expr("graft_dot(v2, v2)")))
+        .select(col("vec_id"), col("v2"), col("nrm2"))
+      val qd = dq.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v2").as("qv"),
+          col("nrm2").as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)
+      val qtop = dq.join(broadcast(qd), col("vec_id") =!= col("q_id"))
+        .withColumn("cos6",
+          Text.hround(expr("graft_dot(qv, v2)") / (col("qn") * col("nrm2")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id").as("nn_id"), lit(1).as("hit"))
+      base.join(qtop, Seq("q_id", "nn_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          Text.hround(col("n_hit") / lit(5.0), 2).as("recall5"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH base AS (SELECT q_id, nn_id
+                    FROM (${cosineTopK.oracle.get}) WHERE rn <= 5),
+      vs AS ($sqlVecs),
+      dq AS (SELECT vec_id,
+               list_transform(v, x -> floor(x * 127e0 / mx + 0.5e0) * mx / 127e0)
+                 AS v2
+             FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS mx
+                   FROM vs)
+             WHERE mx > 0),
+      nd AS (SELECT vec_id, v2, sqrt(list_dot_product(v2, v2)) AS nrm2 FROM dq),
+      qd AS (SELECT vec_id AS q_id, v2 AS qv, nrm2 AS qn FROM nd
+             WHERE vec_id % 100 = 0),
+      cand AS (SELECT qd.q_id, nd.vec_id AS nn_id,
+                 ${Text.sqlHround(
+      "list_dot_product(qd.qv, nd.v2) / (qd.qn * nd.nrm2)", 6)} AS cos6
+               FROM nd, qd WHERE nd.vec_id <> qd.q_id),
+      qtop AS (SELECT q_id, nn_id FROM (
+                 SELECT q_id, nn_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos6 DESC, nn_id ASC) AS rn
+                 FROM cand)
+               WHERE rn <= 5)
+      SELECT b.q_id, CAST(count(a.nn_id) AS BIGINT) AS n_hit,
+             ${Text.sqlHround("count(a.nn_id) / 5.0", 2)} AS recall5
+      FROM base b LEFT JOIN qtop a ON a.q_id = b.q_id AND a.nn_id = b.nn_id
+      GROUP BY b.q_id ORDER BY b.q_id
+    """),
+    doc = "recall@5 of int8-dequantized brute force vs float baseline")
+
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
-    ngramNovelty,
+    ngramNovelty, sourceDriftJs, quantizedRecall,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,

@@ -621,9 +621,59 @@ object Relational {
     """),
     doc = "TPC-H-Q7-shaped top-20 cross-nation revenue flows by year")
 
+  /** TPC-H-Q10-shaped returned-item report: the top-20 customers by
+    * revenue on RETURNED lineitems (l_returnflag = 'R') with their
+    * nation — the churn-risk list. Catalyst plan: returnflag filter
+    * pushed into the lineitem scan, customer/nation broadcast at
+    * fixture scale, one fact shuffle, TakeOrderedAndProject for the
+    * top-20 (no global sort). Exact-decimal revenue discipline; ties
+    * broken by c_custkey.
+    */
+  val sqlReturnedItems: QueryDef = QueryDef(
+    "sql_returned_items",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT * FROM (
+          SELECT c.c_custkey, c.c_name, n.n_name,
+                 floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                 CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                             AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+          FROM customer_v c
+          JOIN orders_v o ON o.o_custkey = c.c_custkey
+          JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+          JOIN nation_v n ON n.n_nationkey = c.c_nationkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY c.c_custkey, c.c_name, n.n_name
+          ORDER BY revenue DESC, c_custkey
+          LIMIT 20)
+        ORDER BY c_custkey
+      """)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                           AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20)
+      ORDER BY c_custkey
+    """),
+    doc = "TPC-H-Q10-shaped top-20 customers by returned revenue")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
       sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex,
-      sqlLocalSupplierVolume, sqlVolumeShipping)
+      sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems)
 }

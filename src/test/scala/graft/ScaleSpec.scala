@@ -88,7 +88,8 @@ class ScaleSpec extends SparkSpec {
       "nearest_knn_irregular", "importance_weights", "heavy_hitters",
       "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram",
       "market_basket_lift", "cms_freq_bound", "collocation_pmi",
-      "autocorr_daily", "theil_sen_slope")
+      "autocorr_daily", "theil_sen_slope", "source_drift_js",
+      "quantized_recall")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
