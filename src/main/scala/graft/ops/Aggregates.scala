@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.{Num, QueryDef, Tables, Text}
 import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation-breadth operators (SURVEY.md §2 G3-G7, O2, SNK3).
@@ -656,9 +657,115 @@ object Aggregates {
     """),
     doc = "MV partial-merge identity: base+delta full-outer merge == full recompute")
 
+  /** Exact grouped median WITHOUT sorting rows — the scalable exact
+    * formulation the `summary_stats` global percentile can't give per
+    * group: aggregate to the per-(group, value) COUNT frame (one
+    * map-side-combining shuffle), then the k-th order statistic
+    * (k = ⌈n/2⌉, lower median) falls out of a cumulative count over the
+    * tiny distinct-value frame — the row where cum_less < k ≤
+    * cum_less + cnt. All integer compares; the median VALUE is carried
+    * verbatim (never averaged), so parity is exact. At 100 TB this is
+    * the textbook exact-median-at-scale recipe: the windows only ever
+    * see |group|×|distinct-values| rows (~150 here vs 600k fact rows).
+    */
+  val groupedMedianExact: QueryDef = QueryDef(
+    "grouped_median_exact",
+    (s, d) => {
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val wLess = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      vc
+        .withColumn("cum_less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
+        .withColumn("nt", sum(col("cnt")).over(wAll))
+        .withColumn("k", (col("nt") + lit(1L)) / lit(2L))
+        .filter(col("cum_less") < col("k") &&
+          col("k") <= col("cum_less") + col("cnt"))
+        .select(col("l_returnflag"), col("nt").as("n_rows"),
+          col("l_quantity").as("median_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH vc AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+                  FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, l_quantity, cnt,
+              coalesce(CAST(sum(cnt) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cum_less,
+              CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nt
+            FROM vc)
+      SELECT l_returnflag, nt AS n_rows, l_quantity AS median_qty
+      FROM c
+      WHERE cum_less < (nt + 1) // 2 AND (nt + 1) // 2 <= cum_less + cnt
+      ORDER BY l_returnflag
+    """),
+    doc = "exact per-group median from the value-count frame (no row sort)")
+
+  /** Orderless table checksum — the anti-entropy fingerprint replication
+    * and migration tooling diffs datasets with: per table, the XOR fold
+    * of a per-row digest plus the row count. XOR is commutative and
+    * associative, so the checksum is IDENTICAL under any partitioning,
+    * row order, or merge tree — the property that makes it free at
+    * 100 TB (one map-side-combining scan per table, constant output; no
+    * sort, ever). The row digest hashes the '|'-joined business columns;
+    * the one DOUBLE column goes through DECIMAL(12,2) first so both
+    * engines stringify identical values (the decimal-cast parity rule).
+    */
+  val tableChecksum: QueryDef = QueryDef(
+    "table_checksum",
+    (s, d) => {
+      def ck(name: String, df: org.apache.spark.sql.DataFrame,
+             rowStr: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            bit_xor(Text.h32(rowStr)).as("xor32"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("xor32"))
+      ck("customer", Tables.customer(s, d),
+        concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(12,2)"), col("c_mktsegment")))
+        .unionByName(ck("nation", Tables.nation(s, d),
+          concat_ws("|", col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))))
+        .unionByName(ck("region", Tables.region(s, d),
+          concat_ws("|", col("r_regionkey"), col("r_name"))))
+        .unionByName(ck("supplier", Tables.supplier(s, d),
+          concat_ws("|", col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal").cast("decimal(12,2)"))))
+        .orderBy(col("tbl"))
+    },
+    Some(s"""
+      SELECT 'customer' AS tbl, count(*) AS n_rows,
+             CAST(bit_xor(${Text.sqlH32(
+      "concat_ws('|', c_custkey, c_name, c_nationkey, " +
+        "CAST(c_acctbal AS DECIMAL(12,2)), c_mktsegment)")}) AS BIGINT) AS xor32
+      FROM customer
+      UNION ALL
+      SELECT 'nation', count(*),
+             CAST(bit_xor(${Text.sqlH32(
+      "concat_ws('|', n_nationkey, n_name, n_regionkey)")}) AS BIGINT)
+      FROM nation
+      UNION ALL
+      SELECT 'region', count(*),
+             CAST(bit_xor(${Text.sqlH32(
+      "concat_ws('|', r_regionkey, r_name)")}) AS BIGINT)
+      FROM region
+      UNION ALL
+      SELECT 'supplier', count(*),
+             CAST(bit_xor(${Text.sqlH32(
+      "concat_ws('|', s_suppkey, s_name, s_nationkey, " +
+        "CAST(s_acctbal AS DECIMAL(12,2)))")}) AS BIGINT)
+      FROM supplier
+      ORDER BY tbl
+    """),
+    doc = "orderless XOR-fold table fingerprints (partition/order invariant)")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
-    cmsFreqBound, dqRuleSummary, mvIncrementalMerge)
+    cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
+    tableChecksum)
 }

@@ -1350,11 +1350,219 @@ object Analytics {
     """),
     doc = "EWMA one-step-ahead backtest: exact-integer MAE/WAPE, micro-quantized sMAPE")
 
+  /** Time-bounded funnel — `funnel_conversion` with a deadline: a user
+    * converts only if the first click lands within 24h of their FIRST
+    * view, and the first purchase within 24h of that click (the
+    * attribution-window semantics ad platforms bill on; the unbounded
+    * funnel overstates conversion). Three chained per-user min
+    * aggregates, each an equi-join on user_id with the deadline as a
+    * residual interval test — never a window over raw events and never
+    * a time cross product; the final scorecard is one count row. All
+    * comparisons are exact timestamp arithmetic (ts + INTERVAL 24H on
+    * both engines); counts exact, rates hround'd.
+    */
+  val funnelWindow: QueryDef = QueryDef(
+    "funnel_window",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("tv") &&
+          col("ts") <= col("tv") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("tc") &&
+          col("ts") <= col("tc") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(col("tv")).as("n_view"),
+          count(col("tc")).as("n_click_24h"),
+          count(col("tp")).as("n_purch_24h"))
+        .select(col("n_view"), col("n_click_24h"), col("n_purch_24h"),
+          Text.hround(col("n_click_24h") / col("n_view"), 4).as("view_click4"),
+          Text.hround(col("n_purch_24h") / col("n_click_24h"), 4)
+            .as("click_purch4"))
+    },
+    Some(s"""
+      WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS tc
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.tv
+              AND e.ts <= v.tv + INTERVAL 24 HOUR
+            GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS tp
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.tc
+              AND e.ts <= c.tc + INTERVAL 24 HOUR
+            GROUP BY 1),
+      j AS (SELECT v.user_id, v.tv, c.tc, p.tp
+            FROM v LEFT JOIN c ON c.user_id = v.user_id
+            LEFT JOIN p ON p.user_id = v.user_id)
+      SELECT count(tv) AS n_view, count(tc) AS n_click_24h,
+             count(tp) AS n_purch_24h,
+             ${Text.sqlHround("count(tc) / count(tv)", 4)} AS view_click4,
+             ${Text.sqlHround("count(tp) / count(tc)", 4)} AS click_purch4
+      FROM j
+    """),
+    doc = "24h-deadline funnel: chained per-user min joins, one scorecard row")
+
+  /** Linear multi-touch attribution — every touch before a conversion
+    * shares the credit equally (first/last-touch's fairer sibling). The
+    * scalable trick: the per-purchase channel credit is
+    * cum_clicks/(cum_clicks+cum_views) from RUNNING per-channel counts
+    * in the same ordered window pass `attribution_touch` uses — never a
+    * purchase×touch pair expansion (events² per user at worst). Each
+    * purchase's two channel credits are micro-quantized to longs before
+    * the cross-purchase sum (the order-free discipline; credits are
+    * ratios of exact integer counts), and cold conversions (no touches)
+    * fall into an explicit 'none' bucket. One user-key shuffle, then a
+    * ≤|channels|-row aggregate.
+    */
+  val attributionLinear: QueryDef = QueryDef(
+    "attribution_linear",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val marked = Tables.events(s, d)
+        .withColumn("nc", coalesce(sum(
+          when(col("event_type") === "click", 1L).otherwise(0L)).over(w),
+          lit(0L)))
+        .withColumn("nv", coalesce(sum(
+          when(col("event_type") === "view", 1L).otherwise(0L)).over(w),
+          lit(0L)))
+      val conv = marked.filter(col("event_type") === "purchase")
+        .withColumn("nt", col("nc") + col("nv"))
+      def credit(cnt: org.apache.spark.sql.Column) =
+        floor(cnt.cast("double") / col("nt").cast("double") * lit(1e6) +
+          lit(0.5)).cast("long")
+      val touchedIn = conv.filter(col("nt") > 0)
+        .withColumn("cq", credit(col("nc")))
+        .withColumn("vq", credit(col("nv")))
+        .select(explode(expr("array(" +
+          "struct('click' AS channel, cq AS cu), " +
+          "struct('view' AS channel, vq AS cu))")).as("e"))
+        .select(col("e.channel").as("channel"), col("e.cu").as("cu"))
+      val cold = conv.filter(col("nt") === 0)
+        .select(lit("none").as("channel"), lit(1000000L).as("cu"))
+      touchedIn.unionByName(cold)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touched"), sum(col("cu")).as("scu"))
+        .select(col("channel"), col("n_touched"),
+          (col("scu").cast("double") / lit(1e6)).as("credit_q"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH marked AS (
+        SELECT *,
+          coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            OVER w AS BIGINT), 0) AS nc,
+          coalesce(CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            OVER w AS BIGINT), 0) AS nv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      conv AS (SELECT nc, nv, nc + nv AS nt FROM marked
+               WHERE event_type = 'purchase'),
+      t AS (
+        SELECT 'click' AS channel,
+               CAST(floor(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000e0
+                 + 0.5e0) AS BIGINT) AS cu
+        FROM conv WHERE nt > 0
+        UNION ALL
+        SELECT 'view',
+               CAST(floor(CAST(nv AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000e0
+                 + 0.5e0) AS BIGINT)
+        FROM conv WHERE nt > 0
+        UNION ALL
+        SELECT 'none', 1000000 FROM conv WHERE nt = 0)
+      SELECT channel, count(*) AS n_touched,
+             CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000e0 AS credit_q
+      FROM t GROUP BY 1 ORDER BY channel
+    """),
+    doc = "linear multi-touch attribution from running channel counts (no pair expand)")
+
+  /** Deterministic subsample (block-bootstrap-style) confidence interval
+    * for mean purchase value: purchases split into 10 disjoint
+    * hash-buckets (the sampling family's deterministic id-hash — a
+    * reproducible stand-in for random resampling), per-bucket means from
+    * exact integer cents, and the CI from the spread of bucket means
+    * (mean ± 2·sd/√10). Each bucket mean is micro-quantized to a long
+    * BEFORE any cross-bucket aggregation, so the 10-term sums (and the
+    * variance numerator, exact integer squares ≤ ~1e17) are order-free
+    * integers; the only floats are the final scale-back and one sqrt
+    * under hround. Shape: one map-side-combining shuffle to 10 rows,
+    * then constant-size math — the cheapest possible uncertainty
+    * estimate at any scale.
+    */
+  val subsampleCi: QueryDef = QueryDef(
+    "subsample_ci",
+    (s, d) => {
+      val b = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy((expr(
+          "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) " +
+            "AS BIGINT)") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("c"))
+        .select(col("bucket"),
+          floor(col("c").cast("double") / col("n").cast("double") *
+            lit(1e4) + lit(0.5)).cast("long").as("mq"))
+      val agg = b.agg(count(lit(1)).as("k"), sum(col("mq")).as("smq"),
+        sum(col("mq") * col("mq")).as("smq2"))
+      val kd = col("k").cast("double")
+      val mean = col("smq").cast("double") / kd
+      val varN = (col("k") * col("smq2") - col("smq") * col("smq")).cast("double") /
+        (kd * (kd - lit(1.0)))
+      agg.select(col("k").as("n_buckets"),
+        Text.hround(mean / lit(1e4), 4).as("mean_cents4"),
+        Text.hround((mean - lit(2.0) * sqrt(varN) / sqrt(kd)) / lit(1e4), 4)
+          .as("ci_lo4"),
+        Text.hround((mean + lit(2.0) * sqrt(varN) / sqrt(kd)) / lit(1e4), 4)
+          .as("ci_hi4"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT)::BIGINT % 10 AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      q AS (SELECT bucket,
+              CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 10000e0
+                + 0.5e0) AS BIGINT) AS mq
+            FROM b),
+      m AS (SELECT count(*) AS k, CAST(sum(mq) AS BIGINT) AS smq,
+              CAST(sum(mq * mq) AS BIGINT) AS smq2 FROM q)
+      SELECT k AS n_buckets,
+             ${Text.sqlHround(
+      "CAST(smq AS DOUBLE) / CAST(k AS DOUBLE) / 10000e0", 4)} AS mean_cents4,
+             ${Text.sqlHround(
+      "(CAST(smq AS DOUBLE) / CAST(k AS DOUBLE) - 2e0 * " +
+        "sqrt(CAST(k * smq2 - smq * smq AS DOUBLE) / " +
+        "(CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))) / " +
+        "sqrt(CAST(k AS DOUBLE))) / 10000e0", 4)} AS ci_lo4,
+             ${Text.sqlHround(
+      "(CAST(smq AS DOUBLE) / CAST(k AS DOUBLE) + 2e0 * " +
+        "sqrt(CAST(k * smq2 - smq * smq AS DOUBLE) / " +
+        "(CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))) / " +
+        "sqrt(CAST(k AS DOUBLE))) / 10000e0", 4)} AS ci_hi4
+      FROM m
+    """),
+    doc = "deterministic 10-bucket subsample CI for mean purchase (micro-quantized)")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
       marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
       cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
       eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation,
-      chiSquareResiduals, forecastAccuracy)
+      chiSquareResiduals, forecastAccuracy, funnelWindow,
+      attributionLinear, subsampleCi)
 }

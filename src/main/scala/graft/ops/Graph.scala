@@ -358,6 +358,73 @@ object Graph {
     """),
     doc = "neighbor-set Jaccard for wedge-connected nation pairs (exact ints, hround ratio)")
 
+  /** Degree assortativity of the high-value trade graph — Newman's r
+    * (Pearson correlation of endpoint degrees over directed edge
+    * copies): positive = hubs trade with hubs, negative = hub-and-spoke.
+    * Runs on `shortest_path_bfs`'s sparse bipartite customer–supplier
+    * graph (the nation graph is COMPLETE at sf≥0.01 — zero degree
+    * variance makes r undefined there, the measured degenerate case this
+    * query deliberately avoids). Over the symmetric edge list the x/y
+    * moment sums are mirror-equal, so r reduces to exact 64-bit integer
+    * moments (Σx, Σxy, Σx²; degrees ≤ |V|, products « 2^63) with ONE
+    * float division chain under hround. Shape: degree frame = one
+    * groupBy over edges; moment sums = one aggregate over the
+    * degree-joined edge list — two edge-list-sized shuffles, constant
+    * output; the same discipline at any scale.
+    */
+  val graphAssortativity: QueryDef = QueryDef(
+    "graph_assortativity",
+    (s, d) => {
+      val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (lit(1000000000L) + col("l_suppkey")).as("b"))
+        .distinct()
+      val sym = e
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val m = sym
+        .join(deg.select(col("u"), col("deg").as("dx")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("dy")), Seq("v"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"))
+      m.select(col("m").as("n_dir_edges"),
+        Text.hround(
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("assortativity6"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT DISTINCT o.o_custkey AS a, 1000000000 + l.l_suppkey AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 450000),
+      sym AS (SELECT a AS u, b AS v FROM e
+              UNION ALL SELECT b AS u, a AS v FROM e),
+      deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+      m AS (SELECT count(*) AS m,
+              CAST(sum(dx.deg) AS BIGINT) AS sx,
+              CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+              CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx
+            FROM sym
+            JOIN deg dx ON dx.u = sym.u
+            JOIN deg dy ON dy.u = sym.v)
+      SELECT m AS n_dir_edges,
+             ${Text.sqlHround(
+      "CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)",
+      6)} AS assortativity6
+      FROM m
+    """),
+    doc = "Newman degree assortativity on the sparse bipartite trade graph")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
-    nodeJaccard)
+    nodeJaccard, graphAssortativity)
 }
