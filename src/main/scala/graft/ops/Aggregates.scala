@@ -681,7 +681,7 @@ object Aggregates {
       vc
         .withColumn("cum_less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
         .withColumn("nt", sum(col("cnt")).over(wAll))
-        .withColumn("k", (col("nt") + lit(1L)) / lit(2L))
+        .withColumn("k", expr("(nt + 1) div 2"))
         .filter(col("cum_less") < col("k") &&
           col("k") <= col("cum_less") + col("cnt"))
         .select(col("l_returnflag"), col("nt").as("n_rows"),
@@ -762,10 +762,70 @@ object Aggregates {
     """),
     doc = "orderless XOR-fold table fingerprints (partition/order invariant)")
 
+  /** Two-sided 5% trimmed mean per group — the robust location estimate
+    * between mean (outlier-fragile) and median (throws information
+    * away), computed WITHOUT sorting rows by the same value-count-frame
+    * recipe as `grouped_median_exact`: per value, the kept multiplicity
+    * is the exact integer overlap of [cum_less, cum_less+cnt) with the
+    * retained rank band [k_lo, k_hi) — pure integer clamps. The weighted
+    * sum Σ v·kept is exact too (integral quantities × counts, « 2^53 in
+    * a double), so the only true float is the final division under
+    * hround. Windows over the ≤|groups|×|values| frame only.
+    */
+  val trimmedMean: QueryDef = QueryDef(
+    "trimmed_mean",
+    (s, d) => {
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val wLess = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      vc
+        .withColumn("cum_less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
+        .withColumn("nt", sum(col("cnt")).over(wAll))
+        .withColumn("k_lo", expr("nt * 5 div 100"))
+        .withColumn("k_hi", col("nt") - col("k_lo"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum_less") + col("cnt"), col("k_hi")) -
+            greatest(col("cum_less"), col("k_lo"))))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("nt")).as("n_rows"), sum(col("kept")).as("n_kept"),
+          sum(col("l_quantity") * col("kept")).as("sv"))
+        .select(col("l_returnflag"), col("n_rows"), col("n_kept"),
+          Text.hround(col("sv") / col("n_kept"), 4).as("trimmed_mean4"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH vc AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+                  FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, l_quantity, cnt,
+              coalesce(CAST(sum(cnt) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cum_less,
+              CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nt
+            FROM vc),
+      k AS (SELECT *, nt * 5 // 100 AS k_lo, nt - nt * 5 // 100 AS k_hi
+            FROM c),
+      kept AS (SELECT l_returnflag, l_quantity, nt,
+                 greatest(0, least(cum_less + cnt, k_hi) -
+                   greatest(cum_less, k_lo)) AS kept
+               FROM k)
+      SELECT l_returnflag, max(nt) AS n_rows,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             ${Text.sqlHround(
+      "sum(l_quantity * kept) / CAST(sum(kept) AS BIGINT)", 4)}
+               AS trimmed_mean4
+      FROM kept GROUP BY 1 ORDER BY l_returnflag
+    """),
+    doc = "5% two-sided trimmed mean from the value-count frame (integer clamps)")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
-    tableChecksum)
+    tableChecksum, trimmedMean)
 }

@@ -1069,7 +1069,7 @@ object Analytics {
         .withColumn("rn", row_number()
           .over(Window.orderBy(col("slp"), col("ta"), col("tb"))).cast("long"))
         .withColumn("np", count(lit(1)).over(wFull))
-        .filter(col("rn") === (col("np") + lit(1L)) / lit(2L))
+        .filter(col("rn") === expr("(np + 1) div 2"))
         .select(col("np").as("n_pairs"), Text.hround(col("slp"), 6).as("slope6"))
     },
     Some(s"""
@@ -1557,6 +1557,86 @@ object Analytics {
     """),
     doc = "deterministic 10-bucket subsample CI for mean purchase (micro-quantized)")
 
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
+    * the sensitivity of online controlled experiments"): each user's
+    * experiment-period spend y (days 16+) is adjusted by their
+    * PRE-period spend x (days 1-15), y* = y − θ(x − x̄) with θ =
+    * cov(x,y)/var(x) — the industry-standard trick that shrinks arm
+    * variance without biasing the diff. Everything upstream of θ is
+    * exact: per-user x/y are conditional integer-cents sums from ONE
+    * user-keyed pass, and all five pooled moments (n, Σx, Σy, Σxy, Σx²)
+    * are exact 64-bit sums (user cents ~1e5, xy « 2^63). θ and the
+    * per-arm adjusted means are mirrored float chains under hround. The
+    * one-row moment frame rides as a broadcast scalar
+    * (ScaleSpec-intended); arms aggregate |users|-keyed then 2 rows.
+    */
+  val cupedAdjustedAb: QueryDef = QueryDef(
+    "cuped_adjusted_ab",
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce((sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+            col("value")).otherwise(lit(null)).cast("decimal(18,2)")) * lit(100))
+            .cast("long"), lit(0L)).as("x"),
+          coalesce((sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+            col("value")).otherwise(lit(null)).cast("decimal(18,2)")) * lit(100))
+            .cast("long"), lit(0L)).as("y"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val mom = u.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val theta = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val xbar = col("sx").cast("double") / col("n").cast("double")
+      u.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+        .crossJoin(broadcast(mom))
+        .select(col("grp"), col("n_users"),
+          Text.hround(col("sya").cast("double") /
+            col("n_users").cast("double") / lit(100.0), 4).as("mean_y4"),
+          Text.hround((col("sya").cast("double") / col("n_users").cast("double") -
+            theta * (col("sxa").cast("double") / col("n_users").cast("double") -
+              xbar)) / lit(100.0), 4).as("mean_adj4"),
+          Text.hround(theta, 6).as("theta6"))
+        .orderBy(col("grp"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id,
+               coalesce(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 FILTER (CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16')
+                 * 100 AS BIGINT), 0) AS x,
+               coalesce(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 FILTER (CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16')
+                 * 100 AS BIGINT), 0) AS y,
+               CAST(user_id % 2 AS INTEGER) AS grp
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      mom AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx FROM u),
+      arms AS (SELECT grp, count(*) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS sxa,
+                 CAST(sum(y) AS BIGINT) AS sya
+               FROM u GROUP BY 1)
+      SELECT grp, n_users,
+             ${Text.sqlHround(
+      "CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) / 100e0", 4)} AS mean_y4,
+             ${Text.sqlHround(
+      "(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) - " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)" +
+        " * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100e0", 4)} AS mean_adj4,
+             ${Text.sqlHround(
+      "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)",
+      6)} AS theta6
+      FROM arms, mom ORDER BY grp
+    """),
+    doc = "CUPED variance-reduced A/B means (exact moments, one-row broadcast)")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -1564,5 +1644,5 @@ object Analytics {
       cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
       eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation,
       chiSquareResiduals, forecastAccuracy, funnelWindow,
-      attributionLinear, subsampleCi)
+      attributionLinear, subsampleCi, cupedAdjustedAb)
 }

@@ -671,9 +671,55 @@ object Relational {
     """),
     doc = "TPC-H-Q10-shaped top-20 customers by returned revenue")
 
+  /** TPC-H-Q18-shaped large-volume orders: the top-20 orders whose total
+    * quantity exceeds 250, with their customer. The HAVING aggregate
+    * subquery is the Q18 signature — Catalyst runs it as aggregate →
+    * filter → join back to orders (the fact aggregates BEFORE joining,
+    * so the join probe side is |qualifying orders|, not |lineitem|); the
+    * top-20 compiles to TakeOrderedAndProject. Quantity sums ride
+    * DECIMAL exactly (integral values, but the decimal discipline keeps
+    * both engines' aggregate types aligned).
+    */
+  val sqlLargeOrders: QueryDef = QueryDef(
+    "sql_large_orders",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT * FROM (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, q.total_qty
+          FROM orders_v o
+          JOIN (SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                         AS total_qty
+                FROM lineitem_v GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250) q
+            ON q.l_orderkey = o.o_orderkey
+          ORDER BY total_qty DESC, o_orderkey
+          LIMIT 20)
+        ORDER BY o_orderkey
+      """)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, q.total_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250) q
+          ON q.l_orderkey = o.o_orderkey
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 20)
+      ORDER BY o_orderkey
+    """),
+    doc = "TPC-H-Q18-shaped top-20 large-quantity orders (aggregate-then-join)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
       sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex,
-      sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems)
+      sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems,
+      sqlLargeOrders)
 }
