@@ -1637,6 +1637,152 @@ object Analytics {
     """),
     doc = "CUPED variance-reduced A/B means (exact moments, one-row broadcast)")
 
+  /** Exact audience overlap between event types — the segment-overlap
+    * matrix ad/analytics products ship ("how many clickers also
+    * purchase"): per unordered type pair, the intersection, each side's
+    * audience, and the audience Jaccard. The (type, user) DISTINCT
+    * frame self-joins on user_id — per-user fanout is bounded by
+    * |types|² (25 here), NEVER user², so at 100 TB this is one distinct
+    * aggregate plus a user-keyed equi-join with constant fanout (the
+    * source_similarity shape on the user axis). Counts exact; one
+    * hround ratio.
+    */
+  val audienceOverlap: QueryDef = QueryDef(
+    "audience_overlap",
+    (s, d) => {
+      val tu = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val aud = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_aud"))
+      tu.select(col("user_id"), col("event_type").as("ta"))
+        .join(tu.select(col("user_id"), col("event_type").as("tb")),
+          Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(aud.select(col("event_type").as("ta"),
+          col("n_aud").as("n_a"))), Seq("ta"))
+        .join(broadcast(aud.select(col("event_type").as("tb"),
+          col("n_aud").as("n_b"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+          Text.hround(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+            .as("jaccard6"))
+        .orderBy(col("ta"), col("tb"))
+    },
+    Some(s"""
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      aud AS (SELECT event_type, count(*) AS n_aud FROM tu GROUP BY 1),
+      pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+        FROM tu a JOIN tu b ON a.user_id = b.user_id
+          AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT ta, tb, na.n_aud AS n_a, nb.n_aud AS n_b, n_both,
+             ${Text.sqlHround(
+      "CAST(n_both AS DOUBLE) / CAST(na.n_aud + nb.n_aud - n_both AS DOUBLE)",
+      6)} AS jaccard6
+      FROM pairs
+      JOIN aud na ON na.event_type = pairs.ta
+      JOIN aud nb ON nb.event_type = pairs.tb
+      ORDER BY ta, tb
+    """),
+    doc = "audience Jaccard per event-type pair (user-keyed join, |types|^2 fanout)")
+
+  /** Kaplan-Meier survival curve for time-to-first-purchase with right
+    * censoring — the estimator that handles "hasn't converted YET"
+    * correctly where a naive mean drops censored users. Durations are
+    * exact day counts (first purchase − first seen; non-converters
+    * censored at the corpus horizon); the risk set n(k) is a suffix
+    * cumulative count over the ≤|days| duration histogram, and the
+    * product Π(1 − d_i/n_i) runs in LOG space with per-step micro-
+    * quantization (ln of an exact integer ratio → long; cumulative sum
+    * over the tiny ordered frame; exp back under hround) — the
+    * order-free float discipline. The one duration where everyone
+    * remaining converts (d = n) pins S = 0 explicitly rather than
+    * ln(0). Shape: one user aggregate, one histogram, windows over
+    * ≤|durations| rows.
+    */
+  val kaplanMeier: QueryDef = QueryDef(
+    "kaplan_meier",
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("conv_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      val horizon = u.agg(max(col("last_day")).as("hday"))
+      val durs = u.crossJoin(broadcast(horizon))
+        .select(
+          when(col("conv_day").isNotNull,
+            datediff(col("conv_day"), col("first_day")))
+            .otherwise(datediff(col("hday"), col("first_day")))
+            .cast("long").as("dur"),
+          when(col("conv_day").isNotNull, 1L).otherwise(0L).as("ev"))
+      val hist = durs.groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d_ev"))
+      val wSuffix = Window.orderBy(col("dur"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("n_risk", sum(col("n_at")).over(wSuffix))
+        .withColumn("lu", when(col("d_ev") < col("n_risk"),
+          floor(log(lit(1.0) - col("d_ev").cast("double") /
+            col("n_risk").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("slu", sum(col("lu")).over(wCum))
+        .withColumn("dead", max(when(col("d_ev") === col("n_risk"), 1L)
+          .otherwise(0L)).over(wCum))
+        .select(col("dur"), col("n_risk"), col("d_ev"),
+          when(col("dead") === 1L, lit(0.0)).otherwise(
+            Text.hround(exp(col("slu").cast("double") / lit(1e6)), 6))
+            .as("s6"))
+        .orderBy(col("dur"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+               min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(date_trunc('day', ts) AS DATE) END) AS conv_day,
+               max(CAST(date_trunc('day', ts) AS DATE)) AS last_day
+        FROM events GROUP BY 1),
+      h AS (SELECT max(last_day) AS hday FROM u),
+      durs AS (
+        SELECT CASE WHEN conv_day IS NOT NULL
+                 THEN CAST(date_diff('day', first_day, conv_day) AS BIGINT)
+                 ELSE CAST(date_diff('day', first_day, hday) AS BIGINT) END
+                 AS dur,
+               CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u, h),
+      hist AS (SELECT dur, count(*) AS n_at, CAST(sum(ev) AS BIGINT) AS d_ev
+               FROM durs GROUP BY 1),
+      r AS (SELECT dur, d_ev,
+              CAST(sum(n_at) OVER (ORDER BY dur
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                AS n_risk
+            FROM hist),
+      l AS (SELECT dur, n_risk, d_ev,
+              CASE WHEN d_ev < n_risk
+                THEN CAST(floor(ln(1e0 - CAST(d_ev AS DOUBLE) /
+                  CAST(n_risk AS DOUBLE)) * 1000000e0 + 0.5e0) AS BIGINT)
+                ELSE 0 END AS lu
+            FROM r),
+      c AS (SELECT dur, n_risk, d_ev,
+              CAST(sum(lu) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS slu,
+              max(CASE WHEN d_ev = n_risk THEN 1 ELSE 0 END)
+                OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS dead
+            FROM l)
+      SELECT dur, n_risk, d_ev,
+             CASE WHEN dead = 1 THEN 0.0e0
+                  ELSE ${Text.sqlHround(
+      "exp(CAST(slu AS DOUBLE) / 1000000e0)", 6)} END AS s6
+      FROM c ORDER BY dur
+    """),
+    doc = "Kaplan-Meier time-to-first-purchase with censoring (log-space micro-sums)")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -1644,5 +1790,6 @@ object Analytics {
       cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
       eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation,
       chiSquareResiduals, forecastAccuracy, funnelWindow,
-      attributionLinear, subsampleCi, cupedAdjustedAb)
+      attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
+      kaplanMeier)
 }

@@ -511,6 +511,75 @@ object Windows {
     """),
     doc = "point-in-time join of purchases to SCD2 versions (equi + interval residual)")
 
+  /** Merged-interval coverage — total ACTIVE time per user when every
+    * event projects a [ts, ts+15min) activity interval and overlaps must
+    * not double-count (the union-of-intervals problem; billing and SLA
+    * pipelines live on it). Classic sweep: an interval starts a new
+    * island when its start exceeds the running max of previous ends
+    * (cummax window), islands then sum (max(end) − min(start)) each —
+    * all EXACT integer epoch-microsecond arithmetic, no floats at all.
+    * Everything is user-partitioned windows (the Windows.scala rule: the
+    * sweep distributes by user; state per partition is one running
+    * max), then a two-level grouped collapse. Ties order by event_id.
+    */
+  val intervalCoverage: QueryDef = QueryDef(
+    "interval_coverage",
+    (s, d) => {
+      val SpanUs = 15L * 60 * 1000000
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val prevMax = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(SpanUs))
+      iv
+        .withColumn("pmax", max(col("en")).over(prevMax))
+        .withColumn("new_island",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+          count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("n_events")).as("n_events"),
+          sum(col("ien") - col("ist")).as("covered_us"))
+        .select(col("user_id"), col("n_islands"), col("n_events"),
+          expr("covered_us div 1000000").as("covered_s"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS st, epoch_us(ts) + 900000000 AS en
+        FROM events),
+      mx AS (
+        SELECT user_id, event_id, st, en,
+               max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv),
+      isl AS (
+        SELECT user_id, st, en,
+               CAST(sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY st, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM mx),
+      g AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien,
+                   count(*) AS n_events
+            FROM isl GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_islands,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(CAST(sum(ien - ist) AS BIGINT) // 1000000 AS BIGINT)
+               AS covered_s
+      FROM g GROUP BY 1 ORDER BY user_id
+    """),
+    doc = "union-of-intervals active time per user (cummax sweep, exact epoch ints)")
+
   /** Batch sessionization — the gap-island construction as an ENGINE
     * operator (the streaming twin is `session_window_agg`, whose oracle
     * uses this same construction in SQL). A session breaks on a gap
@@ -876,6 +945,7 @@ object Windows {
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
-      scd2History, pitJoinScd2, sessionizeBatch, markovTransitions, ewmaSmooth,
+      scd2History, pitJoinScd2, intervalCoverage, sessionizeBatch,
+      markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal)
 }
