@@ -1783,6 +1783,76 @@ object Analytics {
     """),
     doc = "Kaplan-Meier time-to-first-purchase with censoring (log-space micro-sums)")
 
+  /** Spearman rank correlation between document length (n_chars) and
+    * whitespace token count — EXACT even under ties: both variables get
+    * 2×midranks from their value-count frames (the mann_whitney_u
+    * construction, so rank sums never touch a row sort), and Spearman is
+    * then Pearson over exact integer midranks — five exact 64-bit
+    * moments ((2n)²·n « 2^63 at every fixture SF) and one float chain
+    * under hround. Shape: two tiny value-count frames with cumulative
+    * windows, two value-keyed join-backs, one moment aggregate. The
+    * distinct-value cumsums are the documented small-frame global
+    * windows.
+    */
+  val rankCorrelation: QueryDef = QueryDef(
+    "rank_correlation",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("x"),
+          size(Text.words(col("text"))).cast("long").as("y"))
+      def mr2(df: org.apache.spark.sql.DataFrame, v: String) = {
+        val byV = df.groupBy(col(v)).agg(count(lit(1)).as("t"))
+        val w = Window.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byV.withColumn("mr2",
+          lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) +
+            col("t") + lit(1L))
+          .select(col(v), col("mr2"))
+      }
+      val ranked = docs
+        .join(mr2(docs, "x").withColumnRenamed("mr2", "rx"), Seq("x"))
+        .join(mr2(docs, "y").withColumnRenamed("mr2", "ry"), Seq("y"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      m.select(col("n").as("n_docs"),
+        Text.hround(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("spearman6"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, n_chars AS x,
+               CAST(len(${Text.sqlWords("text")}) AS BIGINT) AS y
+        FROM documents),
+      rxv AS (SELECT x, 2 * coalesce(CAST(sum(t) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) + t + 1 AS rx
+              FROM (SELECT x, count(*) AS t FROM docs GROUP BY 1)),
+      ryv AS (SELECT y, 2 * coalesce(CAST(sum(t) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) + t + 1 AS ry
+              FROM (SELECT y, count(*) AS t FROM docs GROUP BY 1)),
+      r AS (SELECT rx, ry FROM docs JOIN rxv USING (x) JOIN ryv USING (y)),
+      m AS (SELECT count(*) AS n, CAST(sum(rx) AS BIGINT) AS sx,
+              CAST(sum(ry) AS BIGINT) AS sy,
+              CAST(sum(rx * ry) AS BIGINT) AS sxy,
+              CAST(sum(rx * rx) AS BIGINT) AS sxx,
+              CAST(sum(ry * ry) AS BIGINT) AS syy FROM r)
+      SELECT n AS n_docs,
+             ${Text.sqlHround(
+      "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+        "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 6)} AS spearman6
+      FROM m
+    """),
+    doc = "exact tie-aware Spearman (midranks from value counts, integer moments)")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -1791,5 +1861,5 @@ object Analytics {
       eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation,
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
-      kaplanMeier)
+      kaplanMeier, rankCorrelation)
 }

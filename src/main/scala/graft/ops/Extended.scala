@@ -2422,6 +2422,70 @@ object Extended {
     """),
     doc = "top-30 PMI collocations (min-support 5; single bigram exchange, reused)")
 
+  /** Collocations ranked by Dunning's log-likelihood ratio ("Accurate
+    * methods for the statistics of surprise and coincidence", 1993) —
+    * the significance test that fixes PMI's rare-pair pathology: LLR =
+    * 2·Σ k·ln(k·N/(row·col)) over the bigram's 2×2 contingency table,
+    * so high counts earn high scores instead of being damped. The four
+    * cells derive from the SAME single bigram exchange as
+    * `collocation_pmi` (prefix/suffix marginals re-aggregate bv, AQE
+    * dedupes to one scan); every cell and margin is an exact 64-bit
+    * integer, products k·N ≤ ~1e12 are double-exact, and the scalar LLR
+    * formula is ONE SHARED SQL text evaluated by both engines (only
+    * ln/CAST/CASE — identical IEEE chains), under hround. Zero cells
+    * contribute zero by the CASE guard (the k·ln k limit).
+    */
+  val llrCollocations: QueryDef = {
+    def cell(k: String, r: String, c: String) =
+      s"(CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) * " +
+        s"ln(CAST($k AS DOUBLE) * CAST(n_tot AS DOUBLE) / " +
+        s"(CAST($r AS DOUBLE) * CAST($c AS DOUBLE))) ELSE 0e0 END)"
+    // cells: k11=n_b, k12=n_p-n_b, k21=n_s-n_b, k22=n_tot-n_p-n_s+n_b
+    val llr = "2e0 * (" +
+      cell("n_b", "n_p", "n_s") + " + " +
+      cell("(n_p - n_b)", "n_p", "(n_tot - n_s)") + " + " +
+      cell("(n_s - n_b)", "(n_tot - n_p)", "n_s") + " + " +
+      cell("(n_tot - n_p - n_s + n_b)", "(n_tot - n_p)", "(n_tot - n_s)") + ")"
+    QueryDef(
+      "llr_collocations",
+      (s, d) => {
+        val ws = docWords(s, d)
+        val bi = ws.select(
+          explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bv = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_b"))
+        val pv = bv.groupBy(col("w1")).agg(sum(col("n_b")).as("n_p"))
+        val sv = bv.groupBy(col("w2")).agg(sum(col("n_b")).as("n_s"))
+        val nv = bv.agg(sum(col("n_b")).as("n_tot"))
+        bv.filter(col("n_b") >= 5)
+          .join(pv, Seq("w1")).join(sv, Seq("w2"))
+          .crossJoin(broadcast(nv))
+          .select(col("w1"), col("w2"), col("n_b"),
+            Text.hround(expr(llr), 3).as("llr3"))
+          .orderBy(col("llr3").desc, col("w1"), col("w2"))
+          .limit(30)
+          .orderBy(col("w1"), col("w2"))
+      },
+      Some(s"""
+        WITH ws AS ($sqlDocWords3),
+        bi AS (SELECT unnest(w[1:len(w) - 1]) AS w1,
+                      unnest(w[2:len(w)]) AS w2 FROM ws),
+        bv AS (SELECT w1, w2, count(*) AS n_b FROM bi GROUP BY 1, 2),
+        pv AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS n_p FROM bv GROUP BY 1),
+        sv AS (SELECT w2, CAST(sum(n_b) AS BIGINT) AS n_s FROM bv GROUP BY 1),
+        nv AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_tot FROM bv)
+        SELECT w1, w2, n_b, llr3 FROM (
+          SELECT w1, w2, n_b, ${Text.sqlHround(llr, 3)} AS llr3
+          FROM bv JOIN pv USING (w1) JOIN sv USING (w2), nv
+          WHERE n_b >= 5
+          ORDER BY llr3 DESC, w1, w2 LIMIT 30)
+        ORDER BY w1, w2
+      """),
+      doc = "top-30 Dunning LLR collocations (shared scalar formula, exact cells)")
+  }
+
   /** DSIR-style importance weighting for data selection: score every
     * document by how much more likely its tokens are under a TARGET
     * unigram model (here: the English sub-corpus, standing in for the
@@ -3018,7 +3082,7 @@ object Extended {
 
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
-    ngramNovelty, sourceDriftJs, quantizedRecall,
+    ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,

@@ -580,6 +580,66 @@ object Windows {
     """),
     doc = "union-of-intervals active time per user (cummax sweep, exact epoch ints)")
 
+  /** Daily p10/p50/p90 revenue bands — the SLO-dashboard percentile
+    * ribbon, computed EXACTLY per day by the value-count recipe
+    * (`grouped_median_exact` at three ranks): for rank k_q =
+    * ⌈n·q/100⌉ the band value is the one whose cumulative interval
+    * covers k_q, picked with a conditional min inside the per-day
+    * collapse — so one pass over the (day, cents) count frame yields
+    * all three bands, no row sort and no percentile_approx error bars.
+    * All integer compares on exact cents; windows partitioned by day.
+    */
+  val dailyPercentileBands: QueryDef = QueryDef(
+    "daily_percentile_bands",
+    (s, d) => {
+      val vc = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"),
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+            .as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wLess = Window.partitionBy(col("day")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("day"))
+      def pick(q: Int) = {
+        val k = expr(s"(nt * $q + 99) div 100")
+        min(when(col("cum_less") < k &&
+          k <= col("cum_less") + col("cnt"), col("cents")))
+      }
+      vc
+        .withColumn("cum_less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
+        .withColumn("nt", sum(col("cnt")).over(wAll))
+        .groupBy(col("day"))
+        .agg(max(col("nt")).as("n_purch"), pick(10).as("p10_cents"),
+          pick(50).as("p50_cents"), pick(90).as("p90_cents"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH vc AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               count(*) AS cnt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (SELECT day, cents, cnt,
+              coalesce(CAST(sum(cnt) OVER (PARTITION BY day ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cum_less,
+              CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS nt
+            FROM vc)
+      SELECT day, max(nt) AS n_purch,
+             min(CASE WHEN cum_less < (nt * 10 + 99) // 100
+                       AND (nt * 10 + 99) // 100 <= cum_less + cnt
+                      THEN cents END) AS p10_cents,
+             min(CASE WHEN cum_less < (nt * 50 + 99) // 100
+                       AND (nt * 50 + 99) // 100 <= cum_less + cnt
+                      THEN cents END) AS p50_cents,
+             min(CASE WHEN cum_less < (nt * 90 + 99) // 100
+                       AND (nt * 90 + 99) // 100 <= cum_less + cnt
+                      THEN cents END) AS p90_cents
+      FROM c GROUP BY day ORDER BY day
+    """),
+    doc = "exact daily p10/p50/p90 bands from the (day, cents) count frame")
+
   /** Batch sessionization — the gap-island construction as an ENGINE
     * operator (the streaming twin is `session_window_agg`, whose oracle
     * uses this same construction in SQL). A session breaks on a gap
@@ -945,7 +1005,8 @@ object Windows {
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
-      scd2History, pitJoinScd2, intervalCoverage, sessionizeBatch,
+      scd2History, pitJoinScd2, intervalCoverage, dailyPercentileBands,
+      sessionizeBatch,
       markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal)
 }

@@ -89,7 +89,8 @@ class ScaleSpec extends SparkSpec {
       "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram",
       "market_basket_lift", "cms_freq_bound", "collocation_pmi",
       "autocorr_daily", "theil_sen_slope", "source_drift_js",
-      "quantized_recall", "cuped_adjusted_ab", "kaplan_meier")
+      "quantized_recall", "cuped_adjusted_ab", "kaplan_meier",
+      "llr_collocations")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
