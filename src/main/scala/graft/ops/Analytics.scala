@@ -1853,6 +1853,139 @@ object Analytics {
     """),
     doc = "exact tie-aware Spearman (midranks from value counts, integer moments)")
 
+  /** Mutual-information feature ranking against the `lang` label — the
+    * feature-selection pass before training a cheap classifier: for
+    * each candidate feature (source, a 100-char length bucket, a
+    * 20-token count bucket), I(F; lang) = Σ p(f,l)·log2(p(f,l)/(p(f)p(l)))
+    * over the (feature, lang) contingency cells. Every probability is a
+    * ratio of exact integer counts (c·N and cf·cl ≤ ~2.5e7, double-
+    * exact), each cell's term is micro-quantized to a long before the
+    * per-feature sum (order-free), and marginals come from windows over
+    * the tiny cell frame — one grouped count per feature, zero joins.
+    * Higher MI = the feature explains more of the label.
+    */
+  val featureInfoGain: QueryDef = QueryDef(
+    "feature_info_gain",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(Text.words(col("text"))).cast("long").as("toks"))
+      def mi(name: String, f: org.apache.spark.sql.Column) = {
+        val wf = Window.partitionBy(col("fv"))
+        val wl = Window.partitionBy(col("lang"))
+        val wa = Window.partitionBy()
+        docs.groupBy(f.cast("string").as("fv"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cf", sum(col("c")).over(wf))
+          .withColumn("cl", sum(col("c")).over(wl))
+          .withColumn("n", sum(col("c")).over(wa))
+          .withColumn("mu",
+            floor(col("c").cast("double") / col("n").cast("double") *
+              log2((col("c") * col("n")).cast("double") /
+                (col("cf") * col("cl")).cast("double")) * lit(1e6) +
+              lit(0.5)).cast("long"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("mu")).as("smu"))
+          .select(lit(name).as("feature"), col("n_cells"),
+            (col("smu").cast("double") / lit(1e6)).as("mi_q"))
+      }
+      mi("len_bucket", expr("n_chars div 100"))
+        .unionByName(mi("source", col("source")))
+        .unionByName(mi("tok_bucket", expr("toks div 20")))
+        .orderBy(col("feature"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT lang, source, n_chars,
+               CAST(len(${Text.sqlWords("text")}) AS BIGINT) AS toks
+        FROM documents),
+      feats AS (
+        SELECT 'len_bucket' AS feature, CAST(n_chars // 100 AS VARCHAR) AS fv,
+               lang FROM docs
+        UNION ALL
+        SELECT 'source', source, lang FROM docs
+        UNION ALL
+        SELECT 'tok_bucket', CAST(toks // 20 AS VARCHAR), lang FROM docs),
+      cells AS (SELECT feature, fv, lang, count(*) AS c
+                FROM feats GROUP BY 1, 2, 3),
+      m AS (SELECT feature, c,
+              CAST(sum(c) OVER (PARTITION BY feature, fv) AS BIGINT) AS cf,
+              CAST(sum(c) OVER (PARTITION BY feature, lang) AS BIGINT) AS cl,
+              CAST(sum(c) OVER (PARTITION BY feature) AS BIGINT) AS n
+            FROM cells),
+      q AS (SELECT feature,
+              CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) *
+                log2(CAST(c * n AS DOUBLE) / CAST(cf * cl AS DOUBLE)) *
+                1000000e0 + 0.5e0) AS BIGINT) AS mu
+            FROM m)
+      SELECT feature, count(*) AS n_cells,
+             CAST(CAST(sum(mu) AS BIGINT) AS DOUBLE) / 1000000e0 AS mi_q
+      FROM q GROUP BY feature ORDER BY feature
+    """),
+    doc = "mutual information of 3 features vs lang (micro-quantized cell terms)")
+
+  /** Popularity-recommender backtest — the cold-start baseline every
+    * recsys ships first, evaluated with a TIME split (train on orders
+    * before 1999, test after; random splits leak future popularity):
+    * recommend the train-period top-10 revenue brands to everyone, and
+    * measure the fraction of test-period customers who actually bought
+    * a recommended brand (hit-rate@10). The top-10 comes from one
+    * aggregate + TakeOrdered and is BROADCAST into a semi-join against
+    * the test purchases — at 100 TB the eval is one fact pass per
+    * period with a 10-row build side. Counts exact; one hround rate.
+    */
+  val popularityHitRate: QueryDef = QueryDef(
+    "popularity_hit_rate",
+    (s, d) => {
+      val cut = lit("1999-01-01 00:00:00").cast("timestamp")
+      val fact = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      val top10 = fact.filter(col("o_orderdate") < cut)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        .orderBy(col("rev").desc, col("p_brand"))
+        .limit(10)
+        .select(col("p_brand"))
+      val testCust = fact.filter(col("o_orderdate") >= cut)
+        .select(col("o_custkey"), col("p_brand"))
+      val hits = testCust.join(broadcast(top10), Seq("p_brand"), "left_semi")
+        .select(col("o_custkey")).distinct()
+      val all_ = testCust.select(col("o_custkey")).distinct()
+      all_.join(hits.withColumn("hit", lit(1)), Seq("o_custkey"), "left")
+        .agg(count(lit(1)).as("n_test_customers"),
+          count(col("hit")).as("n_hit"))
+        .select(col("n_test_customers"), col("n_hit"),
+          Text.hround(col("n_hit") / col("n_test_customers"), 6)
+            .as("hit_rate6"))
+    },
+    Some(s"""
+      WITH fact AS (
+        SELECT o.o_custkey, o.o_orderdate, p.p_brand, l.l_extendedprice
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey),
+      top10 AS (
+        SELECT p_brand FROM (
+          SELECT p_brand, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+          FROM fact WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+          GROUP BY 1 ORDER BY rev DESC, p_brand LIMIT 10)),
+      test AS (SELECT DISTINCT o_custkey FROM fact
+               WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      hits AS (SELECT DISTINCT f.o_custkey
+               FROM fact f JOIN top10 t ON f.p_brand = t.p_brand
+               WHERE f.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      SELECT count(*) AS n_test_customers,
+             CAST(count(h.o_custkey) AS BIGINT) AS n_hit,
+             ${Text.sqlHround(
+      "count(h.o_custkey) / count(*)", 6)} AS hit_rate6
+      FROM test LEFT JOIN hits h ON h.o_custkey = test.o_custkey
+    """),
+    doc = "top-10-brand popularity recommender hit-rate on a time split")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -1861,5 +1994,5 @@ object Analytics {
       eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation,
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
-      kaplanMeier, rankCorrelation)
+      kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate)
 }

@@ -716,10 +716,54 @@ object Relational {
     """),
     doc = "TPC-H-Q18-shaped top-20 large-quantity orders (aggregate-then-join)")
 
+  /** TPC-H-Q19-shaped discounted revenue: an OR of three
+    * (brand, size-range, quantity-range) conjunct triples — the classic
+    * complex-predicate query. What matters at scale is WHERE the
+    * predicate evaluates: the part-side conjuncts (brand, size) push
+    * into the broadcast dim and the lineitem conjuncts (quantity) push
+    * into the fact scan as a disjunctive filter, so the join probes far
+    * fewer rows than the raw fact — Catalyst does both rewrites from
+    * the plain SQL. Exact-decimal revenue; a single scalar output row
+    * plus the qualifying line count.
+    */
+  val sqlDiscountedRevenue: QueryDef = QueryDef(
+    "sql_discounted_revenue",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT count(*) AS n_lines,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                           AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+      """)
+    },
+    Some("""
+      SELECT count(*) AS n_lines,
+             floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                         AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 20)
+         OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity BETWEEN 10 AND 35)
+         OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 50
+             AND l.l_quantity BETWEEN 20 AND 50)
+    """),
+    doc = "TPC-H-Q19-shaped OR-of-conjuncts discounted revenue (predicate pushdown)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
       sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex,
       sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems,
-      sqlLargeOrders)
+      sqlLargeOrders, sqlDiscountedRevenue)
 }
