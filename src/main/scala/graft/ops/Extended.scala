@@ -2486,6 +2486,150 @@ object Extended {
       doc = "top-30 Dunning LLR collocations (shared scalar formula, exact cells)")
   }
 
+  /** Contrastive-pair generation for representation training: every
+    * document anchors 2 deterministic candidate partners drawn by id
+    * hash (h32(doc:j) mod N — reproducible "random" negatives, the
+    * sampling family's discipline), labeled by whether the partner
+    * shares the anchor's source (the weak-supervision positive signal).
+    * The partner lookup is an EQUI-join on the computed id against the
+    * dense 0..N−1 key space — at 100 TB this is the standard negative-
+    * sampling shape: k·N generated keys, one shuffle join, no
+    * randomness to reconcile across retries. The one-row N frame rides
+    * as a broadcast scalar (ScaleSpec-intended). Self-pairs are dropped
+    * on both engines.
+    */
+  val contrastivePairs: QueryDef = QueryDef(
+    "contrastive_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val n = docs.agg(max(col("doc_id")).as("mx"))
+        .select((col("mx") + 1).as("n"))
+      val anchors = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("anchor_id"), col("source").as("a_src"),
+          explode(expr(
+            s"transform(sequence(1, 2), j -> " +
+              s"${sqlSparkH32("concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))")} % n)"))
+            .as("cand_id"))
+        .filter(col("cand_id") =!= col("anchor_id"))
+      anchors
+        .join(docs.select(col("doc_id").as("cand_id"),
+          col("source").as("c_src")), Seq("cand_id"))
+        .select(col("anchor_id"), col("cand_id"),
+          (col("a_src") === col("c_src")).as("same_source"))
+        .orderBy(col("anchor_id"), col("cand_id"))
+    },
+    Some(s"""
+      WITH docs AS (SELECT doc_id, source FROM documents),
+      n AS (SELECT max(doc_id) + 1 AS n FROM docs),
+      anch AS (
+        SELECT doc_id AS anchor_id, source AS a_src,
+               ${Text.sqlH32(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % n AS cand_id
+        FROM docs, n, generate_series(1, 2) AS g(j))
+      SELECT anchor_id, cand_id, a_src = c.source AS same_source
+      FROM anch JOIN docs c ON c.doc_id = anch.cand_id
+      WHERE anch.cand_id <> anch.anchor_id
+      ORDER BY anchor_id, cand_id
+    """),
+    doc = "deterministic contrastive pair sampling (hash negatives, equi-join lookup)")
+
+  /** Embedding whitening statistics — the per-dimension mean/std the
+    * standardize-before-index transform needs, fitted over the corpus.
+    * Float embedding elements are micro-quantized to integer units
+    * (floor(x·1e6+0.5)) BEFORE any cross-row aggregation, so the
+    * per-dim sums and sum-of-squares are EXACT 64-bit integers
+    * (|x| ≤ ~10 ⇒ x²·1e12·5000 « 2^63) and the aggregate is order-free
+    * — the only way a float column survives a distributed mean/var
+    * bit-identically. One posexplode (64 rows per vector) + one
+    * dim-keyed aggregate; 64-row output.
+    */
+  val embedStandardize: QueryDef = QueryDef(
+    "embed_standardize",
+    (s, d) => {
+      vecs(s, d)
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("dim").cast("int").as("dim"),
+          floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+          sum(col("xq") * col("xq")).as("sxx"))
+        .select(col("dim"), col("n"),
+          Text.hround(col("sx").cast("double") / col("n").cast("double") /
+            lit(1e6), 6).as("mean6"),
+          Text.hround(sqrt(
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              (col("n") * (col("n") - lit(1L))).cast("double")) / lit(1e6), 6)
+            .as("std6"))
+        .orderBy(col("dim"))
+    },
+    Some(s"""
+      WITH vs AS ($sqlVecs),
+      px AS (SELECT i - 1 AS dim,
+               CAST(floor(v[i] * 1000000e0 + 0.5e0) AS BIGINT) AS xq
+             FROM vs, unnest(generate_series(1, len(v))) AS t(i)),
+      m AS (SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+              CAST(sum(xq) AS BIGINT) AS sx,
+              CAST(sum(xq * xq) AS BIGINT) AS sxx
+            FROM px GROUP BY 1)
+      SELECT dim, n,
+             ${Text.sqlHround(
+      "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000e0", 6)} AS mean6,
+             ${Text.sqlHround(
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / " +
+        "CAST(n * (n - 1) AS DOUBLE)) / 1000000e0", 6)} AS std6
+      FROM m ORDER BY dim
+    """),
+    doc = "per-dim whitening stats from micro-quantized exact moments")
+
+  /** Trending terms across corpus halves — the week-over-week rising
+    * vocabulary report (split by doc_id half, the deterministic stand-in
+    * for time periods): per term, counts in each half and the smoothed
+    * rise ratio (c2+1)/(c1+1); top-20 risers with min support. Ratios
+    * are single IEEE divisions of exact integers (identical rank order
+    * both engines, ties by term); the term frame aggregates once per
+    * half inside ONE conditional groupBy — a single corpus pass, one
+    * term-keyed shuffle.
+    */
+  val trendingTerms: QueryDef = QueryDef(
+    "trending_terms",
+    (s, d) => {
+      val half = docWords(s, d)
+        .crossJoin(broadcast(Tables.documents(s, d)
+          .agg(((max(col("doc_id")) + 1) / lit(2)).cast("long").as("h"))))
+      half
+        .select(col("doc_id"), col("h"), explode(col("w")).as("term"))
+        .groupBy(col("term"))
+        .agg(sum(when(col("doc_id") < col("h"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("doc_id") >= col("h"), 1L).otherwise(0L)).as("c2"))
+        .filter(col("c1") + col("c2") >= 20)
+        .withColumn("rise6",
+          Text.hround((col("c2") + lit(1L)).cast("double") /
+            (col("c1") + lit(1L)).cast("double"), 6))
+        .orderBy(col("rise6").desc, col("term"))
+        .limit(20)
+        .orderBy(col("term"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      h AS (SELECT CAST((max(doc_id) + 1) / 2 AS BIGINT) AS h FROM documents),
+      tc AS (
+        SELECT term,
+               CAST(sum(CASE WHEN doc_id < h THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c1,
+               CAST(sum(CASE WHEN doc_id >= h THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c2
+        FROM (SELECT doc_id, unnest(w) AS term FROM ws), h
+        GROUP BY 1)
+      SELECT term, c1, c2, rise6 FROM (
+        SELECT term, c1, c2,
+               ${Text.sqlHround(
+      "CAST(c2 + 1 AS DOUBLE) / CAST(c1 + 1 AS DOUBLE)", 6)} AS rise6
+        FROM tc WHERE c1 + c2 >= 20
+        ORDER BY rise6 DESC, term LIMIT 20)
+      ORDER BY term
+    """),
+    doc = "top-20 rising terms between corpus halves (smoothed exact ratios)")
+
   /** DSIR-style importance weighting for data selection: score every
     * document by how much more likely its tokens are under a TARGET
     * unigram model (here: the English sub-corpus, standing in for the
@@ -3083,6 +3227,7 @@ object Extended {
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
+    contrastivePairs, embedStandardize, trendingTerms,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
     incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,

@@ -90,7 +90,7 @@ class ScaleSpec extends SparkSpec {
       "market_basket_lift", "cms_freq_bound", "collocation_pmi",
       "autocorr_daily", "theil_sen_slope", "source_drift_js",
       "quantized_recall", "cuped_adjusted_ab", "kaplan_meier",
-      "llr_collocations")
+      "llr_collocations", "contrastive_pairs", "trending_terms")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
