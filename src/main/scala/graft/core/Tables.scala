@@ -40,19 +40,28 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects at
-    * analysis time ([PARQUET_TYPE_ILLEGAL]). Read the nanos as LONG via the
-    * legacy flag and rebuild a proper µs timestamp — DuckDB reads the same
-    * file natively at ns and truncates to µs in epoch_us, so oracle parity
-    * holds. The cast is a codegen'd scalar; pushdown on the other columns
-    * is unaffected.
+  /** events.parquet has shipped in two encodings across harness rounds:
+    * TIMESTAMP(NANOS) (which Spark 4 rejects at analysis time,
+    * [PARQUET_TYPE_ILLEGAL] — the nanosAsLong flag surfaces it as LONG ns)
+    * and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4
+    * reads as TIMESTAMP_NTZ). Normalize BOTH to a µs TimestampType:
+    * schema-sniff the one column (footer metadata, zero jobs) and rebuild.
+    * The session timezone is pinned to UTC engine-wide, so the NTZ→LTZ
+    * cast is value-preserving and DuckDB's naive epoch_us agrees with
+    * Spark's unix_micros on the same file. The cast is a codegen'd
+    * scalar; pushdown on the other columns is unaffected.
     */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    // Integer division, NOT `/` (which is double division and can be off
-    // by 1 µs at 1.7e18-ns magnitudes — DuckDB's epoch_us truncates exactly).
-    table(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      // Integer division, NOT `/` (double division can be off by 1 µs at
+      // 1.7e18-ns magnitudes — DuckDB's epoch_us truncates exactly).
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

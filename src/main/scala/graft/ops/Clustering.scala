@@ -283,5 +283,79 @@ object Clustering {
     """),
     doc = "10-NN majority-vote label propagation for the held-out query set")
 
-  val all: Seq[QueryDef] = Seq(kmeansEmbed, embedOutliers, knnClassify)
+  /** kNN label propagation at production fan-out — the swap the
+    * knn_classify scaladoc promises: candidate generation is the
+    * embed_ann_lsh band machinery (Extended.embBands — EmbBands
+    * sign-LSH tables, query buckets broadcast, candidates from a BAND
+    * EQUI-JOIN on (band, code)), then the exact cosine ranking and
+    * majority-vote tail are identical to the brute-force twin. At 100 TB
+    * the brute-force NLJ scores Q·N pairs; this scores
+    * Q·bands·N/2^EmbBits — the constant that makes label propagation
+    * affordable at corpus scale, with ann_recall quantifying the recall
+    * cost on the same data. Neighbors the LSH tables miss can shrink a
+    * query's vote pool below 10 (or to zero — such queries are not
+    * emitted, like near-dup singletons); the oracle mirrors the candidate
+    * generation exactly, so the vote is hash-checked cross-engine.
+    */
+  val knnClassifyAnn: QueryDef = QueryDef(
+    "knn_classify_ann",
+    (s, d) => {
+      val all = base(s, d)
+      val bands = Extended.embBands(all.select(col("vec_id"), col("v")))
+      val qb = bands.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("band"), col("code"))
+      val cand = bands.filter(col("vec_id") % 100 =!= 0)
+        .join(broadcast(qb), Seq("band", "code"))
+        .select(col("q_id"), col("vec_id")).distinct()
+      val scored = cand
+        .join(all.select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("v").as("qv"), col("nrm").as("qn")).hint("shuffle_hash"), Seq("q_id"))
+        .join(all.hint("shuffle_hash"), Seq("vec_id"))
+        .withColumn("cos6",
+          Text.hround(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)
+      val nn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      val votes = nn.groupBy(col("q_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("n_votes").desc, col("label").asc)
+      votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("label").as("pred_label"),
+          (col("label") === col("true_label")).as("correct"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH vsrc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ebands AS (${Extended.sqlEmbBands}),
+      n AS ($sqlBase),
+      qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0),
+      cand AS (
+        SELECT DISTINCT q.q_id, e.vec_id
+        FROM qb q JOIN ebands e
+          ON e.band = q.band AND e.code = q.code AND e.vec_id % 100 <> 0),
+      sc AS (
+        SELECT c.q_id, a.label AS true_label, c.vec_id, b.label,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM cand c
+        JOIN n a ON a.vec_id = c.q_id
+        JOIN n b ON b.vec_id = c.vec_id),
+      nn AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos6 DESC, vec_id) AS rn FROM sc) WHERE rn <= 10),
+      votes AS (SELECT q_id, true_label, label, count(*) AS n_votes
+                FROM nn GROUP BY 1, 2, 3)
+      SELECT q_id, true_label, label AS pred_label,
+             label = true_label AS correct
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY n_votes DESC, label) AS vr FROM votes)
+      WHERE vr = 1 ORDER BY q_id
+    """),
+    doc = "kNN label propagation over sign-LSH band candidates (the scale path)")
+
+  val all: Seq[QueryDef] =
+    Seq(kmeansEmbed, embedOutliers, knnClassify, knnClassifyAnn)
 }

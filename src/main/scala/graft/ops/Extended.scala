@@ -920,7 +920,7 @@ object Extended {
     * The dot product is the native codegen'd graft.functions.DotProduct
     * (same left-to-right summation as DuckDB's list_dot_product).
     */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private[ops] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -931,7 +931,7 @@ object Extended {
   private def sqlSparkDot(a: String, b: String): String =
     s"graft_dot($a, $b)"
 
-  private val sqlVecs =
+  private[ops] val sqlVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
       "FROM embeddings"
@@ -1004,7 +1004,7 @@ object Extended {
       .mkString(" + ")
 
   /** (vec_id, band, code) — one row per band per vector. */
-  private def embBands(vs: DataFrame): DataFrame = {
+  private[ops] def embBands(vs: DataFrame): DataFrame = {
     val bandStructs = (0 until EmbBands)
       .map(b => s"struct($b AS band, ${embCodeExpr("v", b)} AS code)")
       .mkString(", ")
@@ -1033,7 +1033,7 @@ object Extended {
   /** DuckDB mirror of embCandidates (expects a vec CTE named `vsrc` with
     * (vec_id, v) in scope; includes the 2..1000 cap on both sides).
     */
-  private def sqlEmbBands: String =
+  private[ops] def sqlEmbBands: String =
     (0 until EmbBands)
       .map(b => s"SELECT vec_id, $b AS band, ${sqlEmbCode("v", b)} AS code FROM vsrc")
       .mkString(" UNION ALL ")

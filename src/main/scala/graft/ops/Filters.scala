@@ -33,7 +33,9 @@ object Filters {
     * reference computes the region bounding box, collects it to the driver,
     * and parameterizes the raster clip with it (monthly.py:173-186 → 219-236).
     * Identical pattern: a 4-value agg collect, then literal predicates that
-    * Catalyst pushes to the scan. The ONLY collect() in the engine.
+    * Catalyst pushes to the scan. One of the two sanctioned collect()
+    * sites in the engine (the other is the CC convergence-sum loop in
+    * Extended.ccOverEdges — a documented driver-coordinated iteration).
     */
   val boxRange: QueryDef = QueryDef(
     "box_range_filter",

@@ -394,6 +394,50 @@ object Climate {
     """),
     doc = "parquet mergeSchema read: late-added column, old rows null-filled")
 
+  /** Name-based fallback column resolution — the reference never trusts
+    * its inputs' column names: it probes dataset dims for the first name
+    * present among lon/longitude/x (and lat/latitude/y) with fallbacks
+    * (process_climate_amazon_monthly.py:206-216) and resolves the state
+    * column from a candidate list (:140-144). Same semantic here over a
+    * deliberately name-drifted fixture copy: events is rewritten with
+    * `event_type`→`kind` and `user_id`→`uid` (while `value` keeps its
+    * canonical name), then read back resolving each logical column as the
+    * FIRST present candidate — plain Scala over `df.columns`, zero jobs;
+    * an unresolvable column fails fast with the candidate list in the
+    * message, exactly like the reference's ValueError. The aggregate is
+    * computed over the RESOLVED names and re-aliased to canonical ones,
+    * so the oracle runs on the source table directly — if sniffing picked
+    * the wrong column (or silently missed the drift), counts and sums
+    * hash-mismatch. Schema probing is footer-only metadata at any scale.
+    */
+  val schemaSniff: QueryDef = QueryDef(
+    "schema_sniff_read",
+    (s, d) => {
+      val out = sinkDir(d, "graft_sniff")
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type").as("kind"),
+          col("user_id").as("uid"), col("value"))
+        .write.mode("overwrite").parquet(out)
+      val drifted = s.read.parquet(out)
+      def resolve(logical: String, cands: Seq[String]): String =
+        cands.find(drifted.columns.contains).getOrElse(throw new
+          IllegalArgumentException(
+            s"no candidate for '$logical' in ${drifted.columns.mkString(",")}: $cands"))
+      val typeCol = resolve("event_type", Seq("event_type", "etype", "type", "kind"))
+      val userCol = resolve("user_id", Seq("user_id", "uid", "user"))
+      val valCol  = resolve("value", Seq("value", "val", "measurement"))
+      drifted.groupBy(col(typeCol).as("event_type"))
+        .agg(countDistinct(col(userCol)).as("n_users"),
+          Num.sum2(col(valCol)).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(DISTINCT user_id) AS n_users,
+             ${Num.sqlSum2("value")} AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+    doc = "candidate-list column sniffing over a name-drifted fixture copy")
+
   /** XML sink + source round-trip — Spark 4 ships the XML source
     * built-in (the spark-xml package merged into core), completing the
     * engine's format matrix: parquet / CSV / JSON / ORC / XML / binary.
@@ -425,5 +469,6 @@ object Climate {
 
   val all: Seq[QueryDef] =
     Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip,
-      parquetPartitioned, compactSmallFiles, schemaEvolution, xmlRoundtrip)
+      parquetPartitioned, compactSmallFiles, schemaEvolution, schemaSniff,
+      xmlRoundtrip)
 }

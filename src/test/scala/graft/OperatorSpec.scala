@@ -63,6 +63,28 @@ class OperatorSpec extends SparkSpec {
     assert(byMethod("lsh") === byMethod("ivf"))
   }
 
+  test("ann recall floors: quality regressions are red, not silent") {
+    // ann_recall/quantized_recall EMIT recall@5 but nothing used to fail
+    // if an EmbBits/EmbBands retune cratered it. Floor the MEAN recall
+    // per method: LSH/IVF are approximate (floor 0.6 — demonstrably
+    // sensitive: EmbBits−2 collapses bucket selectivity and fails this),
+    // while int8 quantization must preserve neighbor sets almost exactly
+    // (floor 0.8).
+    val r = Extended.annRecall.fn(spark, sfDir)
+      .select("method", "recall5").as[(String, Double)].collect()
+    val byMethod = r.groupBy(_._1).view
+      .mapValues(v => v.map(_._2).sum / v.length).toMap
+    Seq("lsh", "ivf").foreach { m =>
+      assert(byMethod(m) >= 0.6,
+        s"$m mean recall@5 ${byMethod(m)} fell below the 0.6 floor")
+    }
+    val q = Extended.quantizedRecall.fn(spark, sfDir)
+      .select("recall5").as[Double].collect()
+    val qMean = q.sum / q.length
+    assert(qMean >= 0.8,
+      s"quantized mean recall@5 $qMean fell below the 0.8 floor")
+  }
+
   test("observe: pipeline metrics ride the action, no second job") {
     // The SNK3 pre-check industrialized WITHOUT a separate validation
     // pass: `observe` accumulates metrics on the rows the query already

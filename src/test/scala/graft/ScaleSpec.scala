@@ -127,6 +127,18 @@ class ScaleSpec extends SparkSpec {
         s"collect_list should carry the simhash itself:\n$simPlan")
   }
 
+  test("knn_classify_ann candidates come from a band equi-join, not the NLJ") {
+    // The production swap knn_classify's scaladoc promises: candidate
+    // generation must be an equi-join on the (band, code) LSH keys —
+    // never the brute-force Q×N nested loop the correctness twin runs.
+    val phys = ops.Clustering.knnClassifyAnn.fn(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"knn_classify_ann fell back to a nested-loop join:\n$phys")
+    assert("(?s)Join.{0,200}band".r.findFirstIn(phys).isDefined,
+      s"knn_classify_ann has no (band, code) equi-join:\n$phys")
+  }
+
   test("no pair-enumerating join on a fixed-domain bucket key") {
     // Round-2 pathology guard: embed_near_dup/curation_pipeline used to
     // SELF-JOIN on a fixed 16-value sign-LSH code (`bkt`) — O(N²/16)
@@ -155,7 +167,8 @@ class ScaleSpec extends SparkSpec {
     val eager = Set("box_range_filter", "split_partitioned_write",
       "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
       "cluster_canonical", "semantic_dedup", "compact_small_files",
-      "schema_evolution_read", "xml_sink_roundtrip", "bucketed_join")
+      "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
+      "bucketed_join")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
