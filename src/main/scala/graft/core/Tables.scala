@@ -17,6 +17,12 @@ object Tables {
     // the read at analysis time ([PARQUET_TYPE_ILLEGAL]). Harmless for the
     // other tables (no nanos columns anywhere else).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // UTC pin lives HERE, not only in the entrypoints' builders: the
+    // eventsRaw NTZ→timestamp cast is value-preserving only under UTC,
+    // and the external driver's session (plus any embedding application)
+    // doesn't run our builders. Every graft read funnels through this
+    // method, so the pin really is engine-wide.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Constraint propagation OFF, engine-wide: InferFiltersFromConstraints
     // alias-expands derived columns when it manufactures isnotnull()
     // predicates, inlining entire expression pipelines (e.g. the shingle

@@ -285,12 +285,12 @@ object Clustering {
 
   /** kNN label propagation at production fan-out — the swap the
     * knn_classify scaladoc promises: candidate generation is the
-    * embed_ann_lsh band machinery (Extended.embBands — EmbBands
+    * embed_ann_lsh band machinery (Extended.annBands — AnnBands
     * sign-LSH tables, query buckets broadcast, candidates from a BAND
     * EQUI-JOIN on (band, code)), then the exact cosine ranking and
     * majority-vote tail are identical to the brute-force twin. At 100 TB
     * the brute-force NLJ scores Q·N pairs; this scores
-    * Q·bands·N/2^EmbBits — the constant that makes label propagation
+    * Q·bands·N/2^AnnBits — the constant that makes label propagation
     * affordable at corpus scale, with ann_recall quantifying the recall
     * cost on the same data. Neighbors the LSH tables miss can shrink a
     * query's vote pool below 10 (or to zero — such queries are not
@@ -301,7 +301,7 @@ object Clustering {
     "knn_classify_ann",
     (s, d) => {
       val all = base(s, d)
-      val bands = Extended.embBands(all.select(col("vec_id"), col("v")))
+      val bands = Extended.annBands(all.select(col("vec_id"), col("v")))
       val qb = bands.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("band"), col("code"))
       val cand = bands.filter(col("vec_id") % 100 =!= 0)
@@ -330,7 +330,7 @@ object Clustering {
     },
     Some(s"""
       WITH vsrc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      ebands AS (${Extended.sqlEmbBands}),
+      ebands AS (${Extended.sqlAnnBands}),
       n AS ($sqlBase),
       qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0),
       cand AS (

@@ -978,39 +978,65 @@ object Extended {
     * is N / 2^EmbBits per band, so production sizes EmbBits ≈
     * log2(N / targetBucketSize) (e.g. N=10^10, target 10^3 → 23 bits) and
     * the candidate volume stays ~N·targetBucketSize·bands instead of
-    * O(N²/constant). More bands buy recall at linear cost. The local
-    * defaults (2 bands × 5 bits = 32 buckets/band) match the fixture's
-    * N=500..2000; everything downstream is written against the parameters,
-    * not the constants. (Declared before every val that bakes them into
-    * oracle SQL — object vals initialize in declaration order.)
+    * O(N²/constant). More bands buy recall at linear cost.
+    *
+    * Two tunings share the machinery because the two consumers optimize
+    * opposite corners of the recall/cost plane:
+    *   - NEAR-DUP (EmbBits/EmbBands → embCandidates): the payload pairs
+    *     are high-cosine (≥0.9 in production), where per-bit collision
+    *     probability is ~0.86 — many bits stay cheap AND selective. 8
+    *     bits × 4 bands keeps ~74% recall on true near-dups while the
+    *     isotropic-fixture candidate volume drops 4× vs the old 5×2
+    *     (122k → 31k pairs at sf0.1 — the regenerated 2026-08 fixtures
+    *     fill every bucket evenly, so looser codes explode the
+    *     pair-expand; measured in round 8).
+    *   - ANN (AnnBits/AnnBands → annBands): query neighbors on the
+    *     isotropic fixtures sit at cosine ~0.3-0.5 (per-bit collision
+    *     ~0.63), so few bits × many bands is the only shape that clears
+    *     the 0.6 recall@5 floor: 3 bits × 8 bands measures 0.91-0.92
+    *     mean recall@5 at every SF (0.20 under the old 5×2).
+    * Everything downstream is written against the parameters, not the
+    * constants. (Declared before every val that bakes them into oracle
+    * SQL — object vals initialize in declaration order.)
     */
-  val EmbBands = 2
-  val EmbBits  = 5
+  val EmbBands = 4
+  val EmbBits  = 8
+  val AnnBands = 8
+  val AnnBits  = 3
 
-  /** Sign bit coordinate for (band, bit): stride-6 over the 64 dims so the
-    * two bands read disjoint coordinates (an axis-aligned random
-    * projection; exact float sign compares — zero cross-engine ulp risk).
+  /** Sign bit coordinate for (band, bit): stride-2 over the 64 dims so
+    * bands read disjoint coordinates (an axis-aligned random projection;
+    * exact float sign compares — zero cross-engine ulp risk). Both
+    * tunings fit the 64-dim budget: 8×4 and 3×8 each need ≤32 coords.
     */
-  private def embCoord(b: Int, j: Int): Int = 1 + (b * EmbBits + j) * 6
+  private def embCoord(bits: Int)(b: Int, j: Int): Int = 1 + (b * bits + j) * 2
 
-  private def embCodeExpr(v: String, b: Int): String =
-    (0 until EmbBits)
-      .map(j => s"IF(element_at($v, ${embCoord(b, j)}) >= 0, ${1 << j}, 0)")
+  private def embCodeExpr(bits: Int)(v: String, b: Int): String =
+    (0 until bits)
+      .map(j => s"IF(element_at($v, ${embCoord(bits)(b, j)}) >= 0, ${1 << j}, 0)")
       .mkString(" + ")
 
-  private def sqlEmbCode(v: String, b: Int): String =
-    (0 until EmbBits)
-      .map(j => s"CASE WHEN $v[${embCoord(b, j)}] >= 0 THEN ${1 << j} ELSE 0 END")
+  private def sqlEmbCode(bits: Int)(v: String, b: Int): String =
+    (0 until bits)
+      .map(j => s"CASE WHEN $v[${embCoord(bits)(b, j)}] >= 0 THEN ${1 << j} ELSE 0 END")
       .mkString(" + ")
 
   /** (vec_id, band, code) — one row per band per vector. */
-  private[ops] def embBands(vs: DataFrame): DataFrame = {
-    val bandStructs = (0 until EmbBands)
-      .map(b => s"struct($b AS band, ${embCodeExpr("v", b)} AS code)")
+  private def bandedCodes(bits: Int, bands: Int)(vs: DataFrame): DataFrame = {
+    val bandStructs = (0 until bands)
+      .map(b => s"struct($b AS band, ${embCodeExpr(bits)("v", b)} AS code)")
       .mkString(", ")
     vs.select(col("vec_id"), explode(expr(s"array($bandStructs)")).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.code").as("code"))
   }
+
+  /** Near-dup tuning (EmbBits × EmbBands). */
+  private[ops] def embBands(vs: DataFrame): DataFrame =
+    bandedCodes(EmbBits, EmbBands)(vs)
+
+  /** ANN tuning (AnnBits × AnnBands) — see the parameter scaladoc. */
+  private[ops] def annBands(vs: DataFrame): DataFrame =
+    bandedCodes(AnnBits, AnnBands)(vs)
 
   /** Candidate pairs (d1 < d2) sharing ANY band code — the same
     * groupBy(bucket) + in-bucket pair expansion + 2..1000 skew cap shape
@@ -1035,7 +1061,13 @@ object Extended {
     */
   private[ops] def sqlEmbBands: String =
     (0 until EmbBands)
-      .map(b => s"SELECT vec_id, $b AS band, ${sqlEmbCode("v", b)} AS code FROM vsrc")
+      .map(b => s"SELECT vec_id, $b AS band, ${sqlEmbCode(EmbBits)("v", b)} AS code FROM vsrc")
+      .mkString(" UNION ALL ")
+
+  /** DuckDB mirror of annBands (ANN tuning). */
+  private[ops] def sqlAnnBands: String =
+    (0 until AnnBands)
+      .map(b => s"SELECT vec_id, $b AS band, ${sqlEmbCode(AnnBits)("v", b)} AS code FROM vsrc")
       .mkString(" UNION ALL ")
 
   private def sqlEmbCandidates: String = {
@@ -1050,20 +1082,21 @@ object Extended {
            ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)"""
   }
 
-  /** ANN via multi-table sign-random-projection LSH: EmbBands hash tables
-    * of 2^EmbBits buckets each (the classic LSH layout — bands buy recall,
+  /** ANN via multi-table sign-random-projection LSH: AnnBands hash tables
+    * of 2^AnnBits buckets each (the classic LSH layout — bands buy recall,
     * bits bound bucket population; see the EmbBits scaladoc for how both
-    * scale with N). Each query equi-joins its bucket in EVERY band (query
-    * side broadcast), candidates are unioned/deduped, then exact-ranked
-    * top-5. Candidate volume is Q·bands·N/2^bits — never a pair
-    * enumeration. (Recall vs the brute-force baseline is checked in the
-    * ScalaTest suite and by the ann_recall query.)
+    * scale with N and why ANN runs few-bits-many-bands). Each query
+    * equi-joins its bucket in EVERY band (query side broadcast),
+    * candidates are unioned/deduped, then exact-ranked top-5. Candidate
+    * volume is Q·bands·N/2^bits — never a pair enumeration. (Recall vs
+    * the brute-force baseline is checked in the ScalaTest suite and by
+    * the ann_recall query.)
     */
   val annLsh: QueryDef = QueryDef(
     "embed_ann_lsh",
     (s, d) => {
       val all = vecs(s, d)
-      val bands = embBands(all)
+      val bands = annBands(all)
       val qb = bands.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("band"), col("code"))
       val cand = bands.join(broadcast(qb), Seq("band", "code"))
@@ -1084,7 +1117,7 @@ object Extended {
     },
     Some(s"""
       WITH vsrc AS ($sqlVecs),
-      ebands AS ($sqlEmbBands),
+      ebands AS ($sqlAnnBands),
       qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0),
       cand AS (
         SELECT DISTINCT q.q_id, e.vec_id AS nn_id
@@ -1107,10 +1140,16 @@ object Extended {
     * search — (1) per-label centroids (element-wise mean; exact
     * DECIMAL(28,12) sums so both engines average identical operands in
     * any partial-agg order), (2) every vector assigned to its nearest
-    * centroid → inverted lists, (3) each query probes its nprobe=2
+    * centroid → inverted lists, (3) each query probes its nprobe=6
     * nearest centroids and ranks ONLY those lists. At 100 TB the centroid
     * table is tiny and broadcast; the list search is an equi-join on the
-    * cluster id.
+    * cluster id. nprobe is data-dependent: the regenerated 2026-08
+    * fixtures carry label centroids that are nearly orthogonal to the
+    * (isotropic) vectors, so the coarse quantizer ranks lists weakly and
+    * nprobe=6 of nlist=10 is what clears the 0.6 recall@5 floor
+    * (measured 0.76-0.80 across SFs; nprobe=2 collapsed to 0.34-0.52).
+    * On clustered production embeddings nlist grows ~√N and nprobe stays
+    * a small constant — the parameter, not the plan, changes.
     */
   val annIvf: QueryDef = QueryDef(
     "embed_ann_ivf",
@@ -1138,7 +1177,7 @@ object Extended {
       val lists = assign.withColumn("rn", row_number().over(wA))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cl"))
-      // queries probe their nprobe=2 nearest centroids
+      // queries probe their nprobe=6 nearest centroids
       val probes = lists.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
         .crossJoin(broadcast(cvec.select(col("label").as("cl"), col("cv"), col("cnrm"))))
@@ -1147,7 +1186,7 @@ object Extended {
       val wP = Window.partitionBy(col("q_id"))
         .orderBy(col("cos6").desc, col("cl").asc)
       val probed = probes.withColumn("rn", row_number().over(wP))
-        .filter(col("rn") <= 2)
+        .filter(col("rn") <= 6)
         .select(col("q_id"), col("qv"), col("qn"), col("cl"))
       // search only the probed inverted lists
       val cand = probed.join(lists.hint("shuffle_hash"), Seq("cl"))
@@ -1184,7 +1223,7 @@ object Extended {
                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
                    ${Text.sqlHround("list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm)", 6)} DESC,
                    c.label ASC) AS rn
-          FROM assign a, cvn c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+          FROM assign a, cvn c WHERE a.vec_id % 100 = 0) WHERE rn <= 6),
       cand AS (
         SELECT p.q_id, l.vec_id AS nn_id,
                ${Text.sqlHround("list_dot_product(p.qv, l.v) / (p.qn * l.nrm)", 6)} AS cos6
@@ -1194,7 +1233,7 @@ object Extended {
             FROM cand)
       SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """),
-    doc = "ANN via IVF: decimal-exact centroids, inverted lists, nprobe=2")
+    doc = "ANN via IVF: decimal-exact centroids, inverted lists, nprobe=6")
 
   /** Embedding-cosine near-dup: banded sign-LSH candidates with rounded
     * cosine >= 0.2 (the fixture's max inter-vector cosine is ~0.45, so the
@@ -1285,7 +1324,11 @@ object Extended {
 
   /** SemDedup-style semantic dedup: connected components over the
     * EMBEDDING near-dup graph (banded sign-LSH candidates, cosine
-    * ≥ 0.2 — embed_near_dup's verified pair set), then one kept
+    * ≥ 0.35 — embed_near_dup's verified pair set, tightened: on the
+    * regenerated isotropic fixtures the 0.2-cut graph percolates into
+    * one giant component at sf0.1 — 4962 edges over 2000 nodes, a
+    * vacuous 2-cluster answer — while 0.35 keeps discriminating
+    * cluster structure at every SF), then one kept
     * representative per semantic cluster (longest text, tie = lowest
     * id — `cluster_canonical`'s election rule). Where the lexical
     * cluster family collapses copy-paste duplication, this collapses
@@ -1299,7 +1342,8 @@ object Extended {
     "semantic_dedup",
     (s, d) => {
       val w = Window.partitionBy(col("cluster_id"))
-      ccOverEdges(embedNearDup.fn(s, d).select(col("d1"), col("d2")))
+      ccOverEdges(embedNearDup.fn(s, d)
+          .filter(col("cos6") >= 0.35).select(col("d1"), col("d2")))
         .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
           Seq("doc_id"))
         .withColumn("n_docs", count(lit(1)).over(w))
@@ -1312,7 +1356,7 @@ object Extended {
     },
     Some(s"""
       WITH RECURSIVE
-      sem AS (SELECT d1, d2 FROM (${embedNearDup.oracle.get})),
+      sem AS (SELECT d1, d2 FROM (${embedNearDup.oracle.get}) WHERE cos6 >= 0.35),
       ssym AS (SELECT d1 AS v, d2 AS n FROM sem
                UNION ALL SELECT d2, d1 FROM sem),
       sreach(v, r) AS (
@@ -1334,7 +1378,7 @@ object Extended {
 
   /** ANN recall as a first-class, oracle-checked metric: per query id,
     * how many of the brute-force cosine top-5 each approximate method
-    * (multi-table sign-LSH, IVF nprobe=2) recovered. The quality gauge a
+    * (multi-table sign-LSH, IVF nprobe=6) recovered. The quality gauge a
     * production ANN deployment monitors continuously — if an index
     * parameter (EmbBits, nprobe) is retuned for a bigger corpus, this
     * query quantifies the recall cost on real data. Composes three

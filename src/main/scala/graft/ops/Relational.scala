@@ -275,7 +275,11 @@ object Relational {
       val db = ("graft_bk_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         ProcessHandle.current().pid()).toLowerCase
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      if (!s.catalog.tableExists(s"$db.orders_b")) {
+      // Guard on BOTH tables: a run that dies between the two writes must
+      // not leave later invocations skipping the writes then failing on
+      // the missing second table.
+      if (!s.catalog.tableExists(s"$db.orders_b") ||
+          !s.catalog.tableExists(s"$db.lineitem_b")) {
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority"))
           .write.mode("overwrite")

@@ -65,9 +65,9 @@ class OperatorSpec extends SparkSpec {
 
   test("ann recall floors: quality regressions are red, not silent") {
     // ann_recall/quantized_recall EMIT recall@5 but nothing used to fail
-    // if an EmbBits/EmbBands retune cratered it. Floor the MEAN recall
-    // per method: LSH/IVF are approximate (floor 0.6 — demonstrably
-    // sensitive: EmbBits−2 collapses bucket selectivity and fails this),
+    // if an AnnBits/AnnBands/nprobe retune cratered it. Floor the MEAN
+    // recall per method: LSH/IVF are approximate (floor 0.6 — proven
+    // sensitive: the 2026-08 fixture regeneration tripped exactly this),
     // while int8 quantization must preserve neighbor sets almost exactly
     // (floor 0.8).
     val r = Extended.annRecall.fn(spark, sfDir)
@@ -151,13 +151,12 @@ class OperatorSpec extends SparkSpec {
     val ann = Extended.annLsh.fn(spark, sfDir)
       .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
     val recall = (topk intersect ann).size.toDouble / topk.size
-    // 2-table x 5-bit random-sign LSH on near-orthogonal vectors: expect
-    // partial recall — assert it beats the bands/2^bits random floor
-    // (2/32 ≈ 0.06) by a clear margin.
+    // 8-table x 3-bit random-sign LSH on near-orthogonal vectors: partial
+    // recall by design — assert it clears a margin well above random.
     assert(recall > 0.15, s"recall@5 = $recall")
   }
 
-  test("ANN IVF: probes 2 of 10 lists, sane output, nontrivial recall") {
+  test("ANN IVF: probes 6 of 10 lists, sane output, nontrivial recall") {
     val ivf = Extended.annIvf.fn(spark, sfDir)
       .select("q_id", "nn_id", "cos6", "rn")
       .as[(Long, Long, Double, Int)].collect()

@@ -131,12 +131,23 @@ class ScaleSpec extends SparkSpec {
     // The production swap knn_classify's scaladoc promises: candidate
     // generation must be an equi-join on the (band, code) LSH keys —
     // never the brute-force Q×N nested loop the correctness twin runs.
-    val phys = ops.Clustering.knnClassifyAnn.fn(spark, sfDir)
-      .queryExecution.sparkPlan.toString
-    assert(!phys.contains("BroadcastNestedLoopJoin"),
-      s"knn_classify_ann fell back to a nested-loop join:\n$phys")
-    assert("(?s)Join.{0,200}band".r.findFirstIn(phys).isDefined,
-      s"knn_classify_ann has no (band, code) equi-join:\n$phys")
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = ops.Clustering.knnClassifyAnn.fn(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"),
+      s"knn_classify_ann fell back to a nested-loop join:\n$plan")
+    // Assert the join KEYS, not plan-string proximity: some hash/merge
+    // join must key on both `band` and `code`.
+    val joinKeys = plan.collect {
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec  => j.leftKeys ++ j.rightKeys
+      case j: SortMergeJoinExec     => j.leftKeys ++ j.rightKeys
+    }
+    assert(joinKeys.exists { ks =>
+      val names = ks.flatMap(_.references.toSeq).map(_.name).toSet
+      names.contains("band") && names.contains("code")
+    }, s"knn_classify_ann has no (band, code) equi-join:\n$plan")
   }
 
   test("no pair-enumerating join on a fixed-domain bucket key") {
