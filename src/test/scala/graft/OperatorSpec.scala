@@ -83,6 +83,16 @@ class OperatorSpec extends SparkSpec {
     val qMean = q.sum / q.length
     assert(qMean >= 0.8,
       s"quantized mean recall@5 $qMean fell below the 0.8 floor")
+    // Multi-probe twin: half the hash tables must still clear the same
+    // 0.6 floor (its recall lives in the query-side probe fan-out).
+    val topk5 = Extended.cosineTopK.fn(spark, sfDir)
+      .filter(col("rn") <= 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val mp = Extended.annMultiprobe.fn(spark, sfDir)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val mpRecall = (topk5 intersect mp).size.toDouble / topk5.size
+    assert(mpRecall >= 0.6,
+      s"multiprobe mean recall@5 $mpRecall fell below the 0.6 floor")
   }
 
   test("observe: pipeline metrics ride the action, no second job") {
