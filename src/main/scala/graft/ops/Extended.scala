@@ -1454,7 +1454,8 @@ object Extended {
 
   /** ANN recall as a first-class, oracle-checked metric: per query id,
     * how many of the brute-force cosine top-5 each approximate method
-    * (multi-table sign-LSH, IVF nprobe=6) recovered. The quality gauge a
+    * (multi-table sign-LSH, IVF nprobe=6, multi-probe LSH) recovered —
+    * every index layout the engine ships is monitored. The quality gauge a
     * production ANN deployment monitors continuously — if an index
     * parameter (EmbBits, nprobe) is retuned for a bigger corpus, this
     * query quantifies the recall cost on real data. Composes three
@@ -1475,23 +1476,28 @@ object Extended {
             Text.hround(col("n_hit") / lit(5.0), 2).as("recall5"))
       rec("lsh", annLsh.fn(s, d))
         .unionAll(rec("ivf", annIvf.fn(s, d)))
+        .unionAll(rec("mp", annMultiprobe.fn(s, d)))
         .orderBy(col("method"), col("q_id"))
     },
     Some(s"""
       WITH base AS (SELECT q_id, nn_id FROM (${cosineTopK.oracle.get}) WHERE rn <= 5),
       lshr AS (SELECT q_id, nn_id FROM (${annLsh.oracle.get})),
       ivfr AS (SELECT q_id, nn_id FROM (${annIvf.oracle.get})),
+      mpr AS (SELECT q_id, nn_id FROM (${annMultiprobe.oracle.get})),
       rl AS (SELECT 'lsh' AS method, b.q_id, CAST(count(a.nn_id) AS BIGINT) AS n_hit
              FROM base b LEFT JOIN lshr a ON a.q_id = b.q_id AND a.nn_id = b.nn_id
              GROUP BY b.q_id),
       ri AS (SELECT 'ivf' AS method, b.q_id, CAST(count(a.nn_id) AS BIGINT) AS n_hit
              FROM base b LEFT JOIN ivfr a ON a.q_id = b.q_id AND a.nn_id = b.nn_id
+             GROUP BY b.q_id),
+      rm AS (SELECT 'mp' AS method, b.q_id, CAST(count(a.nn_id) AS BIGINT) AS n_hit
+             FROM base b LEFT JOIN mpr a ON a.q_id = b.q_id AND a.nn_id = b.nn_id
              GROUP BY b.q_id)
       SELECT method, q_id, n_hit, ${Text.sqlHround("n_hit / 5.0", 2)} AS recall5
-      FROM (SELECT * FROM rl UNION ALL SELECT * FROM ri)
+      FROM (SELECT * FROM rl UNION ALL SELECT * FROM ri UNION ALL SELECT * FROM rm)
       ORDER BY method, q_id
     """),
-    doc = "recall@5 of LSH/IVF ANN vs the brute-force baseline, per query")
+    doc = "recall@5 of LSH/IVF/multi-probe ANN vs the brute-force baseline, per query")
 
   // ---- 8/9/10/11. text analysis ------------------------------------------
 
@@ -1907,6 +1913,92 @@ object Extended {
       FROM documents GROUP BY 1 ORDER BY 1
     """),
     doc = "deterministic 80/20 split via id-hash bucketing (reproducible, never rand)")
+
+  /** Leakage-safe train/val/test split: assign splits BY NEAR-DUP
+    * CLUSTER, not by document — the step that keeps held-out sets honest.
+    * A doc-level hash split (train_test_split's shape) puts members of
+    * the same near-dup cluster on both sides of the train/test boundary:
+    * the classic contamination path where the model is evaluated on text
+    * it effectively saw in training. Grouping first by the lexical
+    * near-dup components (dup_clusters' verified CC assignment;
+    * un-clustered docs are their own group), then hashing the GROUP id
+    * into 80/10/10 buckets, makes straddling impossible by construction —
+    * and the query emits the audit proving it: per-split doc/group
+    * counts plus, as audit constants repeated on every row, the number
+    * of multi-doc groups straddling splits under the group hash (always
+    * 0) vs under the naive doc-id hash (positive on this corpus: the
+    * quantified leakage the operator exists to prevent). Scale shape:
+    * the shared CC assignment plus two hash-bucket aggregations; the
+    * audit row is a one-row broadcast (ScaleSpec `intended`), and the CC
+    * loop makes construction eager (ScaleSpec `eager`), like the rest of
+    * the cluster family.
+    */
+  val leakageSafeSplit: QueryDef = QueryDef(
+    "leakage_safe_split",
+    (s, d) => {
+      def splitOf(c: Column): Column = {
+        val b = Text.h32(c.cast("string")) % 10
+        when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+      }
+      val assigned = Tables.documents(s, d).select(col("doc_id"))
+        .join(clusterAssignments(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("grp"))
+        .withColumn("split", splitOf(col("grp")))
+        .withColumn("naive", splitOf(col("doc_id")))
+      val audit = assigned.groupBy(col("grp"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("split")).as("ns"),
+          countDistinct(col("naive")).as("nn"))
+        .agg(
+          sum(when(col("sz") >= 2 && col("ns") > 1, 1L).otherwise(0L))
+            .as("straddle_group"),
+          sum(when(col("sz") >= 2 && col("nn") > 1, 1L).otherwise(0L))
+            .as("straddle_naive"))
+      val per = assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .withColumnRenamed("split", "scope")
+      val glob = assigned
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .select(lit("GLOBAL").as("scope"), col("n_docs"), col("n_groups"))
+      per.unionByName(glob)
+        .crossJoin(broadcast(audit))
+        .select(col("scope"), col("n_docs"), col("n_groups"),
+          col("straddle_group"), col("straddle_naive"))
+        .orderBy(col("scope"))
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlClusterCc,
+      g AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS grp
+            FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+      a AS (SELECT doc_id, grp,
+              CASE WHEN ${Text.sqlH32("CAST(grp AS VARCHAR)")} % 10 <= 7 THEN 'train'
+                   WHEN ${Text.sqlH32("CAST(grp AS VARCHAR)")} % 10 = 8 THEN 'val'
+                   ELSE 'test' END AS split,
+              CASE WHEN ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} % 10 <= 7 THEN 'train'
+                   WHEN ${Text.sqlH32("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                   ELSE 'test' END AS naive
+            FROM g),
+      aud AS (
+        SELECT CAST(sum(CASE WHEN sz >= 2 AND ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS straddle_group,
+               CAST(sum(CASE WHEN sz >= 2 AND nn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS straddle_naive
+        FROM (SELECT grp, count(*) AS sz, count(DISTINCT split) AS ns,
+                     count(DISTINCT naive) AS nn
+              FROM a GROUP BY 1)),
+      per AS (
+        SELECT split AS scope, count(*) AS n_docs,
+               count(DISTINCT grp) AS n_groups
+        FROM a GROUP BY 1
+        UNION ALL
+        SELECT 'GLOBAL', count(*), count(DISTINCT grp) FROM a)
+      SELECT scope, n_docs, n_groups, straddle_group, straddle_naive
+      FROM per, aud ORDER BY scope
+    """),
+    doc = "cluster-aware 80/10/10 split: near-dup groups never straddle train/val/test")
 
   /** Stratified sample: exactly k=20 docs per language stratum, selected
     * by hash rank (deterministic; independent of row order and partition
@@ -3356,7 +3448,7 @@ object Extended {
     semanticDedup, annRecall,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
-    curationPipeline, trainTestSplit, stratifiedSample,
+    curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, weightedSampleK,
     docChunks, tfidf,
     bm25TopK, decontaminate, repetitionScore, packSequences,

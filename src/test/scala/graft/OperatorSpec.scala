@@ -55,12 +55,13 @@ class OperatorSpec extends SparkSpec {
     val r = Extended.annRecall.fn(spark, sfDir)
       .select("method", "q_id", "n_hit", "recall5")
       .as[(String, Long, Long, Double)].collect()
-    assert(r.map(_._1).toSet === Set("lsh", "ivf"))
+    assert(r.map(_._1).toSet === Set("lsh", "ivf", "mp"))
     assert(r.forall { case (_, _, h, rc) =>
       h >= 0 && h <= 5 && rc >= 0.0 && rc <= 1.0 && rc == h / 5.0 })
     // both methods report every baseline query id
     val byMethod = r.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byMethod("lsh") === byMethod("ivf"))
+    assert(byMethod("lsh") === byMethod("mp"))
   }
 
   test("ann recall floors: quality regressions are red, not silent") {
@@ -74,7 +75,7 @@ class OperatorSpec extends SparkSpec {
       .select("method", "recall5").as[(String, Double)].collect()
     val byMethod = r.groupBy(_._1).view
       .mapValues(v => v.map(_._2).sum / v.length).toMap
-    Seq("lsh", "ivf").foreach { m =>
+    Seq("lsh", "ivf", "mp").foreach { m =>
       assert(byMethod(m) >= 0.6,
         s"$m mean recall@5 ${byMethod(m)} fell below the 0.6 floor")
     }

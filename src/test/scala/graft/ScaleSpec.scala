@@ -90,7 +90,8 @@ class ScaleSpec extends SparkSpec {
       "market_basket_lift", "cms_freq_bound", "collocation_pmi",
       "autocorr_daily", "theil_sen_slope", "source_drift_js",
       "quantized_recall", "cuped_adjusted_ab", "kaplan_meier",
-      "llr_collocations", "contrastive_pairs", "trending_terms")
+      "llr_collocations", "contrastive_pairs", "trending_terms",
+      "leakage_safe_split")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
@@ -179,7 +180,7 @@ class ScaleSpec extends SparkSpec {
       "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
-      "bucketed_join")
+      "bucketed_join", "leakage_safe_split")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
