@@ -771,10 +771,152 @@ object Relational {
     """),
     doc = "TPC-H-Q19-shaped OR-of-conjuncts discounted revenue (predicate pushdown)")
 
+  /** TPC-H-Q14 shape: promo-revenue share per month — conditional
+    * aggregation computing a ratio of two decimal-exact sums over ONE
+    * scan of the joined fact (never two passes). Both sums follow the
+    * house decimal discipline (4-dp exact products, exact decimal sum,
+    * cast to DOUBLE once); the ratio divides two identical-on-both-
+    * engines doubles, then one deterministic floor-form round at 4 dp.
+    * The CASE's ELSE is an explicit DECIMAL(27,4) zero so the branch
+    * types unify identically in Spark and DuckDB.
+    */
+  val sqlPromoRevenue: QueryDef = QueryDef(
+    "sql_promo_revenue",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT month(l_shipdate) AS mon,
+               floor(CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(1.0 - l_discount AS DECIMAL(8,2))
+                       ELSE CAST(0.0 AS DECIMAL(27,4)) END) AS DOUBLE)
+                     * 100e0
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                            AS DOUBLE)
+                     * 10000e0 + 0.5e0) / 10000e0 AS promo_pct
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE year(l_shipdate) = 1995
+        GROUP BY month(l_shipdate)
+        ORDER BY mon
+      """)
+    },
+    Some("""
+      SELECT CAST(month(l_shipdate) AS INTEGER) AS mon,
+             floor(CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1.0 - l_discount AS DECIMAL(8,2))
+                     ELSE CAST(0.0 AS DECIMAL(27,4)) END) AS DOUBLE)
+                   * 100
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                          AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS promo_pct
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l_shipdate) = 1995
+      GROUP BY month(l_shipdate)
+      ORDER BY mon
+    """),
+    doc = "TPC-H-Q14-shaped promo revenue share per month (one-scan conditional agg)")
+
+  /** TPC-H-Q2 shape: for every small part, the supplier quoting its
+    * MINIMUM price — a correlated scalar-aggregate subquery in the WHERE
+    * clause. Catalyst decorrelates it (RewriteCorrelatedScalarSubquery)
+    * into a per-part min aggregate joined back on p_partkey — the plan
+    * that scales: one agg + one equi-join, never a per-row re-execution
+    * of the subquery. Price ties across suppliers resolve by lowest
+    * s_suppkey through a window tiebreak, so the row set is
+    * deterministic. min_price is a RAW stored double (no arithmetic) —
+    * exact cross-engine equality.
+    */
+  val sqlMinPriceSupplier: QueryDef = QueryDef(
+    "sql_min_price_supplier",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT p_partkey, p_brand, s_suppkey, s_name, min_price FROM (
+          SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+                 l.l_extendedprice AS min_price,
+                 row_number() OVER (PARTITION BY p.p_partkey
+                                    ORDER BY s.s_suppkey) AS rn
+          FROM part_v p
+          JOIN lineitem_v l ON l.l_partkey = p.p_partkey
+          JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+          WHERE p.p_size <= 10
+            AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                     FROM lineitem_v l2
+                                     WHERE l2.l_partkey = p.p_partkey))
+        WHERE rn = 1
+        ORDER BY p_partkey
+      """)
+    },
+    Some("""
+      SELECT p_partkey, p_brand, s_suppkey, s_name, min_price FROM (
+        SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+               l.l_extendedprice AS min_price,
+               row_number() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY s.s_suppkey) AS rn
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size <= 10
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = p.p_partkey))
+      WHERE rn = 1
+      ORDER BY p_partkey
+    """),
+    doc = "TPC-H-Q2-shaped min-price supplier per part (decorrelated scalar subquery)")
+
+  /** TPC-H-Q16 shape: distinct-supplier breadth per (brand, type, size
+    * band) for non-promo parts — the catalog-coverage report. COUNT
+    * DISTINCT over the join is integer-exact (no float parity risk);
+    * the size band (CASE on p_size) keeps the group count bounded at
+    * any SF. Excluding one brand and the promo type mirrors Q16's NOT
+    * predicates (pushed to the part scan).
+    */
+  val sqlSupplierBreadth: QueryDef = QueryDef(
+    "sql_supplier_breadth",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT p_brand, p_type,
+               CASE WHEN p_size <= 10 THEN 'S'
+                    WHEN p_size <= 30 THEN 'M' ELSE 'L' END AS size_band,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(*) AS n_lines
+        FROM part_v p JOIN lineitem_v l ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+        GROUP BY p_brand, p_type,
+                 CASE WHEN p_size <= 10 THEN 'S'
+                      WHEN p_size <= 30 THEN 'M' ELSE 'L' END
+        ORDER BY n_supp DESC, p_brand, p_type, size_band
+      """)
+    },
+    Some("""
+      SELECT p_brand, p_type,
+             CASE WHEN p_size <= 10 THEN 'S'
+                  WHEN p_size <= 30 THEN 'M' ELSE 'L' END AS size_band,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(*) AS n_lines
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      GROUP BY p_brand, p_type,
+               CASE WHEN p_size <= 10 THEN 'S'
+                    WHEN p_size <= 30 THEN 'M' ELSE 'L' END
+      ORDER BY n_supp DESC, p_brand, p_type, size_band
+    """),
+    doc = "TPC-H-Q16-shaped distinct-supplier breadth per brand/type/size band")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
       sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex,
       sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems,
-      sqlLargeOrders, sqlDiscountedRevenue)
+      sqlLargeOrders, sqlDiscountedRevenue, sqlPromoRevenue,
+      sqlMinPriceSupplier, sqlSupplierBreadth)
 }
