@@ -2376,6 +2376,62 @@ object Extended {
     """),
     doc = "eval-set decontamination: shared-shingle hash equi-join, eval side broadcast")
 
+  /** SEMANTIC eval-set decontamination — the pass `decontaminate`'s
+    * 13-gram overlap cannot run: a paraphrased or translated benchmark
+    * item shares meaning with the eval set, not shingles, and leaks
+    * straight through lexical matching. Corpus docs whose EMBEDDING sits
+    * within cosine ≥ 0.35 of any eval doc (vec_id % 50 = 0, the same
+    * held-out convention as the lexical pass) are flagged with their hit
+    * count and max similarity. Candidates come from the ANN band tables
+    * (AnnBits × AnnBands — the HIGH-recall tuning deliberately: for
+    * decontamination a missed contaminated doc is the costly error, so
+    * this path wants the 8-table layout's ~0.9 recall, not the near-dup
+    * family's cheap-candidate tuning), eval side broadcast, candidates
+    * an equi-join on (band, code) — at 100 TB the eval set is KBs and
+    * the probe never enumerates pairs.
+    */
+  val semanticDecontaminate: QueryDef = QueryDef(
+    "semantic_decontaminate",
+    (s, d) => {
+      val all = vecs(s, d)
+      val bands = annBands(all)
+      val eb = bands.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("band"), col("code"))
+      val cand = bands.filter(col("vec_id") % 50 =!= 0)
+        .join(broadcast(eb), Seq("band", "code"))
+        .select(col("vec_id"), col("eval_id")).distinct()
+      cand
+        .join(all.select(col("vec_id").as("eval_id"), col("v").as("ev"),
+          col("nrm").as("en")).hint("shuffle_hash"), Seq("eval_id"))
+        .join(all.hint("shuffle_hash"), Seq("vec_id"))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("ev", "v")) / (col("en") * col("nrm")), 6))
+        .filter(col("cos6") >= 0.35)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"), max(col("cos6")).as("max_cos6"))
+        .select(col("vec_id").as("doc_id"), col("n_eval_hits"), col("max_cos6"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH vsrc AS ($sqlVecs),
+      ebands AS ($sqlAnnBands),
+      eb AS (SELECT vec_id AS eval_id, band, code FROM ebands WHERE vec_id % 50 = 0),
+      cand AS (
+        SELECT DISTINCT e.vec_id, q.eval_id
+        FROM eb q JOIN ebands e
+          ON e.band = q.band AND e.code = q.code AND e.vec_id % 50 <> 0),
+      scored AS (
+        SELECT c.vec_id, c.eval_id,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM cand c
+        JOIN vsrc a ON a.vec_id = c.eval_id
+        JOIN vsrc b ON b.vec_id = c.vec_id)
+      SELECT vec_id AS doc_id, count(*) AS n_eval_hits, max(cos6) AS max_cos6
+      FROM scored WHERE cos6 >= 0.35
+      GROUP BY 1 ORDER BY doc_id
+    """),
+    doc = "semantic decontamination: embedding cosine vs eval set over ANN band equi-join")
+
   /** Within-document repetition score — the boilerplate/spam signal
     * (Gopher/C4-style quality rule): the most frequent 3-gram's share of
     * all shingles. Shuffles on (doc_id, shingle-hash) — a key that only
@@ -3451,7 +3507,8 @@ object Extended {
     curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, weightedSampleK,
     docChunks, tfidf,
-    bm25TopK, decontaminate, repetitionScore, packSequences,
+    bm25TopK, decontaminate, semanticDecontaminate, repetitionScore,
+    packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters)
 }
