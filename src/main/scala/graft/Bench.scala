@@ -43,23 +43,21 @@ object Bench {
 
   private[graft] def allNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
-  /** Round-robin deal over a WEIGHT-ordered list: queries sort by their
-    * committed-baseline seconds (desc; unknown → 0 and sink to the
-    * tail), then deal round-robin, so every shard carries a similar
-    * share of the codegen-heavy queries. Dealing by NAME alone clusters
-    * families (dedup_*, embed_*, sql_*) into one shard — round 7
-    * measured identical code swinging 0.8→4.9 s purely with shard
-    * neighborhood composition (JIT/codegen cache pressure from the
-    * co-resident queries). Weight-dealing is deterministic for a given
-    * bench_baseline.json (ties break by name), and parent and child
-    * JVMs read the same committed file, so both compute identical
-    * slices.
+  /** Round-robin slice over NAME order: shards see similar mixes of
+    * cheap/expensive queries, and family members (dedup_*, embed_*)
+    * land in different JVMs. A weight-ordered deal (sort by committed
+    * baseline seconds desc, then round-robin — round 7's stretch idea
+    * for shard-mix robustness) was implemented and A/B-measured in
+    * round 8 and LOST: co-locating queries of similar cost concentrated
+    * the codegen-heaviest plans per JVM and the dedup family degraded
+    * 1.8-2x in-bench (dup_clusters 2.9→5.0 s, paraphrase_pairs
+    * 1.3→2.7 s, same box, minutes apart; name-dealt totals 93-109 s vs
+    * weight-dealt 102-141 s). Name order is also stable when
+    * bench_baseline.json is absent or stale — the deal never depends on
+    * prior timings.
     */
-  private[graft] def shardNames(i: Int, n: Int): Seq[String] = {
-    val w = baseline()
-    allNames.sortBy(q => (-w.getOrElse(q, 0.0), q))
-      .zipWithIndex.collect { case (q, j) if j % n == i => q }
-  }
+  private[graft] def shardNames(i: Int, n: Int): Seq[String] =
+    allNames.zipWithIndex.collect { case (q, j) if j % n == i => q }
 
   private def timeQueries(names: Seq[String]): Map[String, Double] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
