@@ -1091,6 +1091,65 @@ object Analytics {
     """),
     doc = "Theil-Sen median-of-slopes robust trend over daily revenue")
 
+  /** Mann-Kendall trend test per event-type daily series — the classic
+    * companion to `theil_sen_slope` (the standard pairing in climate
+    * trend analysis: MK decides IF a monotonic trend exists, Theil-Sen
+    * estimates its magnitude). S = Σ_{i<j} sign(x_j − x_i) over the
+    * time-ordered series; the ENTIRE statistic is integer arithmetic
+    * here (daily sums as exact integer cents, sign of a LONG
+    * difference), so there is zero float-parity surface — ties
+    * contribute exactly 0 on both engines. One groupBy collapses days,
+    * one collects the bounded series (≤ a few thousand days — the
+    * series length is bounded by the calendar, not the corpus, so the
+    * per-group array never grows with data volume), and the pairwise
+    * sign fold is a row-local codegen'd HOF — no self-join, no
+    * pair-expand shuffle. Kendall's tau = S / (n(n-1)/2), half-up 4 dp.
+    */
+  val mannKendall: QueryDef = QueryDef(
+    "mann_kendall_trend",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("xc"))
+      daily.groupBy(col("event_type"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(day, xc))), t -> t.xc)")
+          .as("vs"))
+        .select(col("event_type"),
+          size(col("vs")).cast("long").as("n_days"),
+          expr("aggregate(flatten(transform(vs, (x, i) -> " +
+            "transform(slice(vs, i + 2, size(vs)), " +
+            "y -> CAST(sign(y - x) AS BIGINT)))), 0L, (a, sgn) -> a + sgn)")
+            .as("s_stat"))
+        .withColumn("n_pairs", expr("(n_days * (n_days - 1)) div 2"))
+        .withColumn("tau", Text.hround(col("s_stat") / col("n_pairs"), 4))
+        .withColumn("direction",
+          when(col("s_stat") > 0, "increasing")
+            .when(col("s_stat") < 0, "decreasing").otherwise("none"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        FROM events GROUP BY 1, 2),
+      ser AS (SELECT event_type, list(xc ORDER BY day) AS vs FROM daily GROUP BY 1),
+      mk AS (
+        SELECT event_type, CAST(len(vs) AS BIGINT) AS n_days,
+               CAST(coalesce(list_sum(flatten(list_transform(vs, (x, i) ->
+                 list_transform(vs[i+1:], y -> CAST(sign(y - x) AS BIGINT))))), 0)
+                 AS BIGINT) AS s_stat
+        FROM ser)
+      SELECT event_type, n_days, s_stat,
+             (n_days * (n_days - 1)) // 2 AS n_pairs,
+             ${Text.sqlHround("s_stat / ((n_days * (n_days - 1)) // 2)", 4)} AS tau,
+             CASE WHEN s_stat > 0 THEN 'increasing'
+                  WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS direction
+      FROM mk ORDER BY event_type
+    """),
+    doc = "Mann-Kendall monotonic-trend test per series (integer-exact S, Kendall tau)")
+
   /** Pareto/ABC inventory classification — parts ranked by revenue,
     * classed A while cumulative share ≤ 80%, B to 95%, C beyond (the
     * 80/20 warehouse staple). Revenue is exact integer cents; the class
@@ -1991,7 +2050,7 @@ object Analytics {
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
       marketBasket, abTestWelch, attributionTouch, mannWhitneyU,
       cusumChangepoint, autocorrDaily, benfordDigits, skewProfile,
-      eventTrigrams, theilSenSlope, paretoAbc, rfmSegmentation,
+      eventTrigrams, theilSenSlope, mannKendall, paretoAbc, rfmSegmentation,
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate)
