@@ -912,11 +912,106 @@ object Relational {
     """),
     doc = "TPC-H-Q16-shaped distinct-supplier breadth per brand/type/size band")
 
+  /** TPC-H-Q15 shape: the top supplier(s) by quarterly revenue — a
+    * derived revenue view consumed twice (per-supplier join target and
+    * the scalar max), which Spark plans as ONE aggregate reused via a
+    * subquery over the same exchange, never two scans. Revenue follows
+    * the decimal discipline, so the `total_rev = (SELECT max …)`
+    * equality compares doubles that are bit-identical on both engines.
+    * Ties (multiple suppliers at the max) are all returned, ordered by
+    * key — Q15's own semantics.
+    */
+  val sqlTopSupplier: QueryDef = QueryDef(
+    "sql_top_supplier",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                 CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                             AS DOUBLE) * 100e0 + 0.5e0) / 100e0 AS total_rev
+          FROM lineitem_v
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier_v JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey
+      """)
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(1.0 - l_discount AS DECIMAL(8,2)))
+                           AS DOUBLE) * 100 + 0.5) / 100 AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s_suppkey
+    """),
+    doc = "TPC-H-Q15-shaped top supplier by quarterly revenue (reused view + scalar max)")
+
+  /** TPC-H-Q22 shape: rich-but-idle customers — above the global mean
+    * positive balance AND with no URGENT order (the fixtures give every
+    * customer at least one order, so plain NOT EXISTS over orders would
+    * be a vacuous 0-row gate; the priority-correlated form keeps the
+    * identical subquery shape and discriminates 18/203/1986 customers
+    * across SFs) — grouped by nation. The
+    * two subquery forms Catalyst must handle together: an UNCORRELATED
+    * scalar aggregate (planned once as a subquery, its result substituted
+    * into the filter) and a NOT EXISTS (rewritten to a LEFT ANTI join —
+    * one shuffle or broadcast, no row explosion). The mean is an
+    * exact-decimal quotient, so the strict `>` cut is identical on both
+    * engines.
+    */
+  val sqlIdleCustomers: QueryDef = QueryDef(
+    "sql_idle_customers",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_nationkey AS nat, count(*) AS n_cust,
+               bround(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        FROM customer_v c
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM customer_v WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY nat
+      """)
+    },
+    Some(s"""
+      SELECT c_nationkey AS nat, count(*) AS n_cust,
+             ${Num.sqlSum2("c_acctbal")} AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey
+      ORDER BY nat
+    """),
+    doc = "TPC-H-Q22-shaped idle high-balance customers (scalar subquery + anti join)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
       sqlExistsSubquery, sqlCorrelatedSubquery, globalRowIndex,
       sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems,
       sqlLargeOrders, sqlDiscountedRevenue, sqlPromoRevenue,
-      sqlMinPriceSupplier, sqlSupplierBreadth)
+      sqlMinPriceSupplier, sqlSupplierBreadth, sqlTopSupplier,
+      sqlIdleCustomers)
 }
