@@ -1002,11 +1002,91 @@ object Windows {
     """),
     doc = "additive trend/seasonal/residual decomposition of monthly revenue")
 
+  /** Consecutive-spell runs — the climate-index shape (CDD/CWD:
+    * consecutive dry/wet days, reference domain's standard extreme-event
+    * index) over the daily event series: per type, the number of
+    * below-average runs, total low days, and the LONGEST consecutive run
+    * with its start date. "Low" is strictly-below-the-mean decided by
+    * integer cross-multiplication (n·n_days < total — no division, no
+    * float boundary); runs come from the classic gap-islands key
+    * (day − row_number over the filtered low days). Scale: the heavy
+    * collapse (raw events → daily) shuffles on the FINE (type, day) key;
+    * the per-type windows then run over calendar-bounded series (≤
+    * thousands of rows per key however big the corpus), so the coarse
+    * partition key is never a skew risk.
+    */
+  val spellRuns: QueryDef = QueryDef(
+    "spell_runs",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val low = daily.join(broadcast(tot), Seq("event_type"))
+        .filter(col("n") * col("n_days") < col("total"))
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      val runs = low.groupBy(col("event_type"), col("island"))
+        .agg(count(lit(1)).as("run_len"), min(col("day")).as("run_start"))
+      val wb = Window.partitionBy(col("event_type"))
+        .orderBy(col("run_len").desc, col("run_start"))
+      val best = runs.withColumn("rr", row_number().over(wb))
+        .filter(col("rr") === 1)
+        .select(col("event_type"), col("run_len"), col("run_start"))
+      val agg = runs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("n_low"))
+      tot.join(agg, Seq("event_type"), "left")
+        .join(best, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+          coalesce(col("n_low"), lit(0L)).as("n_low_days"),
+          coalesce(col("run_len"), lit(0L)).as("max_run"),
+          col("run_start").as("max_run_start"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(n) AS BIGINT) AS total FROM daily GROUP BY 1),
+      low AS (
+        SELECT d.event_type, d.day,
+               d.day - CAST(row_number() OVER (PARTITION BY d.event_type
+                                               ORDER BY d.day) AS INTEGER) AS island
+        FROM daily d JOIN tot t USING (event_type)
+        WHERE d.n * t.n_days < t.total),
+      runs AS (
+        SELECT event_type, island, CAST(count(*) AS BIGINT) AS run_len,
+               min(day) AS run_start
+        FROM low GROUP BY 1, 2),
+      best AS (
+        SELECT event_type, run_len, run_start,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY run_len DESC, run_start) AS rr
+        FROM runs)
+      SELECT t.event_type, t.n_days,
+             CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_runs,
+             CAST(coalesce(r.n_low, 0) AS BIGINT) AS n_low_days,
+             CAST(coalesce(b.run_len, 0) AS BIGINT) AS max_run,
+             b.run_start AS max_run_start
+      FROM tot t
+      LEFT JOIN (SELECT event_type, count(*) AS n_runs, sum(run_len) AS n_low
+                 FROM runs GROUP BY 1) r USING (event_type)
+      LEFT JOIN (SELECT event_type, run_len, run_start FROM best WHERE rr = 1) b
+        USING (event_type)
+      ORDER BY t.event_type
+    """),
+    doc = "consecutive below-average spell runs per series (CDD-style gap-islands index)")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
       scd2History, pitJoinScd2, intervalCoverage, dailyPercentileBands,
       sessionizeBatch,
       markovTransitions, ewmaSmooth,
-      climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal)
+      climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal,
+      spellRuns)
 }
