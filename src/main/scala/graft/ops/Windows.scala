@@ -1081,6 +1081,47 @@ object Windows {
     """),
     doc = "consecutive below-average spell runs per series (CDD-style gap-islands index)")
 
+  /** Annual block maxima — the first step of extreme-value analysis
+    * (GEV fitting starts from per-block maxima; in the climate domain
+    * this is the hottest-day-per-year series): per (flag, year), the
+    * peak daily total and the day it occurred (ties → earliest day,
+    * deterministic). Daily totals stay EXACT INTEGER CENTS end-to-end —
+    * no float ever exists in the plan. Two shuffles total: the fine
+    * (flag, day) daily collapse, then the per-(flag, year) rank-1
+    * window, which WindowGroupLimit prunes to the top row per block at
+    * the scan side of the window sort.
+    */
+  val annualMaxima: QueryDef = QueryDef(
+    "annual_maxima",
+    (s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .multiply(lit(100)).cast("long").as("cents"))
+      val w = Window.partitionBy(col("l_returnflag"), year(col("day")))
+        .orderBy(col("cents").desc, col("day"))
+      daily.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), year(col("day")).as("yr"),
+          col("day").as("peak_day"), col("cents").as("peak_cents"))
+        .orderBy(col("l_returnflag"), col("yr"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT l_returnflag, CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT l_returnflag, day, cents,
+               row_number() OVER (PARTITION BY l_returnflag, year(day)
+                                  ORDER BY cents DESC, day) AS rn
+        FROM daily)
+      SELECT l_returnflag, CAST(year(day) AS INTEGER) AS yr,
+             day AS peak_day, cents AS peak_cents
+      FROM r WHERE rn = 1 ORDER BY l_returnflag, yr
+    """),
+    doc = "annual block maxima: peak day per (flag, year), exact integer cents")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
@@ -1088,5 +1129,5 @@ object Windows {
       sessionizeBatch,
       markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal,
-      spellRuns)
+      spellRuns, annualMaxima)
 }
