@@ -508,6 +508,40 @@ object Extended {
     """),
     doc = "near-dup dedup of a new batch vs an existing corpus; corpus pre-aggregated per LSH bucket")
 
+  /** Incremental-dedup STATE ROUND-TRIP — proves the persisted-state
+    * layout `incremental_dedup`'s scaladoc promises actually survives a
+    * write/read cycle: the corpus bucket store (band, bkey, old_min) is
+    * MATERIALIZED to parquet (the artifact a recurring crawl keeps
+    * between runs), read back from disk, and the new batch probed
+    * against the PERSISTED store. Verdict semantics are identical to
+    * incremental_dedup, so the DuckDB oracle is shared verbatim — the
+    * query exists to exercise the round-trip mechanics. The store is
+    * partitioned by band on disk, so a probe prunes to its band
+    * directories at the scan and a store refresh replaces bands, not
+    * the whole store. Construction is an eager sink round-trip
+    * (ScaleSpec `eager` set), like the other sink queries.
+    */
+  val dedupStateRoundtrip: QueryDef = QueryDef(
+    "dedup_state_roundtrip",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "dedup_state")
+      bucketStoreOf(Tables.documents(s, d).filter(col("doc_id") % 10 < 8))
+        .write.mode("overwrite").partitionBy("band").parquet(dir)
+      val corpus = s.read.parquet(dir)
+      val batch = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 >= 8)
+      batch
+        .join(bandsOf(signatures(s, d)).filter(col("doc_id") % 10 >= 8)
+          .join(corpus, Seq("band", "bkey"))
+          .groupBy(col("doc_id")).agg(min(col("old_min")).as("dup_of")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    incrementalDedup.oracle,
+    doc = "incremental dedup probed against the parquet-persisted bucket store (state round-trip)")
+
   /** Line-level exact dedup with document reassembly — the
     * RefinedWeb/FineWeb-style pass that strips repeated boilerplate
     * SEGMENTS (headers, footers, navigation) while keeping the documents:
@@ -3497,7 +3531,8 @@ object Extended {
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
     contrastivePairs, embedStandardize, trendingTerms,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
-    incrementalDedup, lineDedup, corpusOverlap, importanceWeights, simhash,
+    incrementalDedup, dedupStateRoundtrip, lineDedup, corpusOverlap,
+    importanceWeights, simhash,
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
     docEntropy,
     cosineTopK, annLsh, annIvf, annMultiprobe, embedNearDup, paraphrasePairs,
