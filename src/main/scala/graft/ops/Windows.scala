@@ -1122,6 +1122,65 @@ object Windows {
     """),
     doc = "annual block maxima: peak day per (flag, year), exact integer cents")
 
+  /** Extreme-day count above the exact per-series p90 — the R90p-style
+    * percentile-threshold index completing the climate-extremes trio
+    * (spell_runs = duration, annual_maxima = magnitude, this =
+    * frequency). The p90 is an EXACT order statistic: rank
+    * ⌈0.9·n⌉ computed as (n·90 + 99) div 100 — pure integer arithmetic,
+    * no float ceil — picked from the (cents ASC, day ASC) row_number,
+    * so the threshold is a real observed value and both engines select
+    * the identical row. Daily totals are exact integer cents; the count
+    * of strictly-above days is then float-free end-to-end. The rank
+    * window runs per type over calendar-bounded daily rows (never
+    * corpus-bounded), like the rest of the daily-series family.
+    */
+  val extremeDaysP90: QueryDef = QueryDef(
+    "extreme_days_p90",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)"))
+          .multiply(lit(100)).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("day"))
+      val ranked = daily
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_days",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val p90 = ranked
+        .filter(col("rn") === expr("(n_days * 90 + 99) div 100"))
+        .select(col("event_type"), col("cents").as("p90_cents"))
+      daily.join(p90, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("p90_cents")).as("p90_cents"),
+          sum(when(col("cents") > col("p90_cents"), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      ranked AS (
+        SELECT event_type, cents,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cents, day) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        FROM daily),
+      p90 AS (
+        SELECT event_type, cents AS p90_cents
+        FROM ranked WHERE rn = (n_days * 90 + 99) // 100)
+      SELECT d.event_type, count(*) AS n_days,
+             max(p.p90_cents) AS p90_cents,
+             CAST(sum(CASE WHEN d.cents > p.p90_cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_extreme
+      FROM daily d JOIN p90 p USING (event_type)
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "R90p-style extreme-day count above the exact per-series p90 (integer-exact)")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
@@ -1129,5 +1188,5 @@ object Windows {
       sessionizeBatch,
       markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal,
-      spellRuns, annualMaxima)
+      spellRuns, annualMaxima, extremeDaysP90)
 }
