@@ -1181,6 +1181,37 @@ object Windows {
     """),
     doc = "R90p-style extreme-day count above the exact per-series p90 (integer-exact)")
 
+  /** Threshold-excess accumulation — the growing-degree-day (GDD) index
+    * form (Σ max(0, x − base) per block), fourth member of the climate
+    * index family (duration / magnitude / frequency / ACCUMULATION).
+    * Base 25 sits at the median of the integral 1..50 quantity domain,
+    * so the hinge discriminates every year. The fixture's quantities
+    * are integral doubles (asserted: zero fractional values), so every
+    * partial sum is an exact small integer in IEEE — summation order
+    * cannot matter and the final BIGINT cast is exact on both engines.
+    * Shape: one map-side-combined groupBy on (flag, year) — a pure
+    * partial-agg scan at any scale.
+    */
+  val degreeDayAccum: QueryDef = QueryDef(
+    "degree_day_accum",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+        .agg(sum(greatest(lit(0.0), col("l_quantity") - lit(25.0)))
+          .cast("long").as("gdd"),
+          sum(when(col("l_quantity") > 25.0, 1L).otherwise(0L))
+            .as("n_excess"))
+        .orderBy(col("l_returnflag"), col("yr")),
+    Some("""
+      SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS yr,
+             CAST(sum(greatest(0.0, l_quantity - 25.0)) AS BIGINT) AS gdd,
+             CAST(sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_excess
+      FROM lineitem
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "threshold-excess accumulation per (flag, year) — the GDD climate-index form")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
@@ -1188,5 +1219,5 @@ object Windows {
       sessionizeBatch,
       markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal,
-      spellRuns, annualMaxima, extremeDaysP90)
+      spellRuns, annualMaxima, extremeDaysP90, degreeDayAccum)
 }
