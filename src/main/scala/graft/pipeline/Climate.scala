@@ -467,8 +467,56 @@ object Climate {
     """),
     doc = "XML sink + rowTag source round-trip (Spark 4 built-in XML)")
 
+  /** Custom DataSourceV2 round-trip — the chunked grid source
+    * (graft.sources.GridSource, SRC1's native-ingestion analog) driven
+    * end-to-end and oracle-checked: a CELL-BOUNDED daily grid (5 lat ×
+    * 5 lon × calendar days — bounded by the key domain, never by the
+    * corpus; its collect is the X1 sanctioned pattern) is written to the
+    * chunked binary format (one file per lat band), read back through
+    * the V2 connector, filtered on the chunk key (lat_idx >= 1 — the
+    * source SKIPS the lat=0 file at planning while Spark re-applies the
+    * predicate post-scan), and re-aggregated. The DuckDB oracle computes
+    * the same numbers straight from the events parquet, so the entire
+    * source pipeline — writer, chunk planning, pruning, reader — is
+    * hash-gated. Eager construction (sink round-trip, ScaleSpec eager).
+    */
+  val gridSourceRoundtrip: QueryDef = QueryDef(
+    "grid_source_roundtrip",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy((col("user_id") % 5).cast("int").as("lat_idx"),
+          (col("event_id") % 5).cast("int").as("lon_idx"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("int").as("epoch_day"))
+        .agg(sum(col("value").cast("decimal(18,2)"))
+          .multiply(lit(100)).cast("long").as("cents"))
+      val cells = grid.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+      val dir = sinkDir(d, "ggrid")
+      graft.sources.GridSource.writeGrid(cells, dir)
+      s.read.format("graft.sources.GridSource").load(dir)
+        .filter(col("lat_idx") >= 1)
+        .groupBy(col("lat_idx"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("lat_idx"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(user_id % 5 AS INTEGER) AS lat_idx,
+               CAST(event_id % 5 AS INTEGER) AS lon_idx,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) AS INTEGER)
+                 AS epoch_day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2, 3)
+      SELECT lat_idx, count(*) AS n_cells, CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM g WHERE lat_idx >= 1
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "custom DataSourceV2 chunked grid source round-trip (skip + prune, oracle-gated)")
+
   val all: Seq[QueryDef] =
     Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip,
       parquetPartitioned, compactSmallFiles, schemaEvolution, schemaSniff,
-      xmlRoundtrip)
+      xmlRoundtrip, gridSourceRoundtrip)
 }

@@ -180,7 +180,8 @@ class ScaleSpec extends SparkSpec {
       "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
-      "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip")
+      "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
+      "grid_source_roundtrip")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
