@@ -46,4 +46,33 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(obs.get("rows") === n)
     assert(obs.get("items").asInstanceOf[Long] > n) // >=1 item per group
   }
+
+  test("Q2 correlated scalar min decorrelates to one agg + join") {
+    // The WHERE-clause scalar subquery must not survive optimization
+    // as a per-row probe: Catalyst rewrites it to a per-part min
+    // aggregate joined back on the correlation key.
+    val plan = ops.Relational.sqlMinPriceSupplier
+      .fn(spark, sfDir).queryExecution.optimizedPlan
+    val subqueries = plan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case s: SubqueryExpression => s })
+    assert(subqueries.isEmpty,
+      s"scalar subquery survived optimization: ${subqueries.map(_.sql)}")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    assert(plan.collect { case a: Aggregate => a }.nonEmpty)
+    assert(plan.collect { case j: Join => j }.size >= 3) // part⋈li⋈supp + min-agg join
+  }
+
+  test("Q22 NOT EXISTS becomes an anti join; scalar threshold is one subquery") {
+    val plan = ops.Relational.sqlIdleCustomers
+      .fn(spark, sfDir).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    assert(plan.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      s"NOT EXISTS did not rewrite to LEFT ANTI:\n$plan")
+    // the uncorrelated mean threshold stays a (single-execution) scalar
+    // subquery — it must NOT have been inlined into a per-row join
+    val scalars = plan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => s })
+    assert(scalars.size === 1, s"expected 1 scalar subquery, got ${scalars.size}")
+  }
 }
