@@ -138,15 +138,7 @@ object Bench {
     // (bench_baseline.json, refreshed each round). Queries above the 0.5 s
     // noise floor that run >2x slower are flagged — on stderr AND as an
     // extra JSON field — so a round never ships a silent perf regression.
-    val regressions = baseline() match {
-      case b if b.nonEmpty =>
-        results.collect {
-          case (name, t)
-              if t > 0 && b.get(name).exists(o => o > 0.5 && t > 2 * o) =>
-            name -> BigDecimal(t / b(name)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-        }
-      case _ => Map.empty[String, BigDecimal]
-    }
+    val regressions = flagRegressions(results, baseline())
     if (regressions.nonEmpty)
       System.err.println("BENCH REGRESSIONS >2x vs bench_baseline.json: " +
         regressions.map { case (k, r) => s"$k (${r}x)" }.mkString(", "))
@@ -173,33 +165,52 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"regressions":$regJson,"sf":"$sfDir","full":"target/bench_result.json"}""")
   }
 
+  /** Queries above the 0.5 s noise floor that run >2x their baseline
+    * entry, with the ratio rounded to 2 dp. Pure so BenchShardSpec can
+    * exercise the guard against the COMMITTED baseline file — round 8
+    * shipped with this guard silently dead (parseQueries required the
+    * compact token `"queries":{` while the refreshed baseline was
+    * pretty-printed with a space), masking a real 13-query >2x tail.
+    */
+  private[graft] def flagRegressions(
+      results: Map[String, Double],
+      base: Map[String, Double]): Map[String, BigDecimal] =
+    if (base.isEmpty) Map.empty
+    else results.collect {
+      case (name, t)
+          if t > 0 && base.get(name).exists(o => o > 0.5 && t > 2 * o) =>
+        name -> BigDecimal(t / base(name)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }
+
   /** Per-query seconds from bench_baseline.json (empty if absent). The
     * driver's BENCH_r{N}.json wraps the metric line escaped inside a
     * "tail" field — unescape before searching so both the raw line and
     * the wrapped form parse.
     */
-  private def baseline(): Map[String, Double] =
+  private[graft] def baseline(): Map[String, Double] =
     try parseQueries(
       scala.io.Source.fromFile("bench_baseline.json").mkString
         .replace("\\\"", "\""))
     catch { case _: Throwable => Map.empty }
 
-  /** Crude but sufficient: pull the flat "queries":{...} object out of a
-    * JSON blob of name -> seconds (no nesting inside the object).
+  private val QueriesObj =
+    """(?s)"queries"\s*:\s*\{(.*?)\}""".r
+  private val Entry =
+    """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+\-]*)""".r
+
+  /** Pull the flat "queries":{...} object out of a JSON blob of
+    * name -> seconds (no nesting inside the object). MUST tolerate
+    * arbitrary whitespace around `:` and `{`: the committed baseline may
+    * be pretty-printed by external tooling, and an exact-token match
+    * here is precisely the round-8 dead-guard bug.
     */
-  private def parseQueries(txt: String): Map[String, Double] = {
-    val qstart = txt.indexOf("\"queries\":{")
-    if (qstart < 0) Map.empty
-    else {
-      val body = txt.substring(qstart + 11, txt.indexOf("}", qstart))
-      body.split(",").toSeq.flatMap { kv =>
-        kv.split(":") match {
-          case Array(k, v) =>
-            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-            catch { case _: NumberFormatException => None }
-          case _ => None
-        }
-      }.toMap
+  private[graft] def parseQueries(txt: String): Map[String, Double] =
+    QueriesObj.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        Entry.findAllMatchIn(m.group(1)).flatMap { e =>
+          try Some(e.group(1) -> e.group(2).toDouble)
+          catch { case _: NumberFormatException => None }
+        }.toMap
     }
-  }
 }

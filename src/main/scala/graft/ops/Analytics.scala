@@ -1123,7 +1123,13 @@ object Analytics {
             "y -> CAST(sign(y - x) AS BIGINT)))), 0L, (a, sgn) -> a + sgn)")
             .as("s_stat"))
         .withColumn("n_pairs", expr("(n_days * (n_days - 1)) div 2"))
-        .withColumn("tau", Text.hround(col("s_stat") / col("n_pairs"), 4))
+        // a single-day series has zero pairs: 0/0 would surface as NaN on
+        // both engines (latent with the current fixtures, which span many
+        // days per type) — define tau as NULL there instead
+        .withColumn("tau",
+          when(col("n_pairs") > 0,
+            Text.hround(col("s_stat") / col("n_pairs"), 4))
+            .otherwise(lit(null).cast("double")))
         .withColumn("direction",
           when(col("s_stat") > 0, "increasing")
             .when(col("s_stat") < 0, "decreasing").otherwise("none"))
@@ -1143,7 +1149,9 @@ object Analytics {
         FROM ser)
       SELECT event_type, n_days, s_stat,
              (n_days * (n_days - 1)) // 2 AS n_pairs,
-             ${Text.sqlHround("s_stat / ((n_days * (n_days - 1)) // 2)", 4)} AS tau,
+             CASE WHEN (n_days * (n_days - 1)) // 2 > 0
+                  THEN ${Text.sqlHround("s_stat / ((n_days * (n_days - 1)) // 2)", 4)}
+                  ELSE CAST(NULL AS DOUBLE) END AS tau,
              CASE WHEN s_stat > 0 THEN 'increasing'
                   WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS direction
       FROM mk ORDER BY event_type

@@ -1136,6 +1136,16 @@ object Extended {
     * volume is Q·bands·N/2^bits — never a pair enumeration. (Recall vs
     * the brute-force baseline is checked in the ScalaTest suite and by
     * the ann_recall query.)
+    *
+    * BROADCAST CUTOVER: `broadcast(qb)` is correct while the query-side
+    * band table (Q·bands rows of (id, band, code) — 12 bytes-ish each)
+    * fits the broadcast budget, i.e. up to ~10^7 query codes. A
+    * corpus-sized query set (all-kNN / kNN-join, Q ≈ N) must NOT
+    * broadcast: the same (band, code) equi-join runs shuffle-hash with
+    * both sides partitioned by the band key — `annCandidatesShuffle`
+    * below IS that executable plan (ScaleSpec pins its shape: a
+    * ShuffledHashJoin keyed on band+code, no broadcast, no NLJ). Nothing
+    * downstream changes; the exact-rank stage already runs shuffle-hash.
     */
   val annLsh: QueryDef = QueryDef(
     "embed_ann_lsh",
@@ -1180,6 +1190,25 @@ object Extended {
       SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """),
     doc = "ANN: multi-table sign-LSH (bands x 2^bits buckets) equi-join + top-5 rank")
+
+  /** The corpus-sized-query-set plan the annLsh scaladoc promises: every
+    * vector is a query (all-kNN), so the query bands are N·bands rows and
+    * the broadcast cutover applies — both sides of the (band, code)
+    * equi-join shuffle-hash on the band key instead. Used by ScaleSpec to
+    * keep the 100 TB story executable (asserted: ShuffledHashJoin keyed
+    * on band+code, no broadcast of a corpus-sized side, no NLJ); the
+    * registered ANN queries keep the broadcast path because their query
+    * sets are genuinely small.
+    */
+  private[graft] def annCandidatesShuffle(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val qb = annBands(all)
+      .select(col("vec_id").as("q_id"), col("band"), col("code"))
+    annBands(all).hint("shuffle_hash")
+      .join(qb.hint("shuffle_hash"), Seq("band", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+  }
 
   /** ANN via MULTI-PROBE sign-LSH (the Lv et al. VLDB'07 pattern): HALF
     * the hash tables of embed_ann_lsh (MpBands=4 × 2^MpBits=32 buckets),

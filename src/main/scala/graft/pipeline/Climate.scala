@@ -471,7 +471,7 @@ object Climate {
     * (graft.sources.GridSource, SRC1's native-ingestion analog) driven
     * end-to-end and oracle-checked: a CELL-BOUNDED daily grid (5 lat ×
     * 5 lon × calendar days — bounded by the key domain, never by the
-    * corpus; its collect is the X1 sanctioned pattern) is written to the
+    * corpus) is written to the
     * chunked binary format (one file per lat band), read back through
     * the V2 connector, filtered on the chunk key (lat_idx >= 1 — the
     * source SKIPS the lat=0 file at planning while Spark re-applies the
@@ -479,6 +479,14 @@ object Climate {
     * the same numbers straight from the events parquet, so the entire
     * source pipeline — writer, chunk planning, pruning, reader — is
     * hash-gated. Eager construction (sink round-trip, ScaleSpec eager).
+    *
+    * The write is EXECUTOR-SIDE (round-8 verdict stretch): the grid is
+    * repartitioned by lat_idx so each task holds whole lat bands and
+    * writes their chunk files via foreachPartition — the driver never
+    * materializes the grid (no collect; its only work is clearing stale
+    * chunks). Per-task memory is bounded by a band's cells (lon ×
+    * calendar days — key-domain-bounded, not corpus-bounded), the same
+    * one-task-per-chunk shape the read side has.
     */
   val gridSourceRoundtrip: QueryDef = QueryDef(
     "grid_source_roundtrip",
@@ -490,10 +498,16 @@ object Climate {
             .cast("int").as("epoch_day"))
         .agg(sum(col("value").cast("decimal(18,2)"))
           .multiply(lit(100)).cast("long").as("cents"))
-      val cells = grid.collect().map(r =>
-        (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
       val dir = sinkDir(d, "ggrid")
-      graft.sources.GridSource.writeGrid(cells, dir)
+      graft.sources.GridSource.clearGridDir(dir)
+      grid.select(col("lat_idx"), col("lon_idx"), col("epoch_day"), col("cents"))
+        .repartition(col("lat_idx"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.toSeq.groupBy(_.getInt(0)).foreach { case (lat, rows) =>
+            graft.sources.GridSource.writeChunk(dir, lat,
+              rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))))
+          }
+        }
       s.read.format("graft.sources.GridSource").load(dir)
         .filter(col("lat_idx") >= 1)
         .groupBy(col("lat_idx"))

@@ -41,8 +41,17 @@ class GridSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GridSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // The format's schema is fixed by the file layout; silently replacing
+    // a caller's .schema(...) would be a wrong-answer trap, so reject any
+    // schema that isn't ours (Spark passes the inferred one back here on
+    // the normal path).
+    if (schema != null && schema != GridSource.Schema)
+      throw new IllegalArgumentException(
+        s"ggrid has a fixed schema ${GridSource.Schema.simpleString}; " +
+          s"user-specified schema ${schema.simpleString} is not supported")
     new GridTable(properties.get("path"))
+  }
 }
 
 object GridSource {
@@ -53,25 +62,39 @@ object GridSource {
     StructField("epoch_day", IntegerType, nullable = false),
     StructField("cents", LongType, nullable = false)))
 
-  /** Writer utility for the bounded grid artifact (driver-side by
-    * design: callers collect a CELL-bounded aggregate — lat × lon ×
-    * days, never raw rows — the X1 sanctioned-collect pattern).
+  /** Prepare an output dir: create it and drop stale chunk files.
+    * Driver-side step of the executor-side write path (the task writers
+    * only ever create their own lat's file, so a stale band from a
+    * previous run with more lats would otherwise survive).
     */
-  def writeGrid(rows: Seq[(Int, Int, Int, Long)], dir: String): Unit = {
+  def clearGridDir(dir: String): Unit = {
     val d = new File(dir)
     d.mkdirs()
     d.listFiles((f: File) => f.getName.endsWith(".ggrid")).foreach(_.delete())
+  }
+
+  /** Write ONE lat band's chunk file. Executor-safe: touches only
+    * `lat=<lat>.ggrid`, so tasks holding disjoint lat bands (the
+    * repartition-by-lat contract) never contend.
+    */
+  def writeChunk(dir: String, lat: Int, cells: Seq[(Int, Int, Int, Long)]): Unit = {
+    val out = new DataOutputStream(
+      new FileOutputStream(new File(dir, s"lat=$lat.ggrid")))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(cells.size)
+      cells.sortBy(c => (c._2, c._3)).foreach { case (la, lo, day, cents) =>
+        out.writeInt(la); out.writeInt(lo); out.writeInt(day)
+        out.writeLong(cents)
+      }
+    } finally out.close()
+  }
+
+  /** Driver-side writer for an in-memory grid (spec/tooling use). */
+  def writeGrid(rows: Seq[(Int, Int, Int, Long)], dir: String): Unit = {
+    clearGridDir(dir)
     rows.groupBy(_._1).foreach { case (lat, cells) =>
-      val out = new DataOutputStream(
-        new FileOutputStream(new File(d, s"lat=$lat.ggrid")))
-      try {
-        out.writeInt(Magic)
-        out.writeInt(cells.size)
-        cells.sortBy(c => (c._2, c._3)).foreach { case (la, lo, day, cents) =>
-          out.writeInt(la); out.writeInt(lo); out.writeInt(day)
-          out.writeLong(cents)
-        }
-      } finally out.close()
+      writeChunk(dir, lat, cells)
     }
   }
 
@@ -155,24 +178,50 @@ case class GridReaderFactory(cols: Array[String])
 /** Streams one chunk file; materializes only the pruned columns. */
 class GridReader(file: String, cols: Array[String])
     extends PartitionReader[InternalRow] {
+  // Column positions resolved ONCE against the fixed layout; an unknown
+  // pruned column fails loudly here, not as a per-row MatchError.
+  private val fieldPos: Array[Int] = cols.map {
+    case "lat_idx" => 0
+    case "lon_idx" => 1
+    case "epoch_day" => 2
+    case "cents" => 3
+    case other => throw new IllegalArgumentException(
+      s"ggrid has no column '$other' (schema: ${GridSource.Schema.simpleString})")
+  }
   private val in = new DataInputStream(new FileInputStream(file))
-  require(in.readInt() == GridSource.Magic, s"bad GGRD magic in $file")
-  private val total = in.readInt()
+  // A bad/truncated header must not leak the just-opened stream: Spark
+  // only close()s readers it was actually handed.
+  private val total =
+    try {
+      val magic = in.readInt()
+      require(magic == GridSource.Magic,
+        f"bad GGRD magic 0x$magic%08x in $file")
+      in.readInt()
+    } catch {
+      case e: Throwable =>
+        try in.close() catch { case _: Throwable => () }
+        e match {
+          case _: java.io.EOFException =>
+            throw new java.io.EOFException(s"truncated GGRD header in $file")
+          case other => throw other
+        }
+    }
   private var seen = 0
   private var row: InternalRow = _
 
   override def next(): Boolean =
     if (seen >= total) false
     else {
-      val lat = in.readInt(); val lon = in.readInt()
-      val day = in.readInt(); val cents = in.readLong()
-      val vals: Array[Any] = cols.map {
-        case "lat_idx"   => lat
-        case "lon_idx"   => lon
-        case "epoch_day" => day
-        case "cents"     => cents
-      }
-      row = new GenericInternalRow(vals)
+      val fields: Array[Any] =
+        try {
+          val lat = in.readInt(); val lon = in.readInt()
+          val day = in.readInt(); val cents = in.readLong()
+          Array[Any](lat, lon, day, cents)
+        } catch {
+          case _: java.io.EOFException => throw new java.io.EOFException(
+            s"truncated GGRD row ${seen + 1}/$total in $file")
+        }
+      row = new GenericInternalRow(fieldPos.map(i => fields(i)))
       seen += 1
       true
     }

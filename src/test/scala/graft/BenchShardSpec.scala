@@ -17,4 +17,49 @@ class BenchShardSpec extends AnyFunSuite {
       assert(shards.map(_.size).max - shards.map(_.size).min <= 1)
     }
   }
+
+  /** Round-8 postmortem: the regression guard was silently dead because
+    * parseQueries required the compact token `"queries":{` while the
+    * committed bench_baseline.json was pretty-printed (`"queries": {`).
+    * This test round-trips the COMMITTED file — if a future re-pin
+    * changes its formatting in a way the parser can't read, the guard
+    * dies again and this goes red instead.
+    */
+  test("committed bench_baseline.json parses non-empty and covers the registry") {
+    val b = Bench.baseline()
+    assert(b.nonEmpty, "baseline() returned empty: regression guard is dead")
+    assert(b.size >= 200, s"baseline has only ${b.size} entries")
+    // every baseline entry is a plausible seconds value
+    assert(b.values.forall(v => v > 0 && v < 600))
+    // the baseline should cover the current registry (new queries get
+    // appended at re-pin time; a large gap means the pin is stale)
+    val missing = Bench.allNames.filterNot(b.contains)
+    assert(missing.size <= 10, s"baseline missing ${missing.size}: $missing")
+  }
+
+  test("parseQueries tolerates compact, pretty-printed, and escaped JSON") {
+    val compact = """{"metric":"total","queries":{"a":1.5,"b":0.25},"sf":"x"}"""
+    val pretty = "{\"metric\": \"total\", \"queries\": {\n  \"a\": 1.5,\n  \"b\": 0.25\n}, \"sf\": \"x\"}"
+    val expected = Map("a" -> 1.5, "b" -> 0.25)
+    assert(Bench.parseQueries(compact) === expected)
+    assert(Bench.parseQueries(pretty) === expected)
+    assert(Bench.parseQueries("no queries here") === Map.empty)
+  }
+
+  test("regression guard flags a synthetic 3x entry against the committed baseline") {
+    val b = Bench.baseline()
+    assert(b.nonEmpty)
+    // pick a real query comfortably above the 0.5 s noise floor
+    val (name, base) = b.maxBy(_._2)
+    assert(base > 0.5)
+    val flagged = Bench.flagRegressions(Map(name -> base * 3), b)
+    assert(flagged.contains(name), s"3x run of $name not flagged")
+    assert(flagged(name) === BigDecimal(3).setScale(2))
+    // within 2x is NOT flagged; sub-noise-floor baselines are NOT flagged
+    assert(Bench.flagRegressions(Map(name -> base * 1.9), b).isEmpty)
+    val small = b.collectFirst { case (n, v) if v < 0.5 => n }
+    small.foreach { n =>
+      assert(Bench.flagRegressions(Map(n -> b(n) * 10), b).isEmpty)
+    }
+  }
 }

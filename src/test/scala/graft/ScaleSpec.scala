@@ -151,6 +151,26 @@ class ScaleSpec extends SparkSpec {
     }, s"knn_classify_ann has no (band, code) equi-join:\n$plan")
   }
 
+  test("corpus-sized ANN query set runs the shuffle path, not a broadcast") {
+    // The broadcast-cutover contract from annLsh's scaladoc, executable:
+    // when Q ≈ N (all-kNN), the (band, code) candidate join must
+    // shuffle-hash with both sides partitioned by the band key — never
+    // broadcast a corpus-sized side, never fall back to a nested loop.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
+    val plan = ops.Extended.annCandidatesShuffle(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"all-kNN candidates degenerated to a nested loop:\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"all-kNN candidate join broadcasts a corpus-sized side:\n$plan")
+    val shuffled = plan.collect { case j: ShuffledHashJoinExec =>
+      (j.leftKeys ++ j.rightKeys).flatMap(_.references.toSeq).map(_.name).toSet
+    }
+    assert(shuffled.exists(ks => ks.contains("band") && ks.contains("code")),
+      s"all-kNN candidates lack a shuffle-hash (band, code) equi-join:\n$plan")
+  }
+
   test("no pair-enumerating join on a fixed-domain bucket key") {
     // Round-2 pathology guard: embed_near_dup/curation_pipeline used to
     // SELF-JOIN on a fixed 16-value sign-LSH code (`bkt`) — O(N²/16)
