@@ -2053,6 +2053,51 @@ object Analytics {
     """),
     doc = "top-10-brand popularity recommender hit-rate on a time split")
 
+  /** k-anonymity / l-diversity audit — the privacy-governance gate a
+    * training-data pipeline runs before release: group the table by its
+    * quasi-identifier combination (nation, market segment, account-balance
+    * band — the attributes an attacker could link externally) and report
+    * the table's k (smallest equivalence class), the class count, how many
+    * classes fall under the k=3 disclosure threshold, the rows exposed in
+    * them, and the minimum l-diversity of a sensitive attribute (is the
+    * account in debt) across classes. One exact groupBy + one global
+    * aggregate — at 100 TB it is a single shuffle on the quasi-id tuple
+    * with partial aggregation, and the summary is a one-row reduce. The
+    * k=3 threshold discriminates at the gate SFs (simulated before
+    * registration, per the round-4 rule: 765/901 classes violate at
+    * sf0.01, 4/1375 at sf0.1 — both sides populated).
+    */
+  val kAnonymity: QueryDef = QueryDef(
+    "k_anonymity",
+    (s, d) => {
+      val cls = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000)).as("bal_band"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("c_acctbal") < 0).as("ndv_sens"))
+      cls.agg(
+        min(col("cnt")).as("k_anonymity"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("cnt") < 3, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("cnt") < 3, col("cnt")).otherwise(0L)).as("rows_at_risk"),
+        min(col("ndv_sens")).as("l_diversity"))
+    },
+    Some("""
+      WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS cnt,
+               CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) AS ndv_sens
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT min(cnt) AS k_anonymity,
+             count(*) AS n_classes,
+             CAST(sum(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             CAST(sum(CASE WHEN cnt < 3 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             min(ndv_sens) AS l_diversity
+      FROM cls
+    """),
+    doc = "k-anonymity / l-diversity privacy audit over quasi-identifier classes")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -2061,5 +2106,6 @@ object Analytics {
       eventTrigrams, theilSenSlope, mannKendall, paretoAbc, rfmSegmentation,
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
-      kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate)
+      kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
+      kAnonymity)
 }

@@ -1562,6 +1562,69 @@ object Extended {
     """),
     doc = "recall@5 of LSH/IVF/multi-probe ANN vs the brute-force baseline, per query")
 
+  /** NDCG@5 of the three ANN methods vs the brute-force ranking — the
+    * graded companion to ann_recall's flat recall: an ANN result that
+    * returns the true neighbors but in the wrong order, or returns rank-5
+    * neighbors instead of rank-1, scores below 1.0 here while recall@5
+    * can't tell the difference. Gain = 6 − true_rank (0 if the returned
+    * id isn't in the true top-5), discount = 1/log2(rank+1).
+    *
+    * Float discipline: the discounts are irrational, and a per-group sum
+    * of doubles is addition-order-dependent across engines — so DCG is
+    * computed ENTIRELY in integer arithmetic: each discount is a pinned
+    * e12 fixed-point constant (identical literals in both engines), the
+    * per-result contribution rel·disc_e12 is a BIGINT, and the group sum
+    * is order-independent integer addition (max 5·5·10^12, far inside 64
+    * bits). The only float op is the final division by the integer IDCG
+    * constant — same two operands on both engines — under hround(4).
+    */
+  val annNdcg: QueryDef = QueryDef(
+    "ann_ndcg",
+    (s, d) => {
+      val truth = cosineTopK.fn(s, d).filter(col("rn") <= 5)
+        .select(col("q_id"), col("nn_id"), col("rn").as("trn"))
+      val discE12 =
+        "CASE rn WHEN 1 THEN 1000000000000 WHEN 2 THEN 630929753571 " +
+          "WHEN 3 THEN 500000000000 WHEN 4 THEN 430676558073 " +
+          "ELSE 356207187108 END"
+      def ndcg(method: String, ann: DataFrame): DataFrame =
+        ann.select(col("q_id"), col("nn_id"), col("rn"))
+          .join(truth, Seq("q_id", "nn_id"), "left")
+          .withColumn("rel",
+            coalesce(lit(6) - col("trn"), lit(0)).cast("long"))
+          .withColumn("disc_e12", expr(discE12))
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") * col("disc_e12")).as("dcg_e12"))
+          .select(lit(method).as("method"), col("q_id"),
+            Text.hround(col("dcg_e12").cast("double") /
+              lit(10241279317538L).cast("double"), 4).as("ndcg5"))
+      ndcg("lsh", annLsh.fn(s, d))
+        .unionAll(ndcg("ivf", annIvf.fn(s, d)))
+        .unionAll(ndcg("mp", annMultiprobe.fn(s, d)))
+        .orderBy(col("method"), col("q_id"))
+    },
+    Some {
+      val disc = "CASE a.rn WHEN 1 THEN 1000000000000 WHEN 2 THEN 630929753571 " +
+        "WHEN 3 THEN 500000000000 WHEN 4 THEN 430676558073 ELSE 356207187108 END"
+      def nd(tag: String, cte: String) =
+        s"""SELECT '$tag' AS method, a.q_id,
+              CAST(sum((CASE WHEN b.trn IS NULL THEN 0 ELSE 6 - b.trn END) * ($disc))
+                   AS BIGINT) AS dcg_e12
+            FROM $cte a LEFT JOIN base b ON b.q_id = a.q_id AND b.nn_id = a.nn_id
+            GROUP BY a.q_id"""
+      s"""
+      WITH base AS (SELECT q_id, nn_id, rn AS trn FROM (${cosineTopK.oracle.get}) WHERE rn <= 5),
+      lshr AS (SELECT q_id, nn_id, rn FROM (${annLsh.oracle.get})),
+      ivfr AS (SELECT q_id, nn_id, rn FROM (${annIvf.oracle.get})),
+      mpr AS (SELECT q_id, nn_id, rn FROM (${annMultiprobe.oracle.get})),
+      u AS (${nd("lsh", "lshr")} UNION ALL ${nd("ivf", "ivfr")} UNION ALL ${nd("mp", "mpr")})
+      SELECT method, q_id,
+             ${Text.sqlHround("CAST(dcg_e12 AS DOUBLE) / CAST(10241279317538 AS DOUBLE)", 4)} AS ndcg5
+      FROM u ORDER BY method, q_id
+    """
+    },
+    doc = "NDCG@5 of LSH/IVF/multi-probe ANN vs brute-force rank (integer-exact DCG)")
+
   // ---- 8/9/10/11. text analysis ------------------------------------------
 
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -3565,7 +3628,7 @@ object Extended {
     simhashNearDup, ngramJaccard, minhashCalibration, editDistancePairs,
     docEntropy,
     cosineTopK, annLsh, annIvf, annMultiprobe, embedNearDup, paraphrasePairs,
-    semanticDedup, annRecall,
+    semanticDedup, annRecall, annNdcg,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,

@@ -1006,6 +1006,84 @@ object Relational {
     """),
     doc = "TPC-H-Q22-shaped idle high-balance customers (scalar subquery + anti join)")
 
+  /** LATERAL correlated table subquery — the SQL-surface form of
+    * top-k-per-group (`SELECT ... FROM dim, LATERAL (ordered+LIMIT)`),
+    * completing the subquery matrix next to scalar / EXISTS / correlated
+    * scalar. The scale property is in what Catalyst does with it:
+    * DecorrelateInnerQuery rewrites the per-nation LIMIT 2 into
+    * WindowGroupLimit (partial+final top-2 per key — the same plan
+    * `topk_per_group` hand-writes with row_number) joined hash-wise to
+    * the dim, so a 100 TB fact is never scanned once per outer row the
+    * way a naive lateral executor would.
+    */
+  val sqlLateralTopk: QueryDef = QueryDef(
+    "sql_lateral_topk",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT n.n_name, s.c_name, s.c_acctbal
+        FROM nation_v n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) s
+        ORDER BY n.n_name, s.c_acctbal DESC, s.c_name
+      """)
+    },
+    Some("""
+      SELECT n.n_name, s.c_name, s.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) s
+      ORDER BY n.n_name, s.c_acctbal DESC, s.c_name
+    """),
+    doc = "LATERAL ordered-LIMIT subquery, decorrelated to WindowGroupLimit top-k")
+
+  /** WITH RECURSIVE — the last missing SQL-surface construct (Spark 4
+    * ships recursive CTEs): a month spine grown by recursion from the
+    * data's own min month to its max, left-joined to monthly order
+    * counts with zero-fill. The semantic twin of `month_spine_fill`
+    * (which builds its spine with sequence()+explode) — deliberately so:
+    * the engine offers both the functional and the recursive-SQL
+    * spelling of gap-filling. Plans as UnionLoop (driver-bounded
+    * iterations = number of months, a calendar constant independent of
+    * corpus size) feeding an ordinary broadcast outer join + aggregate;
+    * the fact table is scanned once, not per iteration.
+    */
+  val sqlRecursiveSpine: QueryDef = QueryDef(
+    "sql_recursive_spine",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH RECURSIVE spine(mth) AS (
+          SELECT CAST((SELECT min(date_trunc('month', o_orderdate))
+                       FROM orders_v) AS TIMESTAMP)
+          UNION ALL
+          SELECT mth + INTERVAL 1 MONTH FROM spine
+          WHERE mth < (SELECT max(date_trunc('month', o_orderdate))
+                       FROM orders_v))
+        SELECT CAST(s.mth AS DATE) AS mth, count(o.o_orderkey) AS n_orders
+        FROM spine s LEFT JOIN orders_v o
+          ON date_trunc('month', o.o_orderdate) = s.mth
+        GROUP BY s.mth ORDER BY mth
+      """)
+    },
+    Some("""
+      WITH RECURSIVE spine(mth) AS (
+        SELECT CAST((SELECT min(date_trunc('month', o_orderdate))
+                     FROM orders) AS TIMESTAMP)
+        UNION ALL
+        SELECT mth + INTERVAL 1 MONTH FROM spine
+        WHERE mth < (SELECT max(date_trunc('month', o_orderdate))
+                     FROM orders))
+      SELECT CAST(s.mth AS DATE) AS mth, count(o.o_orderkey) AS n_orders
+      FROM spine s LEFT JOIN orders o
+        ON date_trunc('month', o.o_orderdate) = s.mth
+      GROUP BY s.mth ORDER BY mth
+    """),
+    doc = "recursive-CTE month spine with zero-filled monthly counts (UnionLoop)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
@@ -1013,5 +1091,5 @@ object Relational {
       sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems,
       sqlLargeOrders, sqlDiscountedRevenue, sqlPromoRevenue,
       sqlMinPriceSupplier, sqlSupplierBreadth, sqlTopSupplier,
-      sqlIdleCustomers)
+      sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine)
 }
