@@ -3618,6 +3618,199 @@ object Extended {
     """),
     doc = "recall@5 of int8-dequantized brute force vs float baseline")
 
+  /** First BPE merge iteration — the tokenizer-induction primitive: count
+    * adjacent character pairs inside alphabetic words and rank the top 20
+    * merge candidates. This is exactly the statistic a BPE/WordPiece vocab
+    * build computes each round; here it is one explode + one hash
+    * aggregate whose partial (map-side) combine collapses every partition
+    * to at most the pair domain (26² keys) before the shuffle — the
+    * shuffled bytes are O(domain), not O(corpus), at any scale. The final
+    * top-20 row_number runs over that same domain-bounded table (the
+    * skyline_pareto pattern), never the corpus.
+    */
+  val bpePairMerges: QueryDef = QueryDef(
+    "bpe_pair_merges",
+    (s, d) =>
+      docWords(s, d)
+        .select(explode(col("w")).as("t0"))
+        .select(lower(col("t0")).as("t"))
+        .filter(col("t").rlike("^[a-z]{2,}$"))
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy(col("rank")),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      tok AS (SELECT lower(t_) AS t
+              FROM (SELECT unnest(w) AS t_ FROM ws)
+              WHERE regexp_matches(lower(t_), '^[a-z]{2,}$$')),
+      pr AS (SELECT unnest([substr(t, i, 2)
+                            FOR i IN generate_series(1, length(t) - 1)]) AS pair
+             FROM tok),
+      c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INTEGER)
+               AS rank, pair, cnt
+      FROM c QUALIFY rank <= 20 ORDER BY rank
+    """),
+    doc = "top-20 adjacent char-pair frequencies (first BPE merge iteration)")
+
+  /** Zipf-law audit per source: OLS of ln(count) on ln(rank) over the top
+    * 200 token ranks — slope ≈ −1 for natural text, flatter for templated
+    * or synthetic corpora (a drifted slope flags a source whose token
+    * distribution changed upstream). Parity discipline: the only libm
+    * calls (ln of small integer ranks/counts) are FLOOR-QUANTIZED to 1e-5
+    * fixed-point BIGINTs before any summation, so every regression sum is
+    * exact integer arithmetic — order-independent across Spark's 32
+    * partitions — and the final slope/intercept/R² divisions see
+    * bit-identical operands on both engines (the ann_ndcg fixed-point
+    * pattern; the 1e5 scale keeps n·Σ(lc²) under 2⁶³ even at
+    * ln(10¹²)-sized counts). Degenerate fits (a source with <2 ranked
+    * terms, or zero count variance) yield NULLs on both engines rather
+    * than NaN — the mann_kendall guard rule.
+    */
+  val zipfFit: QueryDef = QueryDef(
+    "zipf_fit",
+    (s, d) => {
+      val ranked = docWords(s, d)
+        .select(col("source"), explode(col("w")).as("t0"))
+        .select(col("source"), lower(col("t0")).as("t"))
+        .filter(col("t").rlike("^[a-z]+$"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("t").asc)))
+        .filter(col("rank") <= 200)
+        .select(col("source"),
+          floor(log(col("rank").cast("double")) * lit(1e5) + lit(0.5))
+            .cast("long").as("lr"),
+          floor(log(col("c").cast("double")) * lit(1e5) + lit(0.5))
+            .cast("long").as("lc"))
+      val a = ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(col("lr")).as("sx"), sum(col("lc")).as("sy"),
+        sum(col("lr") * col("lr")).as("sxx"),
+        sum(col("lr") * col("lc")).as("sxy"),
+        sum(col("lc") * col("lc")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dy  = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val ok  = (col("n") >= 2) && (col("n") * col("syy") - col("sy") * col("sy") > 0)
+      val slope = num / den
+      a.select(col("source"), col("n").as("n_terms"),
+        when(ok, Text.hround(slope, 4))
+          .otherwise(lit(null).cast("double")).as("zipf_slope"),
+        when(ok, Text.hround(
+          (col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n").cast("double") / lit(1e5), 4))
+          .otherwise(lit(null).cast("double")).as("ln_intercept"),
+        when(ok, Text.hround(num * num / (den * dy), 4))
+          .otherwise(lit(null).cast("double")).as("r2"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      tok AS (SELECT source, lower(t_) AS t
+              FROM (SELECT source, unnest(w) AS t_ FROM ws)
+              WHERE regexp_matches(lower(t_), '^[a-z]+$$')),
+      c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      r AS (SELECT source, c,
+              row_number() OVER (PARTITION BY source
+                ORDER BY c DESC, t ASC) AS rank
+            FROM c),
+      f AS (SELECT source,
+              CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e5 + 0.5) AS BIGINT) AS lr,
+              CAST(floor(ln(CAST(c AS DOUBLE)) * 1e5 + 0.5) AS BIGINT) AS lc
+            FROM r WHERE rank <= 200),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lc) AS BIGINT) AS sy,
+              CAST(sum(lr * lr) AS BIGINT) AS sxx,
+              CAST(sum(lr * lc) AS BIGINT) AS sxy,
+              CAST(sum(lc * lc) AS BIGINT) AS syy
+            FROM f GROUP BY 1)
+      SELECT source, n AS n_terms,
+        CASE WHEN n >= 2 AND n * syy - sy * sy > 0 THEN ${Text.sqlHround(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)",
+        4)} ELSE CAST(NULL AS DOUBLE) END AS zipf_slope,
+        CASE WHEN n >= 2 AND n * syy - sy * sy > 0 THEN ${Text.sqlHround(
+        "(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "/ CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+          "/ CAST(n AS DOUBLE) / 1e5", 4)}
+             ELSE CAST(NULL AS DOUBLE) END AS ln_intercept,
+        CASE WHEN n >= 2 AND n * syy - sy * sy > 0 THEN ${Text.sqlHround(
+        "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "/ (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))",
+        4)} ELSE CAST(NULL AS DOUBLE) END AS r2
+      FROM a ORDER BY source
+    """),
+    doc = "per-source Zipf slope/intercept/R² via fixed-point log-log OLS")
+
+  /** Sorted-neighborhood record linkage — the WINDOW-blocking dedup
+    * paradigm, complementary to the hash-blocking (LSH) family: normalize
+    * each document to its alphanumeric spine, sort within 8-char-prefix
+    * blocks, take each row's next 2 neighbors in sort order (window w=3)
+    * as candidates, and verify with edit distance ≤ 40 on the raw 120-char
+    * prefix (the edit_distance_pairs verify contract). Candidate count is
+    * ≤ 2·N by construction — the classic SNM linear-candidate guarantee —
+    * vs LSH's per-bucket quadratic worst case. The lead() window is
+    * PARTITIONED by the block prefix, so the sort distributes (never a
+    * global window); near-dups whose first 8 normalized chars differ fall
+    * across block boundaries and are missed — the documented single-pass
+    * SNM tradeoff (production multi-pass SNM unions a second sort key;
+    * our LSH family IS that second pass).
+    */
+  val sortedNeighborhoodEr: QueryDef = QueryDef(
+    "sorted_neighborhood_er",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).as("nrm"),
+          substring(col("text"), 1, 120).as("t120"))
+        .withColumn("blk", substring(col("nrm"), 1, 8))
+      val w = Window.partitionBy(col("blk")).orderBy(col("nrm"), col("doc_id"))
+      // all four leads share ONE window spec → a single Window operator
+      // over a single per-block sort (a two-branch union would scan and
+      // sort the corpus twice); the two neighbors then unfold row-locally
+      val p = t
+        .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("n1_t", lead(col("t120"), 1).over(w))
+        .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
+        .withColumn("n2_t", lead(col("t120"), 2).over(w))
+        .select(col("doc_id").as("a"), col("t120"),
+          explode(array(
+            struct(col("n1_id").as("bid"), col("n1_t").as("bt")),
+            struct(col("n2_id").as("bid"), col("n2_t").as("bt")))).as("nb"))
+        .filter(col("nb.bid").isNotNull)
+      p.select(least(col("a"), col("nb.bid")).as("d1"),
+          greatest(col("a"), col("nb.bid")).as("d2"),
+          levenshtein(col("t120"), col("nb.bt")).as("lev"))
+        .filter(col("lev") <= 40)
+        .distinct()
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS nrm,
+                   substr(text, 1, 120) AS t120 FROM documents),
+      b AS (SELECT doc_id, nrm, t120, substr(nrm, 1, 8) AS blk FROM t),
+      c AS (SELECT doc_id, t120,
+              lead(doc_id, 1) OVER w AS n1_id, lead(t120, 1) OVER w AS n1_t,
+              lead(doc_id, 2) OVER w AS n2_id, lead(t120, 2) OVER w AS n2_t
+            FROM b WINDOW w AS (PARTITION BY blk ORDER BY nrm, doc_id)),
+      p AS (SELECT doc_id AS a, n1_id AS bid, t120, n1_t AS bt
+            FROM c WHERE n1_id IS NOT NULL
+            UNION ALL
+            SELECT doc_id, n2_id, t120, n2_t FROM c WHERE n2_id IS NOT NULL),
+      v AS (SELECT least(a, bid) AS d1, greatest(a, bid) AS d2,
+              CAST(levenshtein(t120, bt) AS INTEGER) AS lev FROM p)
+      SELECT DISTINCT d1, d2, lev FROM v WHERE lev <= 40 ORDER BY d1, d2
+    """),
+    doc = "sorted-neighborhood (window-blocking) near-dup linkage, lev-verified")
+
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
@@ -3637,5 +3830,6 @@ object Extended {
     bm25TopK, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
-    boilerplateFrac, heavyHitters)
+    boilerplateFrac, heavyHitters,
+    bpePairMerges, zipfFit, sortedNeighborhoodEr)
 }

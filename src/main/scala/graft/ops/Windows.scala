@@ -1212,6 +1212,41 @@ object Windows {
     """),
     doc = "threshold-excess accumulation per (flag, year) — the GDD climate-index form")
 
+  /** Weekly OHLC resample per event type — the canonical downsample of a
+    * tick stream into bars (open/high/low/close + exact volume sum). The
+    * open/close are `min_by`/`max_by` over the (ts, event_id) struct
+    * ordering, which both engines resolve deterministically because
+    * event_id is unique — no window, no sort of the corpus: one hash
+    * aggregate (partial+final, map-side combined) whose output is bounded
+    * by types × weeks, i.e. the calendar, not the data volume. Both
+    * engines truncate weeks to Monday. open/close carry RAW input values
+    * (no float summation → no parity surface); the only sum is the exact
+    * decimal Num.sum2.
+    */
+  val ohlcBars: QueryDef = QueryDef(
+    "ohlc_bars",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_v"),
+          max(col("value")).as("high_v"),
+          min(col("value")).as("low_v"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_v"),
+          Num.sum2(col("value")).as("sum_v"),
+          count(lit(1)).as("n_ev"))
+        .orderBy(col("event_type"), col("wk")),
+    Some(s"""
+      SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+             first(value ORDER BY ts, event_id) AS open_v,
+             max(value) AS high_v, min(value) AS low_v,
+             last(value ORDER BY ts, event_id) AS close_v,
+             ${Num.sqlSum2("value")} AS sum_v,
+             count(*) AS n_ev
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "weekly OHLC bars per event type (first/last by time, exact decimal volume)")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
@@ -1219,5 +1254,5 @@ object Windows {
       sessionizeBatch,
       markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal,
-      spellRuns, annualMaxima, extremeDaysP90, degreeDayAccum)
+      spellRuns, annualMaxima, extremeDaysP90, degreeDayAccum, ohlcBars)
 }

@@ -140,6 +140,60 @@ class OperatorSpec extends SparkSpec {
     assert(kept.agg(sum("n_dups")).head().getLong(0) === docs.count())
   }
 
+  test("ohlc_bars: high/low bracket open/close, counts partition the stream") {
+    val bars = ops.Windows.ohlcBars.fn(spark, sfDir).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))
+      assert(h >= math.max(o, c) && l <= math.min(o, c),
+        s"bar $r: high/low don't bracket open/close")
+    }
+    val total = bars.map(_.getLong(7)).sum
+    val events = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(total === events, "bars must partition every event exactly once")
+  }
+
+  test("bpe_pair_merges: dense ranks, non-increasing counts, 2-char pairs") {
+    val top = Extended.bpePairMerges.fn(spark, sfDir)
+      .as[(Int, String, Long)].collect()
+    assert(top.map(_._1).toSeq === (1 to top.length))
+    assert(top.sliding(2).forall { case Array(a, b) => a._3 >= b._3
+                                   case _ => true })
+    assert(top.forall(_._2.length == 2))
+  }
+
+  test("zipf_fit: slope negative, r2 in [0,1], every source fitted") {
+    val fits = Extended.zipfFit.fn(spark, sfDir).collect()
+    val sources = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source").distinct().count()
+    assert(fits.length.toLong === sources)
+    fits.foreach { r =>
+      assert(!r.isNullAt(2), s"degenerate fit for ${r.getString(0)}")
+      assert(r.getDouble(2) < 0, s"rank-ordered counts ⇒ slope < 0: $r")
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0 && r2 <= 1, s"r2 out of range: $r")
+    }
+  }
+
+  test("sorted_neighborhood_er: ordered pairs, lev contract, finds true dups") {
+    val pairs = Extended.sortedNeighborhoodEr.fn(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty, "fixture near-dups share normalized prefixes")
+    pairs.foreach { case (d1, d2, lev) =>
+      assert(d1 < d2 && lev >= 0 && lev <= 40)
+    }
+    // every EXACT duplicate pair adjacent in normalized order must be
+    // found with lev 0 on the shared prefix: cross-check one from
+    // exact_dedup's dup groups
+    val dup = Extended.exactDedup.fn(spark, sfDir)
+      .filter(col("n_dups") >= 2).limit(1).collect()
+    if (dup.nonEmpty) {
+      assert(pairs.exists(_._3 == 0),
+        "exact duplicates exist but no lev-0 pair was linked")
+    }
+  }
+
   test("minhash LSH pairs: high n_match implies high true 3-gram Jaccard") {
     val pairs = Extended.minhashLsh.fn(spark, sfDir)
       .filter(col("n_match") >= 10).as[(Long, Long, Int)].collect()
