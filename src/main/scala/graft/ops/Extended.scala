@@ -3811,6 +3811,84 @@ object Extended {
     """),
     doc = "sorted-neighborhood (window-blocking) near-dup linkage, lev-verified")
 
+  /** PPJoin-style prefix-filtered EXACT similarity join — the third
+    * candidate-generation paradigm alongside hash-blocking (LSH) and
+    * window-blocking (sorted-neighborhood), and unlike both it is
+    * EXACT: for Jaccard ≥ t, any qualifying pair must share at least one
+    * token among each side's first |x| − ⌈t·|x|⌉ + 1 tokens under a
+    * global rarest-first order (Chaudhuri/Ganti/Kaushik prefix filter;
+    * Xiao et al. PPJoin). So candidates come from an equi-join on PREFIX
+    * tokens only — the rarest shingles, whose buckets are small by
+    * construction — plus the length filter ⌈t·|x|⌉ ≤ |y|, then exact
+    * set-intersection verify. Because the method is exact, the DuckDB
+    * oracle is deliberately INDEPENDENT: brute-force all-pairs Jaccard
+    * (fine at the sf0.01 gate), so the hash check proves the filter
+    * lost nothing rather than mirroring the algorithm. Token sets are
+    * the distinct 3-gram shingle hashes (the corpus-shared h32/polynomial
+    * pipeline) and t = 0.5, so the output is ngram_jaccard_pairs'
+    * ground truth: a spec asserts the LSH-candidate variant found a
+    * subset of these pairs. The (doc_id, h) set frame is persist()-pinned
+    * (four consumers: sizes, document frequencies, prefix, verify arrays).
+    */
+  val ppjoinJaccard: QueryDef = QueryDef(
+    "ppjoin_jaccard",
+    (s, d) => {
+      val ds = shingleHashes(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .distinct().persist()
+      val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfq = ds.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val pref = ds.join(dfq.hint("shuffle_hash"), Seq("h"))
+        .join(sz.hint("shuffle_hash"), Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("df").asc, col("h").asc)))
+        .filter(col("rn") <=
+          col("n") - ceil(col("n") * lit(0.5)).cast("long") + 1)
+        .select(col("doc_id"), col("h"), col("n"))
+      val cand = pref.select(col("doc_id").as("d1"), col("h"),
+          col("n").as("na"))
+        .join(pref.select(col("doc_id").as("d2"), col("h"),
+          col("n").as("nb")).hint("shuffle_hash"), Seq("h"))
+        .filter(col("d1") < col("d2") &&
+          col("nb") >= ceil(col("na") * lit(0.5)).cast("long") &&
+          col("na") >= ceil(col("nb") * lit(0.5)).cast("long"))
+        .select(col("d1"), col("d2")).distinct()
+      val fl = ds.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs2"),
+          count(lit(1)).as("n"))
+      cand
+        .join(fl.select(col("doc_id").as("d1"), col("hs2").as("x"),
+          col("n").as("n1")).hint("shuffle_hash"), Seq("d1"))
+        .join(fl.select(col("doc_id").as("d2"), col("hs2").as("y"),
+          col("n").as("n2")).hint("shuffle_hash"), Seq("d2"))
+        .withColumn("inter",
+          size(array_intersect(col("x"), col("y"))).cast("long"))
+        .withColumn("jac", Text.hround(
+          col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"),
+          col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""
+      WITH $sqlShingleHashCtes,
+      ds AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM hss),
+      fl AS (SELECT doc_id, list(h ORDER BY h) AS hs2,
+               CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+                  CAST(len(list_intersect(a.hs2, b.hs2)) AS BIGINT) AS inter
+                FROM fl a JOIN fl b ON a.doc_id < b.doc_id)
+      SELECT d1, d2, n1, n2, inter,
+             ${Text.sqlHround(
+        "CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 4)} AS jac
+      FROM pairs
+      WHERE ${Text.sqlHround("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 4)} >= 0.5
+      ORDER BY d1, d2
+    """),
+    doc = "exact prefix-filtered (PPJoin) Jaccard ≥ 0.5 join vs brute-force oracle")
+
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
@@ -3831,5 +3909,5 @@ object Extended {
     packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
-    bpePairMerges, zipfFit, sortedNeighborhoodEr)
+    bpePairMerges, zipfFit, sortedNeighborhoodEr, ppjoinJaccard)
 }

@@ -194,6 +194,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("kcore_peel: monotone shrinking rounds, never grows") {
+    val rows = ops.Graph.kcorePeel.fn(spark, sfDir)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 <= a._4,
+        s"peel round ${b._1} grew: $a -> $b")
+      case _ => ()
+    }
+    assert(rows.head._2 > 0, "base graph must be non-empty")
+    assert(rows.head._2 > rows(1)._2, "first peel must remove something")
+  }
+
+  test("ppjoin_jaccard: exact — superset of the LSH-candidate pairs") {
+    // PPJoin is the ground truth for jaccard >= 0.5 (prefix filtering is
+    // lossless); the LSH pipeline generates candidates from banded
+    // minhash collisions and may miss pairs, never invent them. So the
+    // LSH-verified pair set must be a subset of PPJoin's.
+    val exact = Extended.ppjoinJaccard.fn(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val lsh = Extended.ngramJaccard.fn(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH found pairs PPJoin missed: ${lsh.diff(exact).take(5)}")
+  }
+
   test("minhash LSH pairs: high n_match implies high true 3-gram Jaccard") {
     val pairs = Extended.minhashLsh.fn(spark, sfDir)
       .filter(col("n_match") >= 10).as[(Long, Long, Int)].collect()

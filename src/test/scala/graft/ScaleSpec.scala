@@ -91,7 +91,10 @@ class ScaleSpec extends SparkSpec {
       "autocorr_daily", "theil_sen_slope", "source_drift_js",
       "quantized_recall", "cuped_adjusted_ab", "kaplan_meier",
       "llr_collocations", "contrastive_pairs", "trending_terms",
-      "leakage_safe_split")
+      "leakage_safe_split",
+      // kcore_peel broadcast-crosses its ONE-ROW (p, q) threshold frame
+      // into every peel round — the same scalar-subquery shape.
+      "kcore_peel")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
