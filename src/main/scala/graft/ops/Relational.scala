@@ -1055,14 +1055,18 @@ object Relational {
     "sql_recursive_spine",
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      // The recursion STATE carries the max bound: a scalar subquery in
+      // the recursive member would be re-planned (and the fact table
+      // re-scanned) on EVERY UnionLoop iteration — measured 15.7 s for
+      // ~80 monthly iterations at sf0.1 vs ~1 s with the bound computed
+      // once in the anchor and ridden along as a column.
       s.sql("""
-        WITH RECURSIVE spine(mth) AS (
-          SELECT CAST((SELECT min(date_trunc('month', o_orderdate))
-                       FROM orders_v) AS TIMESTAMP)
+        WITH RECURSIVE spine(mth, mx) AS (
+          SELECT CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP),
+                 CAST(max(date_trunc('month', o_orderdate)) AS TIMESTAMP)
+          FROM orders_v
           UNION ALL
-          SELECT mth + INTERVAL 1 MONTH FROM spine
-          WHERE mth < (SELECT max(date_trunc('month', o_orderdate))
-                       FROM orders_v))
+          SELECT mth + INTERVAL 1 MONTH, mx FROM spine WHERE mth < mx)
         SELECT CAST(s.mth AS DATE) AS mth, count(o.o_orderkey) AS n_orders
         FROM spine s LEFT JOIN orders_v o
           ON date_trunc('month', o.o_orderdate) = s.mth
@@ -1070,13 +1074,12 @@ object Relational {
       """)
     },
     Some("""
-      WITH RECURSIVE spine(mth) AS (
-        SELECT CAST((SELECT min(date_trunc('month', o_orderdate))
-                     FROM orders) AS TIMESTAMP)
+      WITH RECURSIVE spine(mth, mx) AS (
+        SELECT CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP),
+               CAST(max(date_trunc('month', o_orderdate)) AS TIMESTAMP)
+        FROM orders
         UNION ALL
-        SELECT mth + INTERVAL 1 MONTH FROM spine
-        WHERE mth < (SELECT max(date_trunc('month', o_orderdate))
-                     FROM orders))
+        SELECT mth + INTERVAL 1 MONTH, mx FROM spine WHERE mth < mx)
       SELECT CAST(s.mth AS DATE) AS mth, count(o.o_orderkey) AS n_orders
       FROM spine s LEFT JOIN orders o
         ON date_trunc('month', o.o_orderdate) = s.mth
