@@ -356,6 +356,92 @@ object Clustering {
     """),
     doc = "kNN label propagation over sign-LSH band candidates (the scale path)")
 
+  /** Greedy k-center coreset — farthest-point diversity sampling, the
+    * standard coreset/seed-selection primitive for training-data pruning
+    * (pick the K most mutually-distant embeddings; 2-approximation of the
+    * k-center objective, Gonzalez 1985). Seed = min vec_id (the
+    * conventional arbitrary-start), then 7 unrolled greedy steps in ONE
+    * lazy plan: step k broadcasts the (k−1)-row selected set AS ONE ARRAY
+    * (KB-scale — a one-row crossJoin, the tfidf scalar-subquery shape,
+    * ScaleSpec `intended`), computes each vector's min squared distance
+    * ROW-LOCALLY (array_min over a transform — no k-fold row expansion,
+    * no groupBy), and takes the argmax with a single max_by aggregate
+    * (partial+final — never a corpus-wide window). K passes over the
+    * corpus is the honest cost of exact greedy k-center at any scale.
+    * Parity: squared distances expand to three graft_dot /
+    * list_dot_product calls (identical left-to-right float chains) and
+    * are hround(6)-quantized BEFORE min/argmax, so both engines compare
+    * identical doubles; all ties break on vec_id. The reported d6 is the
+    * k-center coverage radius at each step — monotone non-increasing by
+    * the greedy invariant (OperatorSpec asserts it).
+    */
+  val kcenterCoreset: QueryDef = {
+    val K = 8
+    val distSql = "floor((graft_dot(v, v) - 2 * graft_dot(v, c) " +
+      "+ graft_dot(c, c)) * 1000000e0 + 0.5e0) / 1000000e0"
+    QueryDef(
+      "kcenter_coreset",
+      (s, d) => {
+        val vecs = base(s, d).select(col("vec_id"), col("v"))
+        val sel1 = vecs
+          .agg(min_by(struct(col("vec_id").as("cid"), col("v").as("cv")),
+            col("vec_id")).as("m"))
+          .select(lit(1).as("sel_order"), col("m.cid").as("cid"),
+            col("m.cv").as("cv"), lit(null).cast("double").as("d6"))
+          // each one-row selection is a subtree of EVERY later step's
+          // plan (step k embeds steps 1..k−1): persist()-pin them so the
+          // union evaluates K corpus passes, not K²/2 (lazy; populated
+          // during the one action — the pagerank edge-pin discipline)
+          .persist()
+        val sels = (2 to K).foldLeft(Vector(sel1)) { (acc, k) =>
+          val centers = acc.zipWithIndex
+            .map { case (f, i) => f.select(col("cv").as(s"cv$i")) }
+            .reduce((a, b) => a.crossJoin(broadcast(b)))
+            .select(array((0 until acc.size).map(i => col(s"cv$i")): _*)
+              .as("cs"))
+          val sk = vecs.crossJoin(broadcast(centers))
+            .select(col("vec_id"), col("v"),
+              expr(s"array_min(transform(cs, c -> $distSql))").as("dmin"))
+            .agg(
+              max_by(struct(col("vec_id").as("cid"), col("v").as("cv")),
+                struct(col("dmin"), (-col("vec_id")).as("nid"))).as("m"),
+              max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("mo"))
+            .select(lit(k).as("sel_order"), col("m.cid").as("cid"),
+              col("m.cv").as("cv"), col("mo.dmin").as("d6"))
+            .persist()
+          acc :+ sk
+        }
+        sels.map(_.select(col("sel_order"), col("cid"), col("d6")))
+          .reduce(_ unionAll _)
+          .orderBy(col("sel_order"))
+      },
+      Some {
+        def hr(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+        val dist = hr("list_dot_product(s.v, s.v) " +
+          "- 2 * list_dot_product(s.v, c) + list_dot_product(c, c)")
+        val ctes = scala.collection.mutable.ArrayBuffer(
+          "vs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+          "c1 AS (SELECT vec_id AS cid, v AS cv FROM vs ORDER BY vec_id LIMIT 1)")
+        val sel = scala.collection.mutable.ArrayBuffer(
+          "SELECT 1 AS sel_order, cid, CAST(NULL AS DOUBLE) AS d6 FROM c1")
+        for (k <- 2 to K) {
+          val prev = (1 until k).map(i => s"c$i").mkString(", ")
+          val arr = "[" + (1 until k).map(i => s"c$i.cv").mkString(", ") + "]"
+          ctes += s"l$k AS (SELECT $arr AS cs FROM $prev)"
+          ctes += (s"s$k AS (SELECT s.vec_id, s.v, list_min(list_transform(" +
+            s"(SELECT cs FROM l$k), c -> $dist)) AS dmin FROM vs s)")
+          ctes += (s"c$k AS (SELECT vec_id AS cid, v AS cv, dmin FROM s$k " +
+            "ORDER BY dmin DESC, vec_id ASC LIMIT 1)")
+          sel += s"SELECT $k AS sel_order, cid, dmin AS d6 FROM c$k"
+        }
+        "WITH " + ctes.mkString(",\n") +
+          "\nSELECT * FROM (" + sel.mkString(" UNION ALL ") +
+          ") ORDER BY sel_order"
+      },
+      doc = "greedy k-center coreset (farthest-point diversity sampling, 8 picks)")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(kmeansEmbed, embedOutliers, knnClassify, knnClassifyAnn)
+    Seq(kmeansEmbed, embedOutliers, knnClassify, knnClassifyAnn,
+      kcenterCoreset)
 }

@@ -221,6 +221,18 @@ class OperatorSpec extends SparkSpec {
       s"LSH found pairs PPJoin missed: ${lsh.diff(exact).take(5)}")
   }
 
+  test("kcenter_coreset: distinct picks, monotone non-increasing radius") {
+    val rows = ops.Clustering.kcenterCoreset.fn(spark, sfDir).collect()
+    assert(rows.length === 8)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length === 8, "greedy must never re-pick a center")
+    val radii = rows.drop(1).map(_.getDouble(2))
+    assert(radii.sliding(2).forall { case Array(a, b) => b <= a
+                                     case _ => true },
+      s"coverage radius must be non-increasing: ${radii.mkString(", ")}")
+    assert(radii.last > 0, "fixture vectors are not all identical")
+  }
+
   test("minhash LSH pairs: high n_match implies high true 3-gram Jaccard") {
     val pairs = Extended.minhashLsh.fn(spark, sfDir)
       .filter(col("n_match") >= 10).as[(Long, Long, Int)].collect()

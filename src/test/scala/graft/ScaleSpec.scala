@@ -93,8 +93,10 @@ class ScaleSpec extends SparkSpec {
       "llr_collocations", "contrastive_pairs", "trending_terms",
       "leakage_safe_split",
       // kcore_peel broadcast-crosses its ONE-ROW (p, q) threshold frame
-      // into every peel round — the same scalar-subquery shape.
-      "kcore_peel")
+      // into every peel round — the same scalar-subquery shape; and
+      // kcenter_coreset broadcasts its one-row selected-centers ARRAY
+      // into each of the 7 unrolled greedy steps (KB-scale builds).
+      "kcore_peel", "kcenter_coreset")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
