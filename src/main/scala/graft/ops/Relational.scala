@@ -1040,6 +1040,44 @@ object Relational {
     """),
     doc = "LATERAL ordered-LIMIT subquery, decorrelated to WindowGroupLimit top-k")
 
+  /** TPC-H-Q13-shaped customer order-count distribution — the one SQL
+    * surface the other outer joins don't exercise: a FILTER INSIDE THE
+    * OUTER JOIN'S ON CLAUSE. `ON c_custkey = o_custkey AND priority =
+    * '5-LOW'` keeps customers with NO low-priority order (they get
+    * c_count = 0) where a WHERE-clause filter would wrongly drop them —
+    * the classic Q13 trap. The predicate is selective, not vacuous: every
+    * fixture customer has ≥ 1 order (a NOT-EXISTS-style gate would be
+    * empty), but the 0 bucket is populated at EVERY SF (20/220/2053
+    * customers — checked per the round-4 rule). Plans as one shuffled outer hash join + two hash
+    * aggregates, the second over the count DOMAIN (≤ max orders per
+    * customer — bounded, tiny); both engines' counts are exact BIGINTs.
+    */
+  val sqlOrderCountDist: QueryDef = QueryDef(
+    "sql_order_count_dist",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer_v c LEFT OUTER JOIN orders_v o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority = '5-LOW'
+              GROUP BY c.c_custkey) cc
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+      """)
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority = '5-LOW'
+            GROUP BY c.c_custkey) cc
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """),
+    doc = "TPC-H-Q13-shaped order-count histogram (filter inside the outer-join ON)")
+
   /** WITH RECURSIVE — the last missing SQL-surface construct (Spark 4
     * ships recursive CTEs): a month spine grown by recursion from the
     * data's own min month to its max, left-joined to monthly order
@@ -1094,5 +1132,6 @@ object Relational {
       sqlLocalSupplierVolume, sqlVolumeShipping, sqlReturnedItems,
       sqlLargeOrders, sqlDiscountedRevenue, sqlPromoRevenue,
       sqlMinPriceSupplier, sqlSupplierBreadth, sqlTopSupplier,
-      sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine)
+      sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
+      sqlOrderCountDist)
 }

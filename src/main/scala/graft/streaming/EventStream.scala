@@ -32,6 +32,42 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Daily OHLC bars over the tick stream — open/high/low/close via
+    * min_by/max_by over the unique (ts, event_id) ordering, identical to
+    * the batch weekly `ohlc_bars` but on a 1-day tumbling event-time
+    * window so the SAME code runs under `readStream` with a watermark
+    * (min_by/max_by are declarative aggregates with partial merge, so
+    * streaming state is one partially-merged bar per open (window, type)
+    * — bounded by the watermark, never the stream length).
+    */
+  def ohlcWindowed(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_v"),
+        max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_v"),
+        count(lit(1)).as("n_ev"))
+      .select(col("win.start").as("day_start"), col("event_type"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+        col("n_ev"))
+  }
+
+  /** Batch twin of [[ohlcWindowed]], oracle-checked. */
+  val ohlcStreamTwin: QueryDef = QueryDef(
+    "ohlc_daily_stream_twin",
+    (s, d) =>
+      ohlcWindowed(Tables.events(s, d), withWatermark = false)
+        .orderBy(col("day_start"), col("event_type")),
+    Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+             first(value ORDER BY ts, event_id) AS open_v,
+             max(value) AS high_v, min(value) AS low_v,
+             last(value ORDER BY ts, event_id) AS close_v,
+             count(*) AS n_ev
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "daily OHLC bars (streaming twin carries a watermark)")
+
   /** Batch twin, oracle-checked: 1-day tumbling window == date_trunc. */
   val tumblingWindow: QueryDef = QueryDef(
     "tumbling_window_agg",
@@ -453,5 +489,5 @@ object EventStream {
 
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
-      intervalJoinOuterEvents)
+      intervalJoinOuterEvents, ohlcStreamTwin)
 }

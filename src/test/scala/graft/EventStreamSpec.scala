@@ -38,6 +38,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ohlcWindowed on a stream: bar emits once closed, OHLC correct") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = EventStream.ohlcWindowed(df, withWatermark = true)
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day-1 ticks out of value order (open=first by ts, not min), then
+      // a day-3 tick to close day 1 past the watermark
+      mem.addData((ts(10), 1L, "trade", 5.0), (ts(20), 2L, "trade", 9.0),
+        (ts(30), 3L, "trade", 2.0), (ts(40), 4L, "trade", 7.0))
+      q.processAllAvailable()
+      mem.addData((ts(3 * 1440), 5L, "trade", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("ohlc_out")
+        .select("event_type", "open_v", "high_v", "low_v", "close_v", "n_ev")
+        .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+      assert(out.contains(("trade", 5.0, 9.0, 2.0, 7.0, 4L)),
+        s"closed day-1 bar wrong: $out")
+    } finally q.stop()
+  }
+
   test("watermark end-to-end: a late-beyond-watermark row is DROPPED (file source)") {
     // The full production shape: files land in a directory, each new file
     // is a micro-batch. Batch 1 carries day-1 events plus a day-2 01:00
