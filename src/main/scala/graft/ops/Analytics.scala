@@ -2098,6 +2098,91 @@ object Analytics {
     """),
     doc = "k-anonymity / l-diversity privacy audit over quasi-identifier classes")
 
+  /** Population Stability Index per event type — THE ml-ops drift gate
+    * (is this week's value distribution still the one the model saw?):
+    * decile edges fitted on the REFERENCE half (first half of the time
+    * range), both halves binned against those same edges, PSI =
+    * Σ (p−q)·ln(p/q) over the 10 bins. Time split at the exact integer
+    * micros midpoint (one-row frame broadcast — scalar-subquery shape,
+    * ScaleSpec `intended`); decile edges are per-type percentile
+    * aggregates bround(4)-stabilized (the robust_stats contract) and
+    * broadcast back, so binning is one codegen'd comparison chain — two
+    * corpus passes total (edges, then binning+counts), no window. Parity:
+    * p and q are integer-count divisions (identical operands), each
+    * nonneg PSI term is floor-quantized to 1e-9 fixed point BEFORE the
+    * final sum (order-free BIGINT addition across partitions — the zipf
+    * discipline), and zero-count bins clamp fractions at 1e-4 (the
+    * standard PSI floor) so ln never sees 0 on either engine.
+    */
+  val psiValueDrift: QueryDef = QueryDef(
+    "psi_value_drift",
+    (s, d) => {
+      val ev0 = Tables.events(s, d)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val mid = ev0.agg(
+        expr("(min(us) + max(us)) div 2").as("m"))
+      val ev = ev0.crossJoin(broadcast(mid))
+        .withColumn("is_ref", col("us") <= col("m"))
+        .select(col("event_type"), col("value"), col("is_ref"))
+      val es = (1 to 9).map(i =>
+        bround(expr(s"percentile(value, 0.$i)"), 4).as(s"e$i"))
+      val edges = ev.filter(col("is_ref"))
+        .groupBy(col("event_type"))
+        .agg(es.head, es.tail: _*)
+      val binExpr = (1 to 9).map(i =>
+        when(col("value") > col(s"e$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+      val cnt = ev.join(broadcast(edges), Seq("event_type"))
+        .withColumn("bin", binExpr)
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("tr"), sum(col("cc")).as("tc"))
+      val p = greatest(col("cr").cast("double") / col("tr"), lit(1e-4))
+      val q = greatest(col("cc").cast("double") / col("tc"), lit(1e-4))
+      cnt.join(broadcast(tot), Seq("event_type"))
+        .withColumn("t9",
+          floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(min(col("tr")).as("n_ref"), min(col("tc")).as("n_cur"),
+          sum(col("t9")).as("s9"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          Text.hround(col("s9").cast("double") / lit(1e9), 6).as("psi6"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+                   FROM events),
+      ev AS (SELECT event_type, value,
+               epoch_us(ts) <= (SELECT m FROM mid) AS is_ref FROM events),
+      edges AS (SELECT event_type,
+          ${(1 to 9).map(i =>
+        s"round_even(quantile_cont(value, 0.$i), 4) AS e$i").mkString(", ")}
+        FROM ev WHERE is_ref GROUP BY 1),
+      binned AS (SELECT v.event_type, v.is_ref,
+          1 ${(1 to 9).map(i =>
+        s"+ CAST(v.value > e.e$i AS INT)").mkString(" ")} AS bin
+        FROM ev v JOIN edges e USING (event_type)),
+      cnt AS (SELECT event_type, bin,
+                CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+              FROM binned GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS tr,
+                CAST(sum(cc) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+      qt AS (SELECT c.event_type, t.tr, t.tc,
+               CAST(floor((greatest(CAST(c.cr AS DOUBLE) / t.tr, 1e-4)
+                           - greatest(CAST(c.cc AS DOUBLE) / t.tc, 1e-4))
+                 * ln(greatest(CAST(c.cr AS DOUBLE) / t.tr, 1e-4)
+                      / greatest(CAST(c.cc AS DOUBLE) / t.tc, 1e-4))
+                 * 1e9 + 0.5) AS BIGINT) AS t9
+             FROM cnt c JOIN tot t USING (event_type))
+      SELECT event_type, min(tr) AS n_ref, min(tc) AS n_cur,
+             ${Text.sqlHround("CAST(sum(t9) AS BIGINT) / 1e9", 6)} AS psi6
+      FROM qt GROUP BY 1 ORDER BY 1
+    """),
+    doc = "PSI value-drift per type: decile bins from the reference half, exact terms")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -2107,5 +2192,5 @@ object Analytics {
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
-      kAnonymity)
+      kAnonymity, psiValueDrift)
 }

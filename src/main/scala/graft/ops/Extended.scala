@@ -3889,6 +3889,43 @@ object Extended {
     """),
     doc = "exact prefix-filtered (PPJoin) Jaccard ≥ 0.5 join vs brute-force oracle")
 
+  /** LSH recall audit against EXACT ground truth — ann_recall's twin for
+    * the DEDUP pipeline, made possible by [[ppjoinJaccard]] being exact:
+    * the banded-minhash candidate pipeline (ngram_jaccard_pairs) verifies
+    * true Jaccard on its candidates, so its precision is 1 by
+    * construction — the open question at any tuning is RECALL, i.e. which
+    * qualifying pairs never collided in any band. One row: truth size,
+    * LSH-verified size, hits, recall. This is the number that decides
+    * whether the 4×3 band tuning is safe to ship at the next corpus
+    * scale-up (the dedup analog of ann_recall's floor).
+    */
+  val lshRecallEval: QueryDef = QueryDef(
+    "lsh_recall_eval",
+    (s, d) => {
+      val truth = ppjoinJaccard.fn(s, d).select(col("d1"), col("d2"))
+      val lsh = ngramJaccard.fn(s, d).select(col("d1"), col("d2"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      truth.join(lsh.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+        .crossJoin(broadcast(nLsh))
+        .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+          Text.hround(col("n_hit").cast("double") / col("n_truth"), 4)
+            .as("recall4"))
+    },
+    Some(s"""
+      WITH t AS (SELECT d1, d2 FROM (${ppjoinJaccard.oracle.get})),
+      l AS (SELECT d1, d2 FROM (${ngramJaccard.oracle.get})),
+      j AS (SELECT count(*) AS n_truth,
+              CAST(count(l.d1) AS BIGINT) AS n_hit
+            FROM t LEFT JOIN l ON l.d1 = t.d1 AND l.d2 = t.d2)
+      SELECT CAST(n_truth AS BIGINT) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lsh,
+             n_hit,
+             ${Text.sqlHround("CAST(n_hit AS DOUBLE) / n_truth", 4)} AS recall4
+      FROM j
+    """),
+    doc = "banded-minhash dedup recall vs the exact PPJoin ground truth")
+
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
@@ -3909,5 +3946,5 @@ object Extended {
     packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
-    bpePairMerges, zipfFit, sortedNeighborhoodEr, ppjoinJaccard)
+    bpePairMerges, zipfFit, sortedNeighborhoodEr, ppjoinJaccard, lshRecallEval)
 }

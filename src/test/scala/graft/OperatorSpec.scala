@@ -233,6 +233,25 @@ class OperatorSpec extends SparkSpec {
     assert(radii.last > 0, "fixture vectors are not all identical")
   }
 
+  test("psi_value_drift: psi >= 0, halves partition every event") {
+    val rows = ops.Analytics.psiValueDrift.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0, s"PSI is a sum of nonnegative terms: $r")
+    }
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total === spark.read.parquet(s"$sfDir/events.parquet").count())
+  }
+
+  test("lsh_recall_eval: precision-1 pipeline, recall in [0,1]") {
+    val r = Extended.lshRecallEval.fn(spark, sfDir).head()
+    val (truth, lsh, hit, rec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(hit <= truth && hit <= lsh, "hits can't exceed either side")
+    assert(lsh == hit, "LSH verifies exact jaccard, so every pair is true")
+    assert(rec >= 0 && rec <= 1)
+  }
+
   test("minhash LSH pairs: high n_match implies high true 3-gram Jaccard") {
     val pairs = Extended.minhashLsh.fn(spark, sfDir)
       .filter(col("n_match") >= 10).as[(Long, Long, Int)].collect()

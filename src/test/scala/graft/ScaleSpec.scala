@@ -96,7 +96,10 @@ class ScaleSpec extends SparkSpec {
       // into every peel round — the same scalar-subquery shape; and
       // kcenter_coreset broadcasts its one-row selected-centers ARRAY
       // into each of the 7 unrolled greedy steps (KB-scale builds).
-      "kcore_peel", "kcenter_coreset")
+      "kcore_peel", "kcenter_coreset",
+      // psi_value_drift broadcasts its one-row time-midpoint frame;
+      // lsh_recall_eval broadcasts its one-row LSH-pair-count frame.
+      "psi_value_drift", "lsh_recall_eval")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
