@@ -3926,6 +3926,97 @@ object Extended {
     """),
     doc = "banded-minhash dedup recall vs the exact PPJoin ground truth")
 
+  /** Cross-document duplicated-SPAN audit — the per-document statistic a
+    * substring-level dedup pass (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better") cuts on: for every document,
+    * the longest consecutive run of 8-word shingles that also appear in
+    * at least one OTHER document, plus the duplicated-position fraction.
+    * 8-word grams (vs the corpus 3-gram pipeline) because span identity
+    * must mean genuinely shared text: with the fixtures' small
+    * vocabulary, 3-grams collide across unrelated docs and the fraction
+    * saturates at ~1.0 at sf0.1 (measured) — at k=8 only the true
+    * near-dup families light up (9% of docs at every SF, runs up to
+    * ~90; the rest are exactly 0). Plan: hash-once word array behind a
+    * repartition (the shingleHashes exchange discipline), Horner-mod
+    * 8-gram combine, position explode, document-frequency shuffle on the
+    * 8-byte hash, then per-doc gaps-and-islands (i − row_number, the
+    * spell_runs shape) — every window is partitioned by doc_id, and the
+    * shuffles carry hashes and positions, never text.
+    */
+  val dupSpanRuns: QueryDef = {
+    val K = 8
+    val horner = (1 until K).foldLeft("element_at(hw, i)") { (e, j) =>
+      s"((($e) * 31 + element_at(hw, i + $j)) % $P)"
+    }
+    QueryDef(
+      "dup_span_runs",
+      (s, d) => {
+        val hss = Tables.documents(s, d)
+          .select(col("doc_id"), Text.words(col("text")).as("w"))
+          .filter(size(col("w")) >= K)
+          .select(col("doc_id"),
+            expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hw"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            expr(s"transform(sequence(1, size(hw) - ${K - 1}), i -> $horner)")
+              .as("hs"))
+          .persist()
+        val ps = hss.select(col("doc_id"),
+          posexplode(col("hs")).as(Seq("i", "h")))
+        val ddf = ps.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("ddf"))
+        val dup = ps.join(ddf.hint("shuffle_hash"), Seq("h"))
+          .filter(col("ddf") >= 2)
+        val agg = dup
+          .withColumn("grp", col("i") - row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("len")).as("max_run"), sum(col("len")).as("n_dup"))
+        hss.select(col("doc_id"), size(col("hs")).cast("long").as("n_pos"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_pos"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            coalesce(col("max_run"), lit(0L)).as("max_run"),
+            Text.hround(
+              coalesce(col("n_dup"), lit(0L)) / col("n_pos"), 4)
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sqlHorner = (1 until K).foldLeft("hw[i]") { (e, j) =>
+          s"((($e) * 31 + hw[i+$j]) % $P)"
+        }
+        s"""
+        WITH ws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
+        wk AS (SELECT * FROM ws WHERE len(w) >= $K),
+        hws AS (SELECT doc_id, list_transform(w, x -> ${Text.sqlH32("x")}) AS hw
+                FROM wk),
+        hss AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(hw) - ${K - 1}, 0)),
+                    i -> $sqlHorner) AS hs FROM hws),
+        ps AS (SELECT doc_id, i, hs[i] AS h
+               FROM hss, unnest(generate_series(1, len(hs))) AS t(i)),
+        df AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM ps GROUP BY 1),
+        dup AS (SELECT p.doc_id, p.i FROM ps p JOIN df USING (h) WHERE ddf >= 2),
+        runs AS (SELECT doc_id,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                 FROM dup),
+        rl AS (SELECT doc_id, grp, count(*) AS len FROM runs GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS max_run,
+                  CAST(sum(len) AS BIGINT) AS n_dup FROM rl GROUP BY 1),
+        np AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_pos FROM hss)
+        SELECT np.doc_id, np.n_pos,
+               coalesce(agg.n_dup, 0) AS n_dup,
+               coalesce(agg.max_run, 0) AS max_run,
+               ${Text.sqlHround("coalesce(agg.n_dup, 0) / np.n_pos", 4)} AS dup_frac
+        FROM np LEFT JOIN agg USING (doc_id) ORDER BY np.doc_id
+        """
+      },
+      doc = "longest cross-doc duplicated 8-gram span per document (substring-dedup audit)")
+  }
+
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
@@ -3946,5 +4037,5 @@ object Extended {
     packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
-    bpePairMerges, zipfFit, sortedNeighborhoodEr, ppjoinJaccard, lshRecallEval)
+    bpePairMerges, zipfFit, sortedNeighborhoodEr, ppjoinJaccard, lshRecallEval, dupSpanRuns)
 }

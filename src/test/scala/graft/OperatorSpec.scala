@@ -252,6 +252,28 @@ class OperatorSpec extends SparkSpec {
     assert(rec >= 0 && rec <= 1)
   }
 
+  test("dup_span_runs: exact duplicates span end-to-end, uniques score 0") {
+    val spans = Extended.dupSpanRuns.fn(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    spans.foreach { case (id, nPos, nDup, maxRun, frac) =>
+      assert(maxRun <= nDup && nDup <= nPos, s"doc $id: $maxRun/$nDup/$nPos")
+      assert(frac >= 0 && frac <= 1)
+    }
+    // a doc with an exact duplicate shares EVERY 8-gram with it: its
+    // longest duplicated run must cover the whole document
+    val dupDoc = Extended.exactDedup.fn(spark, sfDir)
+      .filter(col("n_dups") >= 2).select("doc_id")
+      .as[Long].collect().headOption
+    dupDoc.foreach { id =>
+      val r = spans.find(_._1 == id)
+      r.foreach { case (_, nPos, _, maxRun, _) =>
+        assert(maxRun === nPos, s"exact-dup doc $id: run $maxRun != $nPos")
+      }
+    }
+    assert(spans.exists(_._4 == 0), "unique docs must score 0")
+    assert(spans.exists(_._4 > 0), "near-dup family must light up")
+  }
+
   test("minhash LSH pairs: high n_match implies high true 3-gram Jaccard") {
     val pairs = Extended.minhashLsh.fn(spark, sfDir)
       .filter(col("n_match") >= 10).as[(Long, Long, Int)].collect()
