@@ -3829,13 +3829,14 @@ object Extended {
     * ground truth: a spec asserts the LSH-candidate variant found a
     * subset of these pairs. The (doc_id, h) set frame is persist()-pinned
     * (four consumers: sizes, document frequencies, prefix, verify arrays).
+    *
+    * The pipeline takes ANY distinct (doc_id, h) token-set frame —
+    * extracted so PpjoinPropertySpec can drive it with adversarial
+    * generated sets (vocab shapes the fixtures don't have) and compare
+    * against an in-JVM brute force.
     */
-  val ppjoinJaccard: QueryDef = QueryDef(
-    "ppjoin_jaccard",
-    (s, d) => {
-      val ds = shingleHashes(s, d)
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .distinct().persist()
+  private[graft] def ppjoinPairsOf(ds0: DataFrame): DataFrame = {
+      val ds = ds0.persist()
       val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val dfq = ds.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val pref = ds.join(dfq.hint("shuffle_hash"), Seq("h"))
@@ -3871,7 +3872,14 @@ object Extended {
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"),
           col("jac"))
         .orderBy(col("d1"), col("d2"))
-    },
+  }
+
+  val ppjoinJaccard: QueryDef = QueryDef(
+    "ppjoin_jaccard",
+    (s, d) => ppjoinPairsOf(
+      shingleHashes(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .distinct()),
     Some(s"""
       WITH $sqlShingleHashCtes,
       ds AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM hss),

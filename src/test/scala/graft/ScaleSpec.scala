@@ -44,7 +44,8 @@ class ScaleSpec extends SparkSpec {
     val family = Seq("exact_dedup", "minhash_lsh_pairs", "dup_clusters",
       "cluster_canonical", "incremental_dedup", "minhash_calibration",
       "ngram_jaccard_pairs", "decontaminate", "boilerplate_frac",
-      "corpus_overlap", "semantic_dedup", "paraphrase_pairs")
+      "corpus_overlap", "semantic_dedup", "paraphrase_pairs",
+      "ppjoin_jaccard", "dup_span_runs")
     family.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.sparkPlan
