@@ -321,7 +321,7 @@ object Extended {
     * LSH buckets) and the semantic family (`semantic_dedup`, embedding
     * near-dup pairs).
     */
-  private def ccOverEdges(edges: DataFrame): DataFrame = {
+  private[graft] def ccOverEdges(edges: DataFrame): DataFrame = {
     // adjacency pre-partitioned on the lookup key n: the per-round
     // neighbor join then reads the cached layout instead of re-shuffling
     // the edge list every iteration (the edge list is the big side —
@@ -351,7 +351,27 @@ object Extended {
         .select(col("v"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
     }
-    while (!converged && it < 13) {
+    // Pointer jump: lbl(v) <- min(lbl(v), lbl(lbl(v))). Every label is a
+    // vertex id reachable from v (min over a ≤k-hop ball), so the jump
+    // stays within the component and stays monotone non-increasing — it
+    // just doubles how far the min has traveled. Only used PAST the fast
+    // path below; interleaved jump+step was A/B-measured on the shallow
+    // near-dup graphs this engine actually clusters and LOST (the extra
+    // self-join per round cost more than the rounds it saved).
+    def jumpStep(l: DataFrame): DataFrame = {
+      val par = l.select(col("v").as("jk"), col("lbl").as("plbl"))
+      val jumped = l.join(par, col("lbl") === col("jk"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+      step(jumped)
+    }
+    // FAST PATH first 13 rounds (26 propagation hops — covers every
+    // near-dup component diameter observed at any SF), then pointer-jump
+    // acceleration: reach grows geometrically (~26·2^r hops after r
+    // accelerated rounds), so the 40-round backstop covers any diameter
+    // up to ~2^40 and the loop can never exit with silently-wrong labels
+    // the way a bare hop cap would on a deep duplicate chain at 100 TB.
+    while (!converged && it < 53) {
       // TWO steps per checkpoint/action: at bench scale each round's cost
       // is dominated by fixed job overhead (scheduling + stage setup),
       // not data, so halving the action count nearly halves wall time
@@ -364,7 +384,8 @@ object Extended {
       // lbl(lbl(v)) — was measured here and LOST: near-dup components
       // are shallow, so the extra self-join per round cost more than the
       // O(log D) rounds it saved.)
-      val next = step(step(lbl)).localCheckpoint(false)
+      val next = (if (it < 13) step(step(lbl)) else jumpStep(lbl))
+        .localCheckpoint(false)
       if (prevSum == -1L) {
         // first round: sum BOTH the init and the stepped labels in one
         // action (the init checkpoint is shared, so it computes once) —
@@ -385,6 +406,10 @@ object Extended {
       it += 1
     }
     sym.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccOverEdges: no fixpoint after $it rounds — component diameter " +
+          "beyond the pointer-jump backstop; refusing to emit wrong labels")
     lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -2469,6 +2494,101 @@ object Extended {
     """),
     doc = "BM25 top-10 docs for a 3-term query (early term prune, TakeOrdered)")
 
+  /** RRF score over the two retrieval legs (k=60, the Cormack/Clarke
+    * constant). ONE shared SQL text for both engines; a leg a doc missed
+    * contributes 0. Fixed two-term addition — no agg, so no merge-order
+    * float drift to oracle-check around.
+    */
+  private val sqlRrfScore: String =
+    "coalesce(1e0 / (60e0 + CAST(r_lex AS DOUBLE)), 0e0) + " +
+      "coalesce(1e0 / (60e0 + CAST(r_dense AS DOUBLE)), 0e0)"
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard combiner
+    * for lexical + dense legs in modern search stacks: BM25 over the
+    * query terms and cosine against the doc-0 query vector (vec_id ==
+    * doc_id is the fixtures' shared key), each leg cut to depth 100 by
+    * TakeOrderedAndProject (per-partition heaps — the legs stay
+    * corpus-streaming, never a global sort), then a 100-row full outer
+    * join fused by 1/(60+rank). The global row_number windows run AFTER
+    * the depth cut, over ≤100 rows — the single-partition window never
+    * sees corpus-sized input at any scale. The query doc is excluded
+    * AFTER the df window so both engines score identical term statistics.
+    */
+  val rrfFusion: QueryDef = QueryDef(
+    "rrf_fusion",
+    (s, d) => {
+      val ws = docWords(s, d)
+      val st = ws.agg(count(lit(1)).as("nd"),
+        sum(size(col("w")).cast("long")).as("sdl"))
+      val lex = ws
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(st))
+        .withColumn("avgdl", expr(sqlBm25Avgdl))
+        .select(col("doc_id"), expr(sqlBm25Score).as("s_i"))
+        .filter(col("doc_id") =!= 0)
+        .groupBy(col("doc_id")).agg(sum(col("s_i")).as("ssum"))
+        .orderBy(col("ssum").desc, col("doc_id")).limit(100)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("ssum").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      val all = vecs(s, d)
+      val q = all.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val dense = all.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos6", Text.hround(
+          expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")), 6))
+        .orderBy(col("cos6").desc, col("vec_id").asc).limit(100)
+        .withColumn("r_dense", row_number().over(
+          Window.orderBy(col("cos6").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_dense"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf6", Text.hround(expr(sqlRrfScore), 6))
+        .orderBy(col("rrf6").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf6"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+            FROM ws),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+             WHERE term IN $sqlBm25In GROUP BY 1, 2, 3),
+      tfd AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+      st AS (SELECT count(*) AS nd, CAST(sum(len(w)) AS BIGINT) AS sdl
+             FROM ws),
+      sc AS (SELECT doc_id, $sqlBm25Score AS s_i
+             FROM (SELECT tfd.*, st.nd, st.sdl,
+                          $sqlBm25Avgdl AS avgdl
+                   FROM tfd, st)
+             WHERE doc_id <> 0),
+      agg AS (SELECT doc_id, CAST(sum(s_i) AS BIGINT) AS ssum
+              FROM sc GROUP BY 1),
+      lex AS (SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY ssum DESC, doc_id)
+                          AS INTEGER) AS r_lex
+              FROM (SELECT * FROM agg ORDER BY ssum DESC, doc_id LIMIT 100)),
+      n AS ($sqlVecs),
+      q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+      cand AS (SELECT n.vec_id AS doc_id,
+                      ${Text.sqlHround("list_dot_product(q.qv, n.v) / (q.qn * n.nrm)", 6)} AS cos6
+               FROM n, q WHERE n.vec_id <> 0),
+      dense AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY cos6 DESC, doc_id)
+                            AS INTEGER) AS r_dense
+                FROM (SELECT * FROM cand ORDER BY cos6 DESC, doc_id LIMIT 100)),
+      f AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense
+            FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
+      SELECT doc_id, r_lex, r_dense, ${Text.sqlHround(sqlRrfScore, 6)} AS rrf6
+      FROM f ORDER BY rrf6 DESC, doc_id LIMIT 20
+    """),
+    doc = "hybrid BM25 + dense retrieval fused by reciprocal rank (k=60, depth 100)")
+
   /** Benchmark decontamination — the pre-training hygiene pass: flag
     * training documents sharing >= 3 distinct 3-gram shingles with the
     * held-out eval set (here the deterministic doc_id % 50 == 0 slice).
@@ -4041,7 +4161,7 @@ object Extended {
     curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, weightedSampleK,
     docChunks, tfidf,
-    bm25TopK, decontaminate, semanticDecontaminate, repetitionScore,
+    bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,

@@ -100,7 +100,10 @@ class ScaleSpec extends SparkSpec {
       "kcore_peel", "kcenter_coreset",
       // psi_value_drift broadcasts its one-row time-midpoint frame;
       // lsh_recall_eval broadcasts its one-row LSH-pair-count frame.
-      "psi_value_drift", "lsh_recall_eval")
+      "psi_value_drift", "lsh_recall_eval",
+      // rrf_fusion crosses bm25's one-row corpus-stats frame and the
+      // one-row doc-0 query vector — both scalar-subquery broadcasts.
+      "rrf_fusion")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
