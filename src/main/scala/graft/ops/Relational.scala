@@ -1125,6 +1125,63 @@ object Relational {
     """),
     doc = "recursive-CTE month spine with zero-filled monthly counts (UnionLoop)")
 
+  /** CDC-style snapshot diff — the lakehouse table-diff primitive: a
+    * FULL OUTER equi-join on the table key classifies every row as
+    * insert / delete / update by null-ness and value comparison, then
+    * collapses to per-type counts + an exact key checksum. The "new"
+    * snapshot is derived in-plan from the same scan by deterministic
+    * mutations (deletes: key % 89, price bumps: key % 97, inserts:
+    * key-shifted copies of key % 83), so the diff is self-oracling at
+    * every SF with all three change types populated. Plan shape: ONE
+    * key-partitioned shuffle join of two corpus-sized sides — the only
+    * diff shape that survives 100 TB (no broadcast, no collect); the
+    * price comparison is exact decimal (+10.00), never float.
+    */
+  val snapshotDiff: QueryDef = QueryDef(
+    "snapshot_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val a = o.select(col("o_orderkey"), col("o_totalprice").as("p_old"))
+      val b = o.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + lit(10))
+            .otherwise(col("o_totalprice")).as("p_new"))
+        .unionByName(o.filter(col("o_orderkey") % 83 === 0)
+          .select((col("o_orderkey") + lit(2000000000L)).as("o_orderkey"),
+            col("o_totalprice").as("p_new")))
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("p_old").isNull, lit("insert"))
+            .when(col("p_new").isNull, lit("delete"))
+            .when(col("p_old") =!= col("p_new"), lit("update"))
+            .otherwise(lit("same")))
+        .filter(col("change_type") =!= "same")
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("change_type"))
+    },
+    Some("""
+      WITH a AS (SELECT o_orderkey, o_totalprice AS p_old FROM orders),
+      b0 AS (SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10
+                         ELSE o_totalprice END AS p_new
+             FROM orders WHERE o_orderkey % 89 <> 0),
+      bi AS (SELECT o_orderkey + 2000000000 AS o_orderkey,
+                    o_totalprice AS p_new
+             FROM orders WHERE o_orderkey % 83 = 0),
+      b AS (SELECT * FROM b0 UNION ALL SELECT * FROM bi),
+      f AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k, p_old, p_new
+            FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey),
+      c AS (SELECT k, CASE WHEN p_old IS NULL THEN 'insert'
+                           WHEN p_new IS NULL THEN 'delete'
+                           WHEN p_old <> p_new THEN 'update'
+                           ELSE 'same' END AS change_type FROM f)
+      SELECT change_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+      FROM c WHERE change_type <> 'same' GROUP BY 1 ORDER BY 1
+    """),
+    doc = "CDC snapshot diff: full-outer key join -> insert/delete/update counts + key checksum")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
@@ -1133,5 +1190,5 @@ object Relational {
       sqlLargeOrders, sqlDiscountedRevenue, sqlPromoRevenue,
       sqlMinPriceSupplier, sqlSupplierBreadth, sqlTopSupplier,
       sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
-      sqlOrderCountDist)
+      sqlOrderCountDist, snapshotDiff)
 }

@@ -140,6 +140,18 @@ class ScaleSpec extends SparkSpec {
         s"collect_list should carry the simhash itself:\n$simPlan")
   }
 
+  test("rrf_fusion: both legs depth-cut by TakeOrdered before any global window") {
+    // The scale property that makes the single-partition row_number
+    // windows safe: each retrieval leg must be cut to its 100-row depth
+    // by TakeOrderedAndProject (per-partition heaps) BEFORE the global
+    // window ranks it — a plan where the window sees the corpus would
+    // funnel every scored row through one partition at 100 TB. Three
+    // TakeOrdered nodes: lex leg, dense leg, final top-20.
+    val plan = planOf(ops.Extended.rrfFusion.fn(spark, sfDir))
+    val cuts = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(cuts >= 3, s"rrf_fusion: expected 3 TakeOrdered depth cuts, found $cuts:\n$plan")
+  }
+
   test("knn_classify_ann candidates come from a band equi-join, not the NLJ") {
     // The production swap knn_classify's scaladoc promises: candidate
     // generation must be an equi-join on the (band, code) LSH keys —
