@@ -487,6 +487,41 @@ object EventStream {
     verdicts.union(shortKept)
   }
 
+  // ---- CDC apply: keyed change stream → current-state snapshot -----------
+
+  final case class Change(k: Long, op: String, value: Double, seq: Long)
+  final case class CdcState(present: Boolean, value: Double, seq: Long)
+  final case class CdcOut(k: Long, present: Boolean, value: Double, seq: Long)
+
+  /** snapshot_diff's streaming counterpart — APPLY a CDC change stream
+    * (upsert/delete, a per-key monotone sequence number) to keyed state
+    * via `mapGroupsWithState`. The seq guard makes application
+    * idempotent under at-least-once delivery: a replayed or reordered
+    * stale change (seq ≤ applied) is a no-op, so the state converges to
+    * the max-seq change per key — exactly the batch "last writer wins"
+    * window (`pit_join_scd2`'s rank shape), which the spec computes
+    * independently and compares. Emits the CURRENT state (tombstones
+    * included, present=false) each time a key appears in a batch; the
+    * final snapshot is each key's max-seq output row. State is O(live
+    * keys); production adds a TTL for tombstone garbage collection.
+    */
+  def cdcApply(ds: Dataset[Change]): Dataset[CdcOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .mapGroupsWithState[CdcState, CdcOut](GroupStateTimeout.NoTimeout) {
+        (k: Long, chs: Iterator[Change], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(false, 0.0, Long.MinValue))
+          chs.toSeq.sortBy(_.seq).foreach { c =>
+            if (c.seq > st.seq)
+              st =
+                if (c.op == "delete") CdcState(false, 0.0, c.seq)
+                else CdcState(true, c.value, c.seq)
+          }
+          state.update(st)
+          CdcOut(k, st.present, st.value, st.seq)
+      }
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents, ohlcStreamTwin)

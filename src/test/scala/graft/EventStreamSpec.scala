@@ -499,4 +499,48 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("cdcApply: change stream folds to last-writer-wins; stale replays are no-ops") {
+    import graft.streaming.EventStream.{CdcOut, Change}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = EventStream.cdcApply(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(OutputMode.Update()).start()
+    // the full change log, applied across 3 micro-batches; batch 3
+    // REPLAYS two stale changes (at-least-once delivery) which must not
+    // regress the state
+    val b1 = Seq(Change(1L, "upsert", 10.0, 1L), Change(2L, "upsert", 5.0, 2L),
+      Change(3L, "upsert", 7.0, 3L))
+    val b2 = Seq(Change(1L, "upsert", 11.0, 4L), Change(2L, "delete", 0.0, 5L),
+      Change(4L, "upsert", 1.0, 6L))
+    val b3 = Seq(Change(1L, "upsert", 10.0, 1L), // stale replay: seq 1 < 4
+      Change(2L, "upsert", 5.0, 2L), // stale replay after delete
+      Change(3L, "delete", 0.0, 7L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      // final snapshot = max-seq output row per key
+      val snap = spark.table("cdc_out").as[CdcOut].collect()
+        .groupBy(_.k).map { case (k, rows) => k -> rows.maxBy(_.seq) }
+      assert(snap(1L).present && snap(1L).value === 11.0 && snap(1L).seq === 4L,
+        s"key 1 regressed by stale replay: ${snap(1L)}")
+      assert(!snap(2L).present && snap(2L).seq === 5L,
+        s"key 2 tombstone lost to stale replay: ${snap(2L)}")
+      assert(!snap(3L).present && snap(3L).seq === 7L)
+      assert(snap(4L).present && snap(4L).value === 1.0)
+      // batch twin: last-writer-wins window over the SAME change log —
+      // the independent computation the streaming fold must agree with
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("seq").desc)
+      val twin = (b1 ++ b2 ++ b3).toDS()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k"), (col("op") =!= "delete").as("present"),
+          when(col("op") =!= "delete", col("value")).otherwise(0.0).as("value"),
+          col("seq"))
+        .as[CdcOut].collect().map(o => o.k -> o).toMap
+      assert(snap.toMap === twin, s"stream snapshot != batch twin:\n$snap\n$twin")
+    } finally q.stop()
+  }
 }
