@@ -334,6 +334,11 @@ object Windows {
     * are wrong for "last 7 days"). Both engines order by truncated epoch
     * seconds so the frame boundary is identical; ties (same second) are
     * peers and share a frame, so no tiebreak is needed for determinism.
+    * TRUNCATION TRAP: Spark's cast(ts AS LONG) FLOORS to seconds, but
+    * DuckDB's date_part('epoch') is a DOUBLE carrying the fractional
+    * second and CAST(DOUBLE AS BIGINT) ROUNDS — a frac ≥ .5 row lands in
+    * the next second and can straddle a 7-day frame edge (one row at
+    * sf0.1, invisible at sf0.01). The oracle must floor() before casting.
     */
   val trailing7d: QueryDef = QueryDef(
     "trailing_7d_range",
@@ -353,7 +358,7 @@ object Windows {
              count(*) OVER w AS n_7d,
              round_even(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_7d
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
                    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
       ORDER BY event_id
     """),
