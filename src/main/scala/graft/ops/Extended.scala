@@ -2290,6 +2290,53 @@ object Extended {
     """),
     doc = "target-mixture domain resampling: in-plan rates, integral hash Bernoulli")
 
+  /** Temperature-based mixture reweighting (α = 0.5) — the alpha-sampling
+    * rule multilingual/multi-domain LLM mixes use to up-weight small
+    * domains: sampling weight w_i ∝ mass_i^α, here over per-source char
+    * mass. One groupBy collapses the corpus to ≤|sources| rows; the
+    * normalizing sums are unpartitioned window sums over that tiny frame
+    * (never corpus-sized — the rrf_fusion discipline). FLOAT PARITY: the
+    * only float op is one sqrt of an exact BIGINT (correctly-rounded IEEE
+    * in both engines), quantized to integer micro-units by floor(·1e6)
+    * BEFORE the exact-integer normalizing sum — so shares divide
+    * identical long operands and the expected-count column is pure
+    * integral arithmetic (qa·10⁴ div Σqa).
+    */
+  val temperatureMix: QueryDef = QueryDef(
+    "temperature_mix_weights",
+    (s, d) => {
+      val w = Window.partitionBy()
+      Tables.documents(s, d)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("t_i"))
+        .withColumn("qa",
+          floor(sqrt(col("t_i").cast("double")) * lit(1000000.0)))
+        .withColumn("tot_t", sum(col("t_i")).over(w))
+        .withColumn("tot_qa", sum(col("qa")).over(w))
+        .select(col("source"), col("t_i"),
+          Text.hround(col("t_i").cast("double") / col("tot_t").cast("double"), 6)
+            .as("p_raw6"),
+          Text.hround(col("qa").cast("double") / col("tot_qa").cast("double"), 6)
+            .as("p_temp6"),
+          expr("CAST((qa * 10000) div tot_qa AS BIGINT)").as("exp_docs_10k"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_i
+                 FROM documents GROUP BY 1),
+      q AS (SELECT source, t_i,
+                   CAST(floor(sqrt(CAST(t_i AS DOUBLE)) * 1000000e0) AS BIGINT) AS qa
+            FROM a),
+      t AS (SELECT source, t_i, qa,
+                   CAST(sum(t_i) OVER () AS BIGINT) AS tot_t,
+                   CAST(sum(qa) OVER () AS BIGINT) AS tot_qa FROM q)
+      SELECT source, t_i,
+             ${Text.sqlHround("CAST(t_i AS DOUBLE) / CAST(tot_t AS DOUBLE)", 6)} AS p_raw6,
+             ${Text.sqlHround("CAST(qa AS DOUBLE) / CAST(tot_qa AS DOUBLE)", 6)} AS p_temp6,
+             CAST((qa * 10000) // tot_qa AS BIGINT) AS exp_docs_10k
+      FROM t ORDER BY source
+    """),
+    doc = "alpha=0.5 temperature mixture weights per source (quantized-integer parity)")
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
     * "Weighted random sampling with a reservoir", IPL 2006): each item
     * draws u ∈ (0,1) and the k LARGEST u^(1/w) win, which is exactly a
@@ -4159,7 +4206,8 @@ object Extended {
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,
-    uniformSampleK, reservoirSample, domainMixSample, weightedSampleK,
+    uniformSampleK, reservoirSample, domainMixSample, temperatureMix,
+    weightedSampleK,
     docChunks, tfidf,
     bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,
