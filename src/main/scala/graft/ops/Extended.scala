@@ -713,33 +713,39 @@ object Extended {
     * free by comparison at any scale, and the verify filter now runs
     * BEFORE the cross-band distinct, shrinking it to true near-dups.)
     */
+  /** The banding + row-local Hamming verify over ANY (doc_id, simhash)
+    * frame — split out so the pigeonhole exactness is property-testable
+    * on adversarial random signatures (SimhashPropertySpec), not just
+    * fixture-shaped ones. Bucket cap 1000 as documented on the query.
+    */
+  private[graft] def simhashPairsOf(sims: DataFrame): DataFrame = {
+    val bandStructs = (0 until SimBands).map { b =>
+      s"struct($b AS band, shiftright(simhash, ${SimBandBits * b}) & ${(1 << SimBandBits) - 1} AS code)"
+    }.mkString(", ")
+    sims
+      .select(explode(expr(s"array($bandStructs)")).as("bs"),
+        col("doc_id"), col("simhash"))
+      .select(col("bs.band").as("band"), col("bs.code").as("code"),
+        struct(col("doc_id"), col("simhash")).as("m"))
+      .groupBy(col("band"), col("code"))
+      .agg(expr("array_sort(collect_list(m))").as("ms"))
+      .filter(size(col("ms")).between(2, 1000))
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> " +
+          "struct(x.doc_id AS d1, y.doc_id AS d2, " +
+          "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"))
+        .as("p"))
+      .filter(col("p.hamming") <= SimBands - 1)
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val simhashNearDup: QueryDef = QueryDef(
     "simhash_near_dup",
-    (s, d) => {
-      val sims = simhashSigs(s, d)
-      val bandStructs = (0 until SimBands).map { b =>
-        s"struct($b AS band, shiftright(simhash, ${SimBandBits * b}) & ${(1 << SimBandBits) - 1} AS code)"
-      }.mkString(", ")
-      sims
-        .select(explode(expr(s"array($bandStructs)")).as("bs"),
-          col("doc_id"), col("simhash"))
-        .select(col("bs.band").as("band"), col("bs.code").as("code"),
-          struct(col("doc_id"), col("simhash")).as("m"))
-        .groupBy(col("band"), col("code"))
-        .agg(expr("array_sort(collect_list(m))").as("ms"))
-        .filter(size(col("ms")).between(2, 1000))
-        .select(explode(expr(
-          "flatten(transform(ms, (x, i) -> " +
-            "transform(slice(ms, i + 2, size(ms)), y -> " +
-            "struct(x.doc_id AS d1, y.doc_id AS d2, " +
-            "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"))
-          .as("p"))
-        .filter(col("p.hamming") <= SimBands - 1)
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
-          col("p.hamming").as("hamming"))
-        .distinct()
-        .orderBy(col("d1"), col("d2"))
-    },
+    (s, d) => simhashPairsOf(simhashSigs(s, d)),
     Some {
       val bandSelects = (0 until SimBands).map { b =>
         s"SELECT doc_id, $b AS band, (simhash >> ${SimBandBits * b}) & ${(1 << SimBandBits) - 1} AS code FROM sims"
