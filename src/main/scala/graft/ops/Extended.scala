@@ -4041,7 +4041,14 @@ object Extended {
         .withColumn("jac", Text.hround(
           col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")), 4))
-        .filter(col("jac") >= 0.5)
+        // EXACT integer gate: jac >= 0.5 ⟺ 2·inter >= union. The rounded
+        // jac column is display-only — gating on hround(jac,4) >= 0.5
+        // would ADMIT pairs with true jac in [0.49995, 0.5), which the
+        // prefix/length filters (lossless only for true jac >= t) may
+        // have already pruned, breaking the exactness contract once the
+        // corpus has >= ~10^4-shingle unions. Both the oracle and
+        // PpjoinPropertySpec gate on this same integer predicate.
+        .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"),
           col("jac"))
         .orderBy(col("d1"), col("d2"))
@@ -4065,7 +4072,7 @@ object Extended {
              ${Text.sqlHround(
         "CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 4)} AS jac
       FROM pairs
-      WHERE ${Text.sqlHround("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 4)} >= 0.5
+      WHERE 2 * inter >= (n1 + n2 - inter)
       ORDER BY d1, d2
     """),
     doc = "exact prefix-filtered (PPJoin) Jaccard ≥ 0.5 join vs brute-force oracle")

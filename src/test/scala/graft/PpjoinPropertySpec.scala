@@ -21,9 +21,10 @@ class PpjoinPropertySpec extends SparkSpec {
       i <- ids; j <- ids if i < j
       inter = sets(i).intersect(sets(j)).size
       union = sets(i).size + sets(j).size - inter
-      // mirror the engine's filter exactly: hround(4) then >= 0.5
-      jac = math.floor(inter.toDouble / union * 1e4 + 0.5) / 1e4
-      if jac >= 0.5
+      // mirror the engine's EXACT integer gate: 2·inter >= union
+      // (never a rounded-jaccard threshold — hround(4) >= 0.5 admits
+      // true jac in [0.49995, 0.5), which the prefix filter may prune)
+      if 2 * inter >= union
     } yield (i, j)).toSet
   }
 
@@ -57,5 +58,26 @@ class PpjoinPropertySpec extends SparkSpec {
           s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
       assert(want.nonEmpty, s"trial $trial: vacuous — no qualifying pairs")
     }
+  }
+
+  test("rounding-window pair (true jac in [0.49995, 0.5)) is excluded") {
+    // Planted boundary case from the round-9 advice: A = {1..14999},
+    // B = {5001..20000} → inter = 9999, union = 20000, true jac =
+    // 0.49995, which hround(4) rounds UP to 0.5000. Under the old
+    // rounded gate this pair's membership depended on whether the
+    // prefix filter happened to keep it; under the exact integer gate
+    // both engines agree it does NOT qualify. Control pair C/D has jac
+    // exactly 0.5 (inter 6, union 12) and MUST survive.
+    val sets = Map(
+      1L -> (1L to 14999L).toSet,
+      2L -> (5001L to 20000L).toSet,
+      3L -> (100001L to 100010L).toSet,
+      4L -> ((100001L to 100006L).toSet + 200001L + 200002L))
+    val rows = sets.toSeq.flatMap { case (id, hs) => hs.map(id -> _) }
+    val got = Extended.ppjoinPairsOf(rows.toDF("doc_id", "h"))
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    assert(got === bruteForce(sets), s"mismatch vs brute force: $got")
+    assert(!got.contains((1L, 2L)), "rounding-window pair wrongly admitted")
+    assert(got.contains((3L, 4L)), "exact jac=0.5 control pair missed")
   }
 }
