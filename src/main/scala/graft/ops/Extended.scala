@@ -3832,6 +3832,135 @@ object Extended {
     """),
     doc = "top-20 adjacent char-pair frequencies (first BPE merge iteration)")
 
+  /** DuckDB CTE pair for one greedy BPE round r: count adjacent symbol
+    * pairs (space-joined key) weighted by word frequency, pick the
+    * winner, and apply the merge to every word via a string-encoded
+    * left fold (list_reduce's accumulator must share the element type,
+    * so the accumulator IS the space-joined symbol string — symbols are
+    * [a-z]+ only, making the space separator collision-free).
+    */
+  private def sqlBpeRound(r: Int): String = s"""
+      p$r AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM (SELECT unnest([syms[i] || ' ' || syms[i + 1]
+                                   FOR i IN generate_series(1, len(syms) - 1)])
+                             AS pr, freq
+                    FROM s${r - 1})
+              GROUP BY 1),
+      w$r AS (SELECT CAST($r AS INTEGER) AS round,
+                     split_part(pr, ' ', 1) AS a,
+                     split_part(pr, ' ', 2) AS b, cnt
+              FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1),
+      s$r AS (SELECT str_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN regexp_extract(acc, '[^ ]+$$') = w.a
+                                 AND x = w.b
+                            THEN regexp_replace(acc, '[^ ]+$$', w.a || w.b)
+                            ELSE acc || ' ' || x END), ' ') AS syms, freq
+              FROM s${r - 1}, w$r w)"""
+
+  /** Multi-round greedy BPE vocabulary induction — [[bpePairMerges]]
+    * taken to depth [[BpeRounds]]: each round counts adjacent symbol
+    * pairs across the corpus, merges the most frequent pair (leftmost
+    * non-overlapping within each word, the standard BPE scan), and
+    * repeats on the updated symbol sequences. Output: one row per round
+    * with the merged pair and its corpus count — the first entries of a
+    * real tokenizer's merge table.
+    *
+    * Scale shape: the corpus is folded ONCE into the distinct-word
+    * frequency table (the classic BPE working set — vocabulary-sized,
+    * not corpus-sized), so each round's pair count is a groupBy over
+    * O(vocab · word_len) rows and the merge itself is a row-local array
+    * fold (zero shuffle). Every round's frame AND its one-row winner are
+    * persist()-pinned — the kcenter/pagerank discipline — so round k
+    * costs one vocab pass instead of re-deriving rounds 1..k-1 (K
+    * passes total, not K²/2). The winner rides into the merge step as a
+    * one-row broadcast crossJoin (scalar-subquery shape, ScaleSpec
+    * `intended`); the whole chain is lazy until the driver's action.
+    *
+    * Engine merge = array fold via `aggregate`; oracle merge = an
+    * INDEPENDENT string fold via `list_reduce` (different encoding,
+    * same greedy-scan semantics — the ppjoin "independent oracle" rule).
+    * Leftmost-first matters when a == b: "aaaa" under (a,a) must become
+    * ["aa","aa"], which the fold gives because a freshly merged symbol
+    * ("aa") no longer equals the left element ("a") of the pair.
+    */
+  val BpeRounds = 5
+
+  /** The round-unrolled greedy core over ANY (syms: array<string>,
+    * freq: long) frame — extracted so BpePropertySpec can drive it with
+    * planted corpora where a MERGED symbol wins a later round (the
+    * fixtures' top-5 merges are all char-char, so only the spec
+    * exercises merged-symbol recursion and the a == b leftmost scan).
+    */
+  private[graft] def bpeMergeRoundsOf(wf0: DataFrame,
+      rounds: Int): DataFrame = {
+      val mergeFold =
+        """aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+             (acc, x) -> CASE WHEN element_at(acc, -1) = ma AND x = mb
+               THEN concat(slice(acc, 1, size(acc) - 1),
+                           array(concat(ma, mb)))
+               ELSE concat(acc, array(x)) END)"""
+      var cur = wf0.persist()
+      val wins = (1 to rounds).map { r =>
+        // size >= 2 guard: Spark's sequence(1, 0) DESCENDS to [1, 0]
+        // (it never yields empty), so fully-merged single-symbol words
+        // must be excluded before the pair expansion.
+        val win = cur.filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+                 i -> concat(element_at(syms, i), ' ',
+                             element_at(syms, i + 1)))""")).as("pr"),
+            col("freq"))
+          .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pr").asc)
+          .limit(1)
+          .select(lit(r).as("round"),
+            split(col("pr"), " ").getItem(0).as("a"),
+            split(col("pr"), " ").getItem(1).as("b"),
+            col("cnt"))
+          .persist()
+        if (r < rounds)
+          cur = cur
+            .crossJoin(broadcast(
+              win.select(col("a").as("ma"), col("b").as("mb"))))
+            .select(expr(mergeFold).as("syms"), col("freq"))
+            .persist()
+        win
+      }
+      wins.reduce(_.unionAll(_))
+        .select(col("round"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("cnt"))
+        .orderBy(col("round"))
+  }
+
+  val bpeMergeRounds: QueryDef = QueryDef(
+    "bpe_merge_rounds",
+    (s, d) => bpeMergeRoundsOf(
+      docWords(s, d)
+        .select(explode(col("w")).as("t0"))
+        .select(lower(col("t0")).as("t"))
+        .filter(col("t").rlike("^[a-z]{2,}$"))
+        .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+        .select(expr(
+          "transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+          .as("syms"), col("freq")),
+      BpeRounds),
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      tok AS (SELECT lower(t_) AS t
+              FROM (SELECT unnest(w) AS t_ FROM ws)
+              WHERE regexp_matches(lower(t_), '^[a-z]{2,}$$')),
+      wf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+      s0 AS (SELECT [substr(t, i, 1)
+                     FOR i IN generate_series(1, length(t))] AS syms, freq
+             FROM wf),
+      ${(1 to BpeRounds).map(sqlBpeRound).mkString(",\n")}
+      SELECT round, a, b, a || b AS merged, cnt
+      FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM w$r")
+        .mkString(" UNION ALL ")})
+      ORDER BY round
+    """),
+    doc = s"$BpeRounds-round greedy BPE merge table (driver-unrolled, pinned)")
+
   /** Zipf-law audit per source: OLS of ln(count) on ln(rank) over the top
     * 200 token ranks — slope ≈ −1 for natural text, flatter for templated
     * or synthetic corpora (a drifted slope flags a source whose token
@@ -4226,5 +4355,6 @@ object Extended {
     packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
-    bpePairMerges, zipfFit, sortedNeighborhoodEr, ppjoinJaccard, lshRecallEval, dupSpanRuns)
+    bpePairMerges, bpeMergeRounds, zipfFit, sortedNeighborhoodEr,
+    ppjoinJaccard, lshRecallEval, dupSpanRuns)
 }

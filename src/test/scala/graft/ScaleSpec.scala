@@ -97,7 +97,9 @@ class ScaleSpec extends SparkSpec {
       // into every peel round — the same scalar-subquery shape; and
       // kcenter_coreset broadcasts its one-row selected-centers ARRAY
       // into each of the 7 unrolled greedy steps (KB-scale builds).
-      "kcore_peel", "kcenter_coreset",
+      // bpe_merge_rounds broadcasts each round's one-row winning pair
+      // into the next round's merge fold — the same unrolled shape.
+      "kcore_peel", "kcenter_coreset", "bpe_merge_rounds",
       // psi_value_drift broadcasts its one-row time-midpoint frame;
       // lsh_recall_eval broadcasts its one-row LSH-pair-count frame.
       "psi_value_drift", "lsh_recall_eval",
