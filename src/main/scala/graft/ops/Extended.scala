@@ -4260,30 +4260,65 @@ object Extended {
     * spell_runs shape) — every window is partitioned by doc_id, and the
     * shuffles carry hashes and positions, never text.
     */
-  val dupSpanRuns: QueryDef = {
-    val K = 8
+  /** Shared 8-gram duplicated-position machinery for the substring-dedup
+    * audits ([[dupSpanRuns]], [[dupMaxSpans]]): hash-once word array
+    * behind a repartition (the shingleHashes exchange discipline),
+    * Horner-mod [[SpanK]]-gram combine, position explode, document-
+    * frequency shuffle on the 8-byte hash. Returns (hss, dup): the
+    * per-doc shingle-hash arrays (persisted — both consumers re-read
+    * it for per-doc totals) and the (doc_id, i) positions whose 8-gram
+    * occurs in >= 2 distinct documents.
+    */
+  private[graft] val SpanK = 8
+  private def spanHits(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val K = SpanK
     val horner = (1 until K).foldLeft("element_at(hw, i)") { (e, j) =>
       s"((($e) * 31 + element_at(hw, i + $j)) % $P)"
     }
+    val hss = Tables.documents(s, d)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= K)
+      .select(col("doc_id"),
+        expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hw"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, size(hw) - ${K - 1}), i -> $horner)")
+          .as("hs"))
+      .persist()
+    val ps = hss.select(col("doc_id"),
+      posexplode(col("hs")).as(Seq("i", "h")))
+    val ddf = ps.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+    val dup = ps.join(ddf.hint("shuffle_hash"), Seq("h"))
+      .filter(col("ddf") >= 2)
+    (hss, dup)
+  }
+
+  /** The shared DuckDB CTE prefix mirroring [[spanHits]]. */
+  private def sqlSpanHits: String = {
+    val K = SpanK
+    val sqlHorner = (1 until K).foldLeft("hw[i]") { (e, j) =>
+      s"((($e) * 31 + hw[i+$j]) % $P)"
+    }
+    s"""ws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
+        wk AS (SELECT * FROM ws WHERE len(w) >= $K),
+        hws AS (SELECT doc_id, list_transform(w, x -> ${Text.sqlH32("x")}) AS hw
+                FROM wk),
+        hss AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(hw) - ${K - 1}, 0)),
+                    i -> $sqlHorner) AS hs FROM hws),
+        ps AS (SELECT doc_id, i, hs[i] AS h
+               FROM hss, unnest(generate_series(1, len(hs))) AS t(i)),
+        df AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM ps GROUP BY 1),
+        dup AS (SELECT p.doc_id, p.i FROM ps p JOIN df USING (h) WHERE ddf >= 2)"""
+  }
+
+  val dupSpanRuns: QueryDef = {
+    val K = SpanK
     QueryDef(
       "dup_span_runs",
       (s, d) => {
-        val hss = Tables.documents(s, d)
-          .select(col("doc_id"), Text.words(col("text")).as("w"))
-          .filter(size(col("w")) >= K)
-          .select(col("doc_id"),
-            expr(s"transform(w, x -> ${sqlSparkH32("x")})").as("hw"))
-          .repartition(col("doc_id"))
-          .select(col("doc_id"),
-            expr(s"transform(sequence(1, size(hw) - ${K - 1}), i -> $horner)")
-              .as("hs"))
-          .persist()
-        val ps = hss.select(col("doc_id"),
-          posexplode(col("hs")).as(Seq("i", "h")))
-        val ddf = ps.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("ddf"))
-        val dup = ps.join(ddf.hint("shuffle_hash"), Seq("h"))
-          .filter(col("ddf") >= 2)
+        val (hss, dup) = spanHits(s, d)
         val agg = dup
           .withColumn("grp", col("i") - row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("i"))))
@@ -4302,21 +4337,8 @@ object Extended {
           .orderBy(col("doc_id"))
       },
       Some {
-        val sqlHorner = (1 until K).foldLeft("hw[i]") { (e, j) =>
-          s"((($e) * 31 + hw[i+$j]) % $P)"
-        }
         s"""
-        WITH ws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
-        wk AS (SELECT * FROM ws WHERE len(w) >= $K),
-        hws AS (SELECT doc_id, list_transform(w, x -> ${Text.sqlH32("x")}) AS hw
-                FROM wk),
-        hss AS (SELECT doc_id,
-                  list_transform(generate_series(1, greatest(len(hw) - ${K - 1}, 0)),
-                    i -> $sqlHorner) AS hs FROM hws),
-        ps AS (SELECT doc_id, i, hs[i] AS h
-               FROM hss, unnest(generate_series(1, len(hs))) AS t(i)),
-        df AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM ps GROUP BY 1),
-        dup AS (SELECT p.doc_id, p.i FROM ps p JOIN df USING (h) WHERE ddf >= 2),
+        WITH $sqlSpanHits,
         runs AS (SELECT doc_id,
                    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
                  FROM dup),
@@ -4333,6 +4355,91 @@ object Extended {
       },
       doc = "longest cross-doc duplicated 8-gram span per document (substring-dedup audit)")
   }
+
+  /** Gap-islands span merge over ANY (doc_id, i) duplicated-position
+    * frame: a hit at position i covers words [i, i+k-1], and two sorted
+    * hits fuse into one span iff their covered intervals overlap or
+    * touch (i₂ − i₁ <= k). Per-doc lag → break flag → running-sum
+    * island id → one aggregate per island — every window partitioned by
+    * doc_id, so the whole merge distributes per-document with zero
+    * corpus-wide state. Extracted frame-in/frame-out so
+    * SpanMergePropertySpec can drive it with planted overlap shapes
+    * (touching at exactly k, gap k+1, nested/staircase overlaps) the
+    * fixtures don't produce, against a covered-word-set brute force.
+    */
+  private[graft] def maxSpansOf(hits: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    hits
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("s"),
+        (max(col("i")) + lit(k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span_words"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_words"))
+  }
+
+  /** Exact maximal duplicated-substring spans — [[dupSpanRuns]] taken
+    * from shingle-POSITION runs to WORD spans: overlapping duplicated
+    * 8-gram hits are merged into maximal covered word intervals (the
+    * statistic a Lee-et-al-style substring dedup actually cuts on —
+    * "this document shares a 57-word span with the corpus", not "57
+    * consecutive shingle positions are duplicated"). Engine = the
+    * [[maxSpansOf]] lag-based island merge over hit positions; oracle =
+    * a deliberately INDEPENDENT formulation (explode each hit into its
+    * k covered word positions, dedupe, then plain consecutive-word
+    * gaps-and-islands) — different algorithm, same spans, the ppjoin
+    * independent-oracle rule. dup_word_frac is the per-doc fraction of
+    * WORDS covered by some duplicated span (bounded by 1 by
+    * construction, unlike position-fraction which ignores overlap).
+    */
+  val dupMaxSpans: QueryDef = QueryDef(
+    "dup_max_spans",
+    (s, d) => {
+      val (hss, dup) = spanHits(s, d)
+      val agg = maxSpansOf(dup.select(col("doc_id"), col("i")), SpanK)
+      hss.select(col("doc_id"),
+          (size(col("hs")) + lit(SpanK - 1)).cast("long").as("n_words"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("max_span_words"), lit(0L)).as("max_span_words"),
+          coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+          Text.hround(
+            coalesce(col("dup_words"), lit(0L)) / col("n_words"), 4)
+            .as("dup_word_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $sqlSpanHits,
+      cov AS (SELECT DISTINCT doc_id, wpos
+              FROM dup, unnest(generate_series(i, i + ${SpanK - 1})) AS t(wpos)),
+      isl AS (SELECT doc_id, wpos,
+                wpos - row_number() OVER (PARTITION BY doc_id ORDER BY wpos)
+                  AS grp
+              FROM cov),
+      sp AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+             FROM isl GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(max(len) AS BIGINT) AS max_span_words,
+                CAST(sum(len) AS BIGINT) AS dup_words FROM sp GROUP BY 1),
+      np AS (SELECT doc_id, CAST(len(hs) + ${SpanK - 1} AS BIGINT) AS n_words
+             FROM hss)
+      SELECT np.doc_id, np.n_words,
+             coalesce(agg.n_spans, 0) AS n_spans,
+             coalesce(agg.max_span_words, 0) AS max_span_words,
+             coalesce(agg.dup_words, 0) AS dup_words,
+             ${Text.sqlHround("coalesce(agg.dup_words, 0) / np.n_words", 4)}
+               AS dup_word_frac
+      FROM np LEFT JOIN agg USING (doc_id) ORDER BY np.doc_id
+    """),
+    doc = "maximal duplicated word spans per doc (overlap-merged 8-gram hits)")
 
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
@@ -4356,5 +4463,5 @@ object Extended {
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
     bpePairMerges, bpeMergeRounds, zipfFit, sortedNeighborhoodEr,
-    ppjoinJaccard, lshRecallEval, dupSpanRuns)
+    ppjoinJaccard, lshRecallEval, dupSpanRuns, dupMaxSpans)
 }
