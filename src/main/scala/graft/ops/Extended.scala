@@ -1075,9 +1075,8 @@ object Extended {
     * broadcast; cosine is rounded to 6 dp (deterministic hround) before
     * ranking so ties break identically cross-engine (then by vec_id).
     */
-  val cosineTopK: QueryDef = QueryDef(
-    "embed_cosine_topk",
-    (s, d) => {
+  private[graft] def cosineTopKAt(s: SparkSession, d: String,
+      k: Int): DataFrame = {
       val all = vecs(s, d)
       val q = all.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1087,11 +1086,12 @@ object Extended {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos6").desc, col("vec_id").asc)
       cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+        .filter(col("rn") <= k)
         .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
-    },
-    Some(s"""
+  }
+
+  private[ops] def sqlCosineTopKAt(k: Int): String = s"""
       WITH n AS ($sqlVecs),
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
       cand AS (
@@ -1101,8 +1101,13 @@ object Extended {
       r AS (SELECT q_id, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
             FROM cand)
-      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 10 ORDER BY q_id, rn
-    """),
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= $k ORDER BY q_id, rn
+    """
+
+  val cosineTopK: QueryDef = QueryDef(
+    "embed_cosine_topk",
+    (s, d) => cosineTopKAt(s, d, 10),
+    Some(sqlCosineTopKAt(10)),
     doc = "brute-force cosine top-10 baseline (query side broadcast)")
 
   // ---- banded sign-LSH candidate machinery (embedding LSH family) --------
@@ -1247,9 +1252,8 @@ object Extended {
     * ShuffledHashJoin keyed on band+code, no broadcast, no NLJ). Nothing
     * downstream changes; the exact-rank stage already runs shuffle-hash.
     */
-  val annLsh: QueryDef = QueryDef(
-    "embed_ann_lsh",
-    (s, d) => {
+  private[graft] def annLshTopK(s: SparkSession, d: String,
+      k: Int): DataFrame = {
       val all = vecs(s, d)
       val bands = annBands(all)
       val qb = bands.filter(col("vec_id") % 100 === 0)
@@ -1266,11 +1270,12 @@ object Extended {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos6").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+        .filter(col("rn") <= k)
         .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
-    },
-    Some(s"""
+  }
+
+  private def sqlAnnLshTopK(k: Int): String = s"""
       WITH vsrc AS ($sqlVecs),
       ebands AS ($sqlAnnBands),
       qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0),
@@ -1287,8 +1292,13 @@ object Extended {
       r AS (SELECT q_id, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
             FROM scored)
-      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
-    """),
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= $k ORDER BY q_id, rn
+    """
+
+  val annLsh: QueryDef = QueryDef(
+    "embed_ann_lsh",
+    (s, d) => annLshTopK(s, d, 5),
+    Some(sqlAnnLshTopK(5)),
     doc = "ANN: multi-table sign-LSH (bands x 2^bits buckets) equi-join + top-5 rank")
 
   /** The corpus-sized-query-set plan the annLsh scaladoc promises: every
@@ -1326,9 +1336,8 @@ object Extended {
     * full copy of the (id, band, code) index. Candidates remain an
     * equi-join on (band, code); never a pair enumeration.
     */
-  val annMultiprobe: QueryDef = QueryDef(
-    "embed_ann_multiprobe",
-    (s, d) => {
+  private[graft] def annMultiprobeTopK(s: SparkSession, d: String,
+      k: Int): DataFrame = {
       val all = vecs(s, d)
       val bands = bandedCodes(MpBits, MpBands)(all)
       val flipList = (Seq(0) ++ (0 until MpBits).map(1 << _)).mkString(", ")
@@ -1347,11 +1356,12 @@ object Extended {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos6").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+        .filter(col("rn") <= k)
         .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
-    },
-    Some(s"""
+  }
+
+  private def sqlAnnMultiprobeTopK(k: Int): String = s"""
       WITH vsrc AS ($sqlVecs),
       ebands AS ($sqlMpBands),
       qb AS (
@@ -1371,8 +1381,13 @@ object Extended {
       r AS (SELECT q_id, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
             FROM scored)
-      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
-    """),
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= $k ORDER BY q_id, rn
+    """
+
+  val annMultiprobe: QueryDef = QueryDef(
+    "embed_ann_multiprobe",
+    (s, d) => annMultiprobeTopK(s, d, 5),
+    Some(sqlAnnMultiprobeTopK(5)),
     doc = "ANN: multi-probe sign-LSH — half the tables, 1-bit-flip probes buy the recall back")
 
   /** ANN via IVF (inverted-file index): a true two-stage coarse-quantizer
@@ -1390,9 +1405,8 @@ object Extended {
     * On clustered production embeddings nlist grows ~√N and nprobe stays
     * a small constant — the parameter, not the plan, changes.
     */
-  val annIvf: QueryDef = QueryDef(
-    "embed_ann_ivf",
-    (s, d) => {
+  private[graft] def annIvfTopK(s: SparkSession, d: String,
+      k: Int): DataFrame = {
       graft.functions.VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
@@ -1435,11 +1449,12 @@ object Extended {
       val wR = Window.partitionBy(col("q_id"))
         .orderBy(col("cos6").desc, col("vec_id").asc)
       cand.withColumn("rn", row_number().over(wR))
-        .filter(col("rn") <= 5)
+        .filter(col("rn") <= k)
         .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
-    },
-    Some(s"""
+  }
+
+  private def sqlAnnIvfTopK(k: Int): String = s"""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       ex AS (SELECT label, unnest(v) AS x,
                     generate_subscripts(v, 1) - 1 AS pos FROM emb),
@@ -1470,8 +1485,13 @@ object Extended {
       r AS (SELECT q_id, nn_id, cos6,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
             FROM cand)
-      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
-    """),
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= $k ORDER BY q_id, rn
+    """
+
+  val annIvf: QueryDef = QueryDef(
+    "embed_ann_ivf",
+    (s, d) => annIvfTopK(s, d, 5),
+    Some(sqlAnnIvfTopK(5)),
     doc = "ANN via IVF: decimal-exact centroids, inverted lists, nprobe=6")
 
   /** Embedding-cosine near-dup: banded sign-LSH candidates with rounded
@@ -1724,6 +1744,56 @@ object Extended {
     """
     },
     doc = "NDCG@5 of LSH/IVF/multi-probe ANN vs brute-force rank (integer-exact DCG)")
+
+  /** ANN recall at DEPTH 20 — the robustness companion to ann_recall's
+    * @5: a banding tuning can look fine at depth 5 (the handful of very
+    * close neighbors collide in some band almost surely) while
+    * collapsing deeper, where the true rank-6..20 neighbors have lower
+    * cosine and correspondingly lower per-band collision probability —
+    * exactly the failure mode a corpus scale-up induces first. Same
+    * frames as the @5 family, rank cut at 20 on both the brute-force
+    * truth and every method (the builders are depth-parameterized, so
+    * the registered @5 plans are the k=5 instances of the same code).
+    * One summary row per method; the mean is integer-exact (BIGINT hit
+    * sums, one final division under hround) per the zipf_fit parity
+    * discipline.
+    */
+  val annRecall20: QueryDef = QueryDef(
+    "ann_recall20",
+    (s, d) => {
+      val base = cosineTopKAt(s, d, 20).select(col("q_id"), col("nn_id"))
+      def rec(method: String, ann: DataFrame): DataFrame =
+        base.join(ann.select(col("q_id"), col("nn_id"), lit(1).as("hit")),
+          Seq("q_id", "nn_id"), "left")
+          .agg(countDistinct(col("q_id")).as("n_q"),
+            count(col("hit")).as("n_hit"))
+          .select(lit(method).as("method"), col("n_q"), col("n_hit"),
+            Text.hround(col("n_hit") / (col("n_q") * lit(20.0)), 4)
+              .as("recall20"))
+      rec("lsh", annLshTopK(s, d, 20))
+        .unionAll(rec("ivf", annIvfTopK(s, d, 20)))
+        .unionAll(rec("mp", annMultiprobeTopK(s, d, 20)))
+        .orderBy(col("method"))
+    },
+    Some {
+      def rec(tag: String, cte: String) =
+        s"""SELECT '$tag' AS method,
+              CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_q,
+              CAST(count(a.nn_id) AS BIGINT) AS n_hit,
+              ${Text.sqlHround("count(a.nn_id) / (count(DISTINCT b.q_id) * 20e0)", 4)} AS recall20
+            FROM base b LEFT JOIN $cte a
+              ON a.q_id = b.q_id AND a.nn_id = b.nn_id"""
+      s"""
+      WITH base AS (SELECT q_id, nn_id FROM (${sqlCosineTopKAt(20)})),
+      lshr AS (SELECT q_id, nn_id FROM (${sqlAnnLshTopK(20)})),
+      ivfr AS (SELECT q_id, nn_id FROM (${sqlAnnIvfTopK(20)})),
+      mpr AS (SELECT q_id, nn_id FROM (${sqlAnnMultiprobeTopK(20)}))
+      SELECT * FROM (${rec("lsh", "lshr")} UNION ALL ${rec("ivf", "ivfr")}
+        UNION ALL ${rec("mp", "mpr")})
+      ORDER BY method
+    """
+    },
+    doc = "recall@20 per ANN method vs brute-force depth-20 truth (tuning depth probe)")
 
   // ---- 8/9/10/11. text analysis ------------------------------------------
 
@@ -4521,7 +4591,7 @@ object Extended {
     editDistancePairs,
     docEntropy,
     cosineTopK, annLsh, annIvf, annMultiprobe, embedNearDup, paraphrasePairs,
-    semanticDedup, annRecall, annNdcg,
+    semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,

@@ -84,7 +84,8 @@ class ScaleSpec extends SparkSpec {
     // market_basket_lift crosses its ONE-ROW basket-total frame with the
     // bounded brand-pair aggregate — the same scalar-subquery shape.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
-      "ann_recall", "ann_ndcg", "domain_mix_sample", "funnel_conversion", "bm25_topk",
+      "ann_recall", "ann_ndcg", "ann_recall20", "domain_mix_sample",
+      "funnel_conversion", "bm25_topk",
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
       "nearest_knn_irregular", "importance_weights", "heavy_hitters",
       "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram",
