@@ -267,6 +267,64 @@ object EventStream {
     """),
     doc = "left-outer interval join (null-padded twin of the stream-stream outer)")
 
+  /** FULL OUTER stream-stream interval join — completes the join-mode
+    * matrix (inner / left-outer / full-outer): unmatched rows from BOTH
+    * sides emit exactly once, null-padded on the other side, each only
+    * after the watermark proves no match can still arrive — for a
+    * signup, once the watermark passes the END of its window (a later
+    * purchase could still match); for a purchase, once the watermark
+    * passes its own ts (its candidate signups lie in [ts − within, ts],
+    * all already bounded). Same two-sided time bound as [[intervalJoin]],
+    * so join state stays evictable — the condition Spark needs to run
+    * ANY outer interval join without unbounded state. user_id must
+    * coalesce across sides: on an unmatched row the other side's key is
+    * null.
+    */
+  def intervalJoinFullOuter(signups: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes", streaming: Boolean = true): DataFrame = {
+    val l = (if (streaming) signups.withWatermark("ts", "10 minutes")
+             else signups).as("l")
+    val r = (if (streaming) purchases.withWatermark("ts", "10 minutes")
+             else purchases).as("r")
+    l.join(r, expr("l.user_id = r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"interval $within"), "full_outer")
+      .select(coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+        col("l.ts").as("signup_ts"),
+        col("r.ts").as("purchase_ts"), col("r.value").as("purchase_value"))
+  }
+
+  /** Batch twin of [[intervalJoinFullOuter]] — FULL JOIN semantics with
+    * null padding on either side; null sort position pinned on all
+    * nullable columns (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST).
+    */
+  val intervalJoinFullOuterEvents: QueryDef = QueryDef(
+    "interval_join_full_outer",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      intervalJoinFullOuter(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        streaming = false)
+        .orderBy(col("user_id"), asc_nulls_first("signup_ts"),
+          asc_nulls_first("purchase_ts"), asc_nulls_first("purchase_value"))
+    },
+    Some("""
+      SELECT coalesce(l.user_id, r.user_id) AS user_id,
+             CAST(l.ts AS TIMESTAMP) AS signup_ts,
+             CAST(r.ts AS TIMESTAMP) AS purchase_ts,
+             r.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+      ORDER BY user_id, signup_ts ASC NULLS FIRST,
+               purchase_ts ASC NULLS FIRST, purchase_value ASC NULLS FIRST
+    """),
+    doc = "full-outer interval join (both-side null-padded stream-stream twin)")
+
   /** foreachBatch sink with idempotent-by-batchId writes — the
     * exactly-once recipe for sinks with no transactional commit: each
     * micro-batch OVERWRITES its own `bid=<batchId>` partition, so a batch
@@ -524,5 +582,5 @@ object EventStream {
 
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
-      intervalJoinOuterEvents, ohlcStreamTwin)
+      intervalJoinOuterEvents, intervalJoinFullOuterEvents, ohlcStreamTwin)
 }

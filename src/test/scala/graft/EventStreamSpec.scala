@@ -357,6 +357,44 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join: both sides null-emit after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups   = MemoryStream[(Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStream.intervalJoinFullOuter(
+      signups.toDF().toDF("ts", "user_id", "value"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+    val q = joined.writeStream.format("memory").queryName("ijf_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData((ts(10), 1L, 0.0), (ts(10), 2L, 0.0))
+      purchases.addData(
+        (ts(25), 1L, 9.5),  // matches user 1's signup
+        (ts(25), 3L, 7.0))  // user 3 has no signup: right-side orphan
+      q.processAllAvailable()
+      def rows = spark.table("ijf_out")
+        .select("user_id", "signup_ts", "purchase_value")
+        .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+      // the match emits immediately; neither orphan may emit before the
+      // watermark closes its side (user 2's window end ts 40; user 3's
+      // candidate-signup range is already bounded by its own ts 25)
+      assert(rows === Set((1L, Some(ts(10)), Some(9.5))),
+        s"orphans emitted before watermark: $rows")
+      // advance both watermarks far past every window, across two
+      // micro-batches so the outer-emission pass sees the new watermark
+      signups.addData((ts(200), 9L, 0.0))
+      purchases.addData((ts(200), 9L, 1.0))
+      q.processAllAvailable()
+      signups.addData((ts(210), 9L, 0.0))
+      purchases.addData((ts(211), 9L, 1.0))
+      q.processAllAvailable()
+      assert(rows.contains((2L, Some(ts(10)), None)),
+        s"unmatched signup not null-emitted: $rows")
+      assert(rows.contains((3L, None, Some(7.0))),
+        s"unmatched purchase not null-emitted: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: state accumulates within gap, resets across gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
