@@ -2698,13 +2698,20 @@ object Extended {
   /** Hybrid retrieval via reciprocal-rank fusion — the standard combiner
     * for lexical + dense legs in modern search stacks: BM25 over the
     * query terms and cosine against the doc-0 query vector (vec_id ==
-    * doc_id is the fixtures' shared key), each leg cut to depth 100 by
+    * doc_id is the fixtures' shared key), each leg cut to depth 200 by
     * TakeOrderedAndProject (per-partition heaps — the legs stay
-    * corpus-streaming, never a global sort), then a 100-row full outer
+    * corpus-streaming, never a global sort), then a 200-row full outer
     * join fused by 1/(60+rank). The global row_number windows run AFTER
-    * the depth cut, over ≤100 rows — the single-partition window never
+    * the depth cut, over ≤200 rows — the single-partition window never
     * sees corpus-sized input at any scale. The query doc is excluded
     * AFTER the df window so both engines score identical term statistics.
+    * Depth 200 is the round-10 de-vacuation retune (simulated in DuckDB
+    * first): at depth 100 the isotropic fixtures' dense leg shared only
+    * 1 of the fused top-20 with the lexical leg at sf0.1 — a nearly
+    * fusion-free gate; depth 200 yields 20/20/6 both-leg rows at
+    * sf0.001/0.01/0.1, so the RRF sum (not just leg passthrough) is
+    * exercised everywhere and the single-leg coalesce path stays live
+    * at sf0.1.
     */
   val rrfFusion: QueryDef = QueryDef(
     "rrf_fusion",
@@ -2725,7 +2732,7 @@ object Extended {
         .select(col("doc_id"), expr(sqlBm25Score).as("s_i"))
         .filter(col("doc_id") =!= 0)
         .groupBy(col("doc_id")).agg(sum(col("s_i")).as("ssum"))
-        .orderBy(col("ssum").desc, col("doc_id")).limit(100)
+        .orderBy(col("ssum").desc, col("doc_id")).limit(200)
         .withColumn("r_lex", row_number().over(
           Window.orderBy(col("ssum").desc, col("doc_id"))))
         .select(col("doc_id"), col("r_lex"))
@@ -2736,7 +2743,7 @@ object Extended {
         .crossJoin(broadcast(q))
         .withColumn("cos6", Text.hround(
           expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")), 6))
-        .orderBy(col("cos6").desc, col("vec_id").asc).limit(100)
+        .orderBy(col("cos6").desc, col("vec_id").asc).limit(200)
         .withColumn("r_dense", row_number().over(
           Window.orderBy(col("cos6").desc, col("vec_id"))))
         .select(col("vec_id").as("doc_id"), col("r_dense"))
@@ -2764,7 +2771,7 @@ object Extended {
       lex AS (SELECT doc_id,
                      CAST(row_number() OVER (ORDER BY ssum DESC, doc_id)
                           AS INTEGER) AS r_lex
-              FROM (SELECT * FROM agg ORDER BY ssum DESC, doc_id LIMIT 100)),
+              FROM (SELECT * FROM agg ORDER BY ssum DESC, doc_id LIMIT 200)),
       n AS ($sqlVecs),
       q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
       cand AS (SELECT n.vec_id AS doc_id,
@@ -2773,7 +2780,7 @@ object Extended {
       dense AS (SELECT doc_id,
                        CAST(row_number() OVER (ORDER BY cos6 DESC, doc_id)
                             AS INTEGER) AS r_dense
-                FROM (SELECT * FROM cand ORDER BY cos6 DESC, doc_id LIMIT 100)),
+                FROM (SELECT * FROM cand ORDER BY cos6 DESC, doc_id LIMIT 200)),
       f AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense
             FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
       SELECT doc_id, r_lex, r_dense, ${Text.sqlHround(sqlRrfScore, 6)} AS rrf6
