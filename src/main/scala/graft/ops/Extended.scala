@@ -91,12 +91,18 @@ object Extended {
   /** MinHash signature frame (doc_id, carry..., m0..m11) over any
     * (doc_id, w, carry...) frame.
     */
-  private[graft] def signaturesOf(dw: DataFrame): DataFrame = {
+  private[graft] def signaturesOf(dw: DataFrame): DataFrame =
+    signaturesFromHashes(shingleHashesOf(dw))
+
+  /** Signatures from an ALREADY-BUILT shingle-hash frame — the seam that
+    * lets lsh_recall_eval feed one persisted corpus pass to both its
+    * legs instead of re-deriving the hashes per leg.
+    */
+  private[graft] def signaturesFromHashes(sh: DataFrame): DataFrame = {
     val mins = (0 until SigLen).map { j =>
       expr(s"CAST(array_min(transform(hs, x -> (${MinhashA(j)} * x + ${minhashB(j)}) % $P)) AS BIGINT)")
         .as(s"m$j")
     }
-    val sh = shingleHashesOf(dw)
     val keep = sh.columns.filterNot(_ == "hs").map(col).toSeq
     sh.select(keep ++ mins: _*)
   }
@@ -200,7 +206,10 @@ object Extended {
     * array_sort makes pair order deterministic regardless of task order.
     */
   private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
-    bandsOf(signatures(s, d))
+    lshCandidatesFrom(signatures(s, d))
+
+  private[graft] def lshCandidatesFrom(sig: DataFrame): DataFrame =
+    bandsOf(sig)
       .groupBy(col("band"), col("bkey"))
       .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
       .filter(size(col("ds")).between(2, 1000))
@@ -850,14 +859,15 @@ object Extended {
     * row-locally. Candidate count is O(near-dups), so the arrays joined
     * here are a vanishing fraction of the corpus.
     */
-  val ngramJaccard: QueryDef = QueryDef(
-    "ngram_jaccard_pairs",
-    (s, d) => {
-      val sets = shingleHashes(s, d)
+  /** [[ngramJaccard]]'s plan over an already-built shingle-hash frame
+    * (the lsh_recall_eval sharing seam).
+    */
+  private[graft] def ngramJaccardFrom(sh0: DataFrame): DataFrame = {
+      val sets = sh0
         .select(col("doc_id"),
           expr("array_sort(array_distinct(hs))").as("sh"))
         .withColumn("n_sh", size(col("sh")))
-      val pairs = lshCandidates(s, d)
+      val pairs = lshCandidatesFrom(signaturesFromHashes(sh0))
       pairs
         .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
           col("n_sh").as("n1")).hint("shuffle_hash"), Seq("d1"))
@@ -869,7 +879,11 @@ object Extended {
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
-    },
+  }
+
+  val ngramJaccard: QueryDef = QueryDef(
+    "ngram_jaccard_pairs",
+    (s, d) => ngramJaccardFrom(shingleHashes(s, d)),
     Some(s"""
       WITH $sqlSignatures,
       bands AS ($sqlBandsFromSig),
@@ -4365,8 +4379,16 @@ object Extended {
   val lshRecallEval: QueryDef = QueryDef(
     "lsh_recall_eval",
     (s, d) => {
-      val truth = ppjoinJaccard.fn(s, d).select(col("d1"), col("d2"))
-      val lsh = ngramJaccard.fn(s, d).select(col("d1"), col("d2"))
+      // ONE persisted corpus pass feeds both legs: composing the two
+      // parent .fn plans instead re-derived the shingle-hash subtree
+      // independently per leg (the round-9 advice — the query's cost was
+      // roughly the sum of its parents). The legs' own work (prefix
+      // filter vs signatures) is irreducible; the shared scan is not.
+      val sh = shingleHashes(s, d).persist()
+      val truth = ppjoinPairsOf(
+        sh.select(col("doc_id"), explode(col("hs")).as("h")).distinct())
+        .select(col("d1"), col("d2"))
+      val lsh = ngramJaccardFrom(sh).select(col("d1"), col("d2"))
       val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
       truth.join(lsh.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
         .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
