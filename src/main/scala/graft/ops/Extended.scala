@@ -4384,11 +4384,29 @@ object Extended {
       // independently per leg (the round-9 advice — the query's cost was
       // roughly the sum of its parents). The legs' own work (prefix
       // filter vs signatures) is irreducible; the shared scan is not.
-      val sh = shingleHashes(s, d).persist()
+      // Measured (round 10): isolated steady-state improved 4.7→4.3 s
+      // (BenchOne), but the IN-BENCH figure moved 2.66→3.2 s on a calm
+      // back-to-back pair — the round-8 shard-dealing effect: the 5 new
+      // round-10 queries re-dealt the name-order round-robin and this
+      // query now shares a JVM with ann_recall20/bpe_merge_rounds/
+      // simhash_wide_near_dup (codegen-heavy co-location), while
+      // ngram_jaccard_pairs in another shard dropped 1.54→0.50 s. The
+      // audit query's absolute cost is accepted; baseline left at its
+      // round-9 pin so drift stays visible.
+      //
+      // The cache_tag column makes the persisted plan canonically
+      // DISTINCT from the bare shingleHashes subtree: persist()
+      // registers the plan with the session-wide CacheManager, and an
+      // exact canonical match silently substitutes InMemoryTableScan
+      // into UNRELATED queries planned later in the same session
+      // (Verify/Bench run hundreds sequentially) — ScaleSpec's
+      // ReusedExchange guard caught exactly that on minhash_lsh_pairs.
+      val sh = shingleHashes(s, d).withColumn("cache_tag", lit(1)).persist()
       val truth = ppjoinPairsOf(
         sh.select(col("doc_id"), explode(col("hs")).as("h")).distinct())
         .select(col("d1"), col("d2"))
-      val lsh = ngramJaccardFrom(sh).select(col("d1"), col("d2"))
+      val lsh = ngramJaccardFrom(sh.select(col("doc_id"), col("hs")))
+        .select(col("d1"), col("d2"))
       val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
       truth.join(lsh.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
         .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
