@@ -3999,7 +3999,7 @@ object Extended {
     * so the accumulator IS the space-joined symbol string — symbols are
     * [a-z]+ only, making the space separator collision-free).
     */
-  private def sqlBpeRound(r: Int): String = s"""
+  private def sqlBpeRound(r: Int, carry: String = ""): String = s"""
       p$r AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt
               FROM (SELECT unnest([syms[i] || ' ' || syms[i + 1]
                                    FOR i IN generate_series(1, len(syms) - 1)])
@@ -4010,7 +4010,7 @@ object Extended {
                      split_part(pr, ' ', 1) AS a,
                      split_part(pr, ' ', 2) AS b, cnt
               FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1),
-      s$r AS (SELECT str_split(list_reduce(syms, (acc, x) ->
+      s$r AS (SELECT ${carry}str_split(list_reduce(syms, (acc, x) ->
                        CASE WHEN regexp_extract(acc, '[^ ]+$$') = w.a
                                  AND x = w.b
                             THEN regexp_replace(acc, '[^ ]+$$', w.a || w.b)
@@ -4051,8 +4051,16 @@ object Extended {
     * fixtures' top-5 merges are all char-char, so only the spec
     * exercises merged-symbol recursion and the a == b leftmost scan).
     */
-  private[graft] def bpeMergeRoundsOf(wf0: DataFrame,
-      rounds: Int): DataFrame = {
+  /** The shared unrolled loop: returns (merge table, fully-encoded word
+    * frame after all `rounds` merges). Carry columns other than
+    * (syms, freq) ride through untouched, so a per-source input yields
+    * per-source encoded rows while the LEARNING stays global (the pair
+    * count groupBy sums freq across carry rows — identical totals to a
+    * pre-collapsed global word table). The final-round merge is built
+    * lazily; a caller consuming only the merge table never executes it.
+    */
+  private[graft] def bpeLoop(wf0: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
       val mergeFold =
         """aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
              (acc, x) -> CASE WHEN element_at(acc, -1) = ma AND x = mb
@@ -4078,19 +4086,23 @@ object Extended {
             split(col("pr"), " ").getItem(1).as("b"),
             col("cnt"))
           .persist()
-        if (r < rounds)
-          cur = cur
-            .crossJoin(broadcast(
-              win.select(col("a").as("ma"), col("b").as("mb"))))
-            .select(expr(mergeFold).as("syms"), col("freq"))
-            .persist()
+        val carry = cur.columns.filterNot(_ == "syms").map(col).toSeq
+        cur = cur
+          .crossJoin(broadcast(
+            win.select(col("a").as("ma"), col("b").as("mb"))))
+          .select(carry :+ expr(mergeFold).as("syms"): _*)
+          .persist()
         win
       }
-      wins.reduce(_.unionAll(_))
+      val table = wins.reduce(_.unionAll(_))
         .select(col("round"), col("a"), col("b"),
           concat(col("a"), col("b")).as("merged"), col("cnt"))
         .orderBy(col("round"))
+      (table, cur)
   }
+
+  private[graft] def bpeMergeRoundsOf(wf0: DataFrame,
+      rounds: Int): DataFrame = bpeLoop(wf0, rounds)._1
 
   val bpeMergeRounds: QueryDef = QueryDef(
     "bpe_merge_rounds",
@@ -4113,13 +4125,78 @@ object Extended {
       s0 AS (SELECT [substr(t, i, 1)
                      FOR i IN generate_series(1, length(t))] AS syms, freq
              FROM wf),
-      ${(1 to BpeRounds).map(sqlBpeRound).mkString(",\n")}
+      ${(1 to BpeRounds).map(sqlBpeRound(_)).mkString(",\n")}
       SELECT round, a, b, a || b AS merged, cnt
       FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM w$r")
         .mkString(" UNION ALL ")})
       ORDER BY round
     """),
     doc = s"$BpeRounds-round greedy BPE merge table (driver-unrolled, pinned)")
+
+  /** BPE APPLICATION — the consumer of [[bpeMergeRounds]]'s merge table:
+    * every word is tokenized through the learned merges (in learned
+    * order) and the per-source token statistics report what the
+    * tokenizer buys — tokens per word and tokens per character. This is
+    * the encode side of a real vocab build: induction produces the
+    * merge table, encoding replays it over the corpus.
+    *
+    * Scale shape: the input keeps (source, word) granularity, so the
+    * encoded rows are per-source WITHOUT a second corpus pass — the
+    * LEARNING inside [[bpeLoop]] is unchanged because its pair-count
+    * groupBy sums freq across the carry rows (identical totals to the
+    * global word table), and the merge fold is row-local. The final
+    * aggregate is one domain-bounded groupBy(source). Encoded frame =
+    * the loop's round-5 state — replaying the merge table separately
+    * would recompute exactly these folds.
+    */
+  val bpeEncode: QueryDef = QueryDef(
+    "bpe_encode",
+    (s, d) => {
+      val wf = docWords(s, d)
+        .select(col("source"), explode(col("w")).as("t0"))
+        .select(col("source"), lower(col("t0")).as("t"))
+        .filter(col("t").rlike("^[a-z]{2,}$"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("freq"))
+        .select(col("source"), col("t"), expr(
+          "transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+          .as("syms"), col("freq"))
+      val enc = bpeLoop(wf, BpeRounds)._2
+      enc.groupBy(col("source"))
+        .agg(sum(col("freq")).as("n_words"),
+          sum(col("freq") * length(col("t"))).as("n_chars"),
+          sum(col("freq") * size(col("syms"))).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          Text.hround(col("n_tokens") / col("n_words").cast("double"), 4)
+            .as("tokens_per_word4"),
+          Text.hround(col("n_tokens") / col("n_chars").cast("double"), 4)
+            .as("tokens_per_char4"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      tok AS (SELECT source, lower(t_) AS t
+              FROM (SELECT source, unnest(w) AS t_ FROM ws)
+              WHERE regexp_matches(lower(t_), '^[a-z]{2,}$$')),
+      wf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS freq
+             FROM tok GROUP BY 1, 2),
+      s0 AS (SELECT source, t, [substr(t, i, 1)
+                     FOR i IN generate_series(1, length(t))] AS syms, freq
+             FROM wf),
+      ${(1 to BpeRounds).map(sqlBpeRound(_, "source, t, "))
+        .mkString(",\n")}
+      SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
+             CAST(sum(freq * length(t)) AS BIGINT) AS n_chars,
+             CAST(sum(freq * len(syms)) AS BIGINT) AS n_tokens,
+             ${Text.sqlHround(
+        "sum(freq * len(syms)) / CAST(sum(freq) AS DOUBLE)", 4)}
+               AS tokens_per_word4,
+             ${Text.sqlHround(
+        "sum(freq * len(syms)) / CAST(sum(freq * length(t)) AS DOUBLE)", 4)}
+               AS tokens_per_char4
+      FROM s$BpeRounds GROUP BY source ORDER BY source
+    """),
+    doc = "per-source token stats after applying the learned BPE merge table")
 
   /** Zipf-law audit per source: OLS of ln(count) on ln(rank) over the top
     * 200 token ranks — slope ≈ −1 for natural text, flatter for templated
@@ -4649,6 +4726,6 @@ object Extended {
     packSequences,
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
-    bpePairMerges, bpeMergeRounds, zipfFit, sortedNeighborhoodEr,
+    bpePairMerges, bpeMergeRounds, bpeEncode, zipfFit, sortedNeighborhoodEr,
     ppjoinJaccard, lshRecallEval, dupSpanRuns, dupMaxSpans)
 }

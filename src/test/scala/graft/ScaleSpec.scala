@@ -100,7 +100,7 @@ class ScaleSpec extends SparkSpec {
       // into each of the 7 unrolled greedy steps (KB-scale builds).
       // bpe_merge_rounds broadcasts each round's one-row winning pair
       // into the next round's merge fold — the same unrolled shape.
-      "kcore_peel", "kcenter_coreset", "bpe_merge_rounds",
+      "kcore_peel", "kcenter_coreset", "bpe_merge_rounds", "bpe_encode",
       // psi_value_drift broadcasts its one-row time-midpoint frame;
       // lsh_recall_eval broadcasts its one-row LSH-pair-count frame.
       "psi_value_drift", "lsh_recall_eval",
