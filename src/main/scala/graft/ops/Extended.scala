@@ -4147,7 +4147,13 @@ object Extended {
     * global word table), and the merge fold is row-local. The final
     * aggregate is one domain-bounded groupBy(source). Encoded frame =
     * the loop's round-5 state — replaying the merge table separately
-    * would recompute exactly these folds.
+    * would recompute exactly these folds. The fold table is
+    * O(sources × vocab) — vocabulary-bounded, never corpus-bounded —
+    * so the shape holds at scale. (Round 10 A/B: a "learn+encode on
+    * the global vocab, join per-source counts" variant LOST in-shard,
+    * 7.3 vs 4.2 s at sf0.1 — the fixtures' vocab is 31 words, so the
+    * variant's extra groupBy/join stages dominate while the fold work
+    * it saves is trivial at any source multiplicity; don't redo it.)
     */
   val bpeEncode: QueryDef = QueryDef(
     "bpe_encode",
