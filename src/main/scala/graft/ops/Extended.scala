@@ -2008,6 +2008,93 @@ object Extended {
     """),
     doc = "doc quality composite: length/stopword/digit ratios")
 
+  /** Gopher/MassiveText rule battery (Rae et al. 2021 §A1.1, public) —
+    * the explicit per-rule audit a curation pipeline reports alongside
+    * composite scores like [[qualityScore]]: each document is tested
+    * against the published filters that apply to this corpus shape and
+    * the per-source pass counts say WHERE the corpus loses mass.
+    * Rules: word count in [50, 100 000]; mean word length in [3, 10];
+    * ≥ 2 distinct stop words; most-frequent-word fraction ≤ 0.1 (the
+    * repetition rule). Simulated per the round-4 protocol before
+    * registration: wc/stop/rep split every SF ~55/63/62 % pass, while
+    * mean-word-length passes everywhere on this synthetic corpus (its
+    * published [3, 10] band is kept untouched — the battery verdict
+    * discriminates through the other three, and a gerrymandered band
+    * would stop being Gopher's rule). Everything is row-local except
+    * ONE (doc_id, term) count shuffle for the repetition rule and the
+    * domain-bounded groupBy(source); mean word length is
+    * length(array_join(w, '')) / wc — codegen, no HOF — and all rule
+    * ratios divide identical integers on both engines.
+    */
+  val gopherRules: QueryDef = QueryDef(
+    "gopher_rules",
+    (s, d) => {
+      val stops = Seq("the", "a", "and", "to", "of", "in", "is", "be")
+      val st = docWords(s, d).select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("wc"),
+          length(array_join(col("w"), "")).cast("long").as("nch"),
+          size(array_intersect(
+            expr("transform(w, x -> lower(x))"),
+            array(stops.map(lit): _*))).as("nstop"))
+      val top = docWords(s, d)
+        .select(col("doc_id"), explode(col("w")).as("t0"))
+        .groupBy(col("doc_id"), lower(col("t0")).as("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+      val r = st.join(top.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("source"),
+          (col("wc") >= 50 && col("wc") <= 100000).as("wc_ok"),
+          (col("nch").cast("double") / col("wc") >= 3.0 &&
+            col("nch").cast("double") / col("wc") <= 10.0).as("mwl_ok"),
+          (col("nstop") >= 2).as("stop_ok"),
+          (col("maxc").cast("double") / col("wc") <= 0.1).as("rep_ok"))
+      r.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("wc_ok"), 1L).otherwise(0L)).as("n_wc"),
+          sum(when(col("mwl_ok"), 1L).otherwise(0L)).as("n_mwl"),
+          sum(when(col("stop_ok"), 1L).otherwise(0L)).as("n_stop"),
+          sum(when(col("rep_ok"), 1L).otherwise(0L)).as("n_rep"),
+          sum(when(col("wc_ok") && col("mwl_ok") && col("stop_ok") &&
+            col("rep_ok"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("source"), col("n_docs"), col("n_wc"), col("n_mwl"),
+          col("n_stop"), col("n_rep"), col("n_pass"),
+          Text.hround(col("n_pass").cast("double") / col("n_docs"), 4)
+            .as("pass_frac4"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      st AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS wc,
+               CAST(length(array_to_string(w, '')) AS BIGINT) AS nch,
+               len(list_intersect(list_transform(w, x -> lower(x)),
+                 ['the', 'a', 'and', 'to', 'of', 'in', 'is', 'be']))
+                 AS nstop
+             FROM ws),
+      top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc FROM (
+                SELECT doc_id, lower(t) AS t, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS t FROM ws)
+                GROUP BY 1, 2) GROUP BY 1),
+      r AS (SELECT source,
+              wc >= 50 AND wc <= 100000 AS wc_ok,
+              CAST(nch AS DOUBLE) / wc >= 3e0 AND
+                CAST(nch AS DOUBLE) / wc <= 10e0 AS mwl_ok,
+              nstop >= 2 AS stop_ok,
+              CAST(maxc AS DOUBLE) / wc <= 0.1e0 AS rep_ok
+            FROM st JOIN top USING (doc_id))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+             CAST(sum(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+             CAST(sum(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+             CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+             CAST(sum(CASE WHEN wc_ok AND mwl_ok AND stop_ok AND rep_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             ${Text.sqlHround(
+        """CAST(sum(CASE WHEN wc_ok AND mwl_ok AND stop_ok AND rep_ok
+               THEN 1 ELSE 0 END) AS DOUBLE) / count(*)""", 4)} AS pass_frac4
+      FROM r GROUP BY source ORDER BY source
+    """),
+    doc = "Gopher rule battery: per-source pass counts for the published filters")
+
   /** Unigram entropy + type/token ratio per document — the information-
     * density quality signal (low entropy ⇒ repetitive/templated text, a
     * standard pre-training filter alongside [[repetitionScore]]). Uses
@@ -4723,7 +4810,7 @@ object Extended {
     cosineTopK, annLsh, annIvf, annMultiprobe, embedNearDup, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
-    tokenStats, langId, qualityScore, fingerprint, piiScrub,
+    tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,
     curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, temperatureMix,
     weightedSampleK,
