@@ -4797,6 +4797,87 @@ object Extended {
     """),
     doc = "maximal duplicated word spans per doc (overlap-merged 8-gram hits)")
 
+  /** Content-defined chunking dedup — the third substring-dedup paradigm
+    * next to fixed shingles ([[dupSpanRuns]]) and span merging
+    * ([[dupMaxSpans]]): chunk boundaries are placed where h32(word) ≡ 0
+    * (mod 8), so chunk identity is SHIFT-INVARIANT — inserting a word
+    * early in a document re-chunks only up to the next boundary word,
+    * where the chunking resynchronizes, while every fixed-offset scheme
+    * shifts all downstream identities (the storage-dedup/rsync
+    * rolling-boundary idea at word granularity; expected chunk length =
+    * the 8-word mask). Per doc: distinct chunks, chunks shared with ≥ 1
+    * other doc, and the duplicated-chunk fraction.
+    *
+    * Scale shape: the chunk fold is row-local; chunks are h32-HASHED
+    * before the explode so the document-frequency shuffle carries
+    * 8-byte hashes, never chunk text (the exact_dedup digest rule).
+    * Engine fold builds an array of open chunks (the bpe merge-fold
+    * machinery); the oracle folds a chr(1)-delimited STRING and splits
+    * — independent encodings, identical chunk strings (leading spaces
+    * trimmed on both sides). Simulated per SF before registration:
+    * ~8 chunks/doc; 421/411/4337 docs share ≥ 1 chunk (short chunks
+    * collide across the tiny-vocab corpus) while 7/2/130 docs are
+    * FULLY duplicated — the near-dup families — so both the zero and
+    * saturated tails stay populated at every SF.
+    */
+  /** Distinct (doc_id, chunk-h32) frame over ANY (doc_id, w) frame —
+    * extracted so CdcPropertySpec can pit the fold against a JVM
+    * reference chunker and plant the prefix-insertion shapes that prove
+    * shift-invariant resynchronization.
+    */
+  private[graft] def cdcChunkHashes(ws: DataFrame): DataFrame = {
+      val chunksFold = s"""filter(transform(
+        aggregate(w, array(''), (acc, x) -> CASE
+          WHEN ${sqlSparkH32("x")} % 8 = 0
+          THEN concat(slice(acc, 1, size(acc) - 1),
+                      array(concat(element_at(acc, -1), ' ', x)), array(''))
+          ELSE concat(slice(acc, 1, size(acc) - 1),
+                      array(concat(element_at(acc, -1), ' ', x))) END),
+        c -> trim(c)), c -> length(c) > 0)"""
+      ws.select(col("doc_id"), explode(expr(chunksFold)).as("c"))
+        .select(col("doc_id"), expr(sqlSparkH32("c")).as("h"))
+        .distinct()
+  }
+
+  val cdcChunks: QueryDef = QueryDef(
+    "cdc_chunks",
+    (s, d) => {
+      val ce = cdcChunkHashes(docWords(s, d).select(col("doc_id"), col("w")))
+      val ddf = ce.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("ddf"))
+      ce.join(ddf.hint("shuffle_hash"), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ddf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          Text.hround(col("n_dup").cast("double") / col("n_chunks"), 4)
+            .as("dup_chunk_frac4"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      ch AS (SELECT doc_id,
+               list_filter(list_transform(string_split(
+                 list_reduce(list_prepend('', w), (acc, x) ->
+                   CASE WHEN ${Text.sqlH32("x")} % 8 = 0
+                        THEN acc || ' ' || x || chr(1)
+                        ELSE acc || ' ' || x END), chr(1)),
+                 c -> trim(c)), c -> length(c) > 0) AS chunks
+             FROM ws),
+      ce AS (SELECT DISTINCT doc_id, ${Text.sqlH32("c")} AS h
+             FROM (SELECT doc_id, unnest(chunks) AS c FROM ch)),
+      df AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM ce GROUP BY 1),
+      per AS (SELECT ce.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup
+              FROM ce JOIN df USING (h) GROUP BY 1)
+      SELECT doc_id, n_chunks, n_dup,
+             ${Text.sqlHround("CAST(n_dup AS DOUBLE) / n_chunks", 4)}
+               AS dup_chunk_frac4
+      FROM per ORDER BY doc_id
+    """),
+    doc = "content-defined (shift-invariant) chunk dedup: per-doc shared-chunk stats")
+
   val all: Seq[QueryDef] = Seq(
     randomProjection, sourceSimilarity, containmentPairs, sourceLangMix,
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
@@ -4820,5 +4901,5 @@ object Extended {
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
     bpePairMerges, bpeMergeRounds, bpeEncode, zipfFit, sortedNeighborhoodEr,
-    ppjoinJaccard, lshRecallEval, dupSpanRuns, dupMaxSpans)
+    ppjoinJaccard, lshRecallEval, dupSpanRuns, dupMaxSpans, cdcChunks)
 }
