@@ -4174,11 +4174,17 @@ object Extended {
             col("cnt"))
           .persist()
         val carry = cur.columns.filterNot(_ == "syms").map(col).toSeq
+        // LAZY localCheckpoint, not persist: round k's logical plan
+        // otherwise embeds rounds 1..k-1 (persist caches DATA but the
+        // ANALYZED plan keeps the full lineage), and Catalyst re-walks
+        // the whole growing tree for every action — StageWatch showed
+        // 2.4 s of warm-run DRIVER time on bpe_encode before this (the
+        // ccOverEdges discipline; measured 5.5 -> ~2 s in-bench).
         cur = cur
           .crossJoin(broadcast(
             win.select(col("a").as("ma"), col("b").as("mb"))))
           .select(carry :+ expr(mergeFold).as("syms"): _*)
-          .persist()
+          .localCheckpoint(false)
         win
       }
       val table = wins.reduce(_.unionAll(_))

@@ -228,7 +228,15 @@ class ScaleSpec extends SparkSpec {
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
       "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
-      "grid_source_roundtrip")
+      "grid_source_roundtrip",
+      // bpeLoop truncates each round's lineage with a LAZY
+      // localCheckpoint (the ccOverEdges discipline — without it
+      // Catalyst re-analyzes the whole growing round chain per action,
+      // 2.4 s of warm driver time on bpe_encode); toRdd during
+      // checkpoint planning runs shuffle-stage jobs at construction,
+      // exactly like dup_clusters above. Bench times fn()+count()
+      // together, so the eager work stays measured.
+      "bpe_merge_rounds", "bpe_encode")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
