@@ -496,6 +496,80 @@ object EventStream {
     }
   }
 
+  final case class HistBuf(counts: Seq[Long], n: Long)
+  final case class QSketch(user_id: Long, n: Long, p50: Double, p95: Double)
+
+  /** Streaming quantiles over BOUNDED state — the quantile companion to
+    * the Misra-Gries heavy-hitter sketch: one fixed-bin histogram per
+    * key over a known value range, so state is O(bins) per key no
+    * matter how long the stream runs (an exact quantile would need all
+    * values ever seen). Estimates interpolate linearly inside the bin
+    * where the cumulative count crosses p·n, so the error is bounded by
+    * ONE BIN WIDTH — the contract the spec checks against exact batch
+    * quantiles across micro-batches. Out-of-range values clamp into
+    * the edge bins (production widens the range or layers a
+    * min/max-tracking resize; the fixed range keeps the estimator
+    * deterministic and mergeable). The same histogram is what a
+    * t-digest/KLL replaces when the range is unknown — the PLUMBING
+    * (typed ValueState, per-key isolation, update-mode emission) is
+    * identical.
+    */
+  class HistQuantileProcessor(lo: Double, hi: Double, bins: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, QSketch] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[HistBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HistBuf]("hist",
+        org.apache.spark.sql.Encoders.product[HistBuf], TTLConfig.NONE)
+
+    private def estimate(counts: Array[Long], n: Long, p: Double): Double = {
+      val w = (hi - lo) / bins
+      val target = p * n
+      var cum = 0L
+      var i = 0
+      while (i < bins) {
+        if (cum + counts(i) >= target && counts(i) > 0) {
+          val frac = (target - cum) / counts(i)
+          return lo + w * (i + frac)
+        }
+        cum += counts(i)
+        i += 1
+      }
+      hi
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[QSketch] = {
+      val buf = if (st.exists()) st.get() else HistBuf(Seq.fill(bins)(0L), 0L)
+      val counts = buf.counts.toArray
+      var n = buf.n
+      rows.foreach { e =>
+        val idx = math.min(bins - 1, math.max(0,
+          ((e.value - lo) / (hi - lo) * bins).toInt))
+        counts(idx) += 1
+        n += 1
+      }
+      st.update(HistBuf(counts.toSeq, n))
+      Iterator.single(QSketch(key,
+        n, estimate(counts, n, 0.5), estimate(counts, n, 0.95)))
+    }
+  }
+
+  /** Streaming wiring: one bounded histogram per user_id; each
+    * micro-batch emits that key's current p50/p95 estimate.
+    */
+  def histQuantileState(ds: Dataset[Ev], lo: Double, hi: Double,
+      bins: Int): Dataset[QSketch] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.user_id)
+      .transformWithState(new HistQuantileProcessor(lo, hi, bins),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming wiring: shard terms by hash, keep one MG sketch per shard.
     * The candidate union across shards' LATEST rows is the streaming
     * pass-1 output; a periodic exact recount of those ≤ k·shards terms

@@ -416,6 +416,58 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histQuantileState: bin-width-bounded p50/p95 on bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (lo, hi, bins) = (0.0, 100.0, 50)
+    val binW = (hi - lo) / bins
+    val rnd = new scala.util.Random(17)
+    // two keys, skewed differently; values split across 3 micro-batches
+    val vals1 = Seq.fill(120)(rnd.nextDouble() * 60)          // uniform-ish
+    val vals2 = Seq.fill(120)(90 - math.abs(rnd.nextGaussian()) * 20)
+    val evs = vals1.zipWithIndex.map { case (v, i) => Ev(1L, ts(i), v) } ++
+      vals2.zipWithIndex.map { case (v, i) => Ev(2L, ts(i), v) }
+    val mem = MemoryStream[Ev]
+    val q = EventStream.histQuantileState(mem.toDS(), lo, hi, bins)
+      .writeStream.format("memory").queryName("qsk_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(80).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val hist = spark.table("qsk_out").as[EventStream.QSketch].collect()
+      def exact(vs: Seq[Double], p: Double): Double = {
+        val s = vs.sorted
+        s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1))
+      }
+      // final state per key = the max-n emission; estimates must sit
+      // within one bin width of the exact batch quantiles (the
+      // histogram contract), and state never exceeded `bins` counters
+      Seq(1L -> vals1, 2L -> vals2).foreach { case (k, vs) =>
+        val fin = hist.filter(_.user_id == k).maxBy(_.n)
+        assert(fin.n === vs.size, s"key $k lost rows: $fin")
+        assert(math.abs(fin.p50 - exact(vs, 0.5)) <= binW + 1e-9,
+          s"key $k p50 ${fin.p50} vs exact ${exact(vs, 0.5)}")
+        assert(math.abs(fin.p95 - exact(vs, 0.95)) <= binW + 1e-9,
+          s"key $k p95 ${fin.p95} vs exact ${exact(vs, 0.95)}")
+      }
+      // the two keys' distributions must actually differ (non-vacuity)
+      val f1 = hist.filter(_.user_id == 1L).maxBy(_.n)
+      val f2 = hist.filter(_.user_id == 2L).maxBy(_.n)
+      assert(math.abs(f1.p50 - f2.p50) > 5 * binW,
+        "keys' quantiles indistinguishable — vacuous test data")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: typed ValueState running agg on RocksDB store") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store (the scale
