@@ -1252,6 +1252,65 @@ object Windows {
     """),
     doc = "weekly OHLC bars per event type (first/last by time, exact decimal volume)")
 
+  /** Fixed-bin histogram quantile estimates per event type — the BATCH
+    * TWIN of [[graft.streaming.EventStream.histQuantileState]], so the
+    * streaming sketch's estimator is oracle-checked cross-engine, not
+    * just spec-checked: identical bins (60 × width 10 over [0, 600),
+    * clamped edges), identical crossing-bin rule (first bin with c > 0
+    * whose cumulative count reaches p·n), identical interpolation
+    * (both engines divide the same integer-derived operands, then
+    * hround). The histogram is a single groupBy over (type, bin) —
+    * at scale the only corpus pass — and the quantile walk is a window
+    * over the ≤ 60-row-per-type bin table.
+    */
+  val histQuantiles: QueryDef = QueryDef(
+    "hist_quantiles",
+    (s, d) => {
+      val hb = Tables.events(s, d)
+        .select(col("event_type"),
+          least(lit(59), floor(col("value") / 10).cast("int")).as("b"))
+        .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+      val cum = hb
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("b"))))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))))
+      def est(p: Double, name: String) = cum
+        .filter(col("c") > 0 && col("cum") >= lit(p) * col("n") &&
+          col("cum") - col("c") < lit(p) * col("n"))
+        .select(col("event_type"), col("n"),
+          Text.hround(col("b") * 10 + lit(10.0) *
+            (lit(p) * col("n") - (col("cum") - col("c"))) / col("c"), 4)
+            .as(name))
+      est(0.5, "p50_est")
+        .join(est(0.95, "p95_est").drop("n"), Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hb AS (SELECT event_type,
+               least(59, CAST(floor(value / 10) AS INT)) AS b,
+               count(*) AS c
+             FROM events GROUP BY 1, 2),
+      cum AS (SELECT event_type, b, CAST(c AS BIGINT) AS c,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b)
+                 AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             FROM hb),
+      p50 AS (SELECT event_type, n,
+               floor((b * 10 + 10e0 * (0.5e0 * n - (cum - c)) / c) * 1e4 + 0.5e0) / 1e4
+                 AS p50_est
+             FROM cum
+             WHERE c > 0 AND cum >= 0.5e0 * n AND cum - c < 0.5e0 * n),
+      p95 AS (SELECT event_type,
+               floor((b * 10 + 10e0 * (0.95e0 * n - (cum - c)) / c) * 1e4 + 0.5e0) / 1e4
+                 AS p95_est
+             FROM cum
+             WHERE c > 0 AND cum >= 0.95e0 * n AND cum - c < 0.95e0 * n)
+      SELECT p50.event_type, p50.n, p50.p50_est, p95.p95_est
+      FROM p50 JOIN p95 USING (event_type) ORDER BY 1
+    """),
+    doc = "fixed-bin histogram p50/p95 per event type (batch twin of the streaming sketch)")
+
   val all: Seq[QueryDef] =
     Seq(lagDelta, rollingAvg, runningTotal, topkPerGroup, anomalyZscore,
       minmaxScale, forwardFill, linearInterpFill, trailing7d, ntileBucket,
@@ -1259,5 +1318,6 @@ object Windows {
       sessionizeBatch,
       markovTransitions, ewmaSmooth,
       climatologyAnomaly, rollingCorr, rollingDistinct7d, trendSeasonal,
-      spellRuns, annualMaxima, extremeDaysP90, degreeDayAccum, ohlcBars)
+      spellRuns, annualMaxima, extremeDaysP90, degreeDayAccum, ohlcBars,
+      histQuantiles)
 }
