@@ -2002,8 +2002,8 @@ object Extended {
              ${Text.sqlHround("n_alpha / n_tok", 4)} AS avg_len,
              ${Text.sqlHround("stop_hits / n_tok", 4)} AS stop_ratio,
              ${Text.sqlHround(
-               s"least(n_tok / 100.0, 1.0) * 0.5 + ${Text.sqlHround("stop_hits / n_tok", 4)} * 0.3 " +
-                 s"+ (1.0 - ${Text.sqlHround("n_dig / n_chars", 4)}) * 0.2", 4)} AS quality
+               s"least(n_tok / 100e0, 1e0) * 0.5e0 + ${Text.sqlHround("stop_hits / n_tok", 4)} * 0.3e0 " +
+                 s"+ (1e0 - ${Text.sqlHround("n_dig / n_chars", 4)}) * 0.2e0", 4)} AS quality
       FROM m ORDER BY doc_id
     """),
     doc = "doc quality composite: length/stopword/digit ratios")
@@ -2245,11 +2245,24 @@ object Extended {
           Text.hround(expr(sqlSparkDot("v1", "v2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos6") >= 0.2)
         .select(col("d2").as("doc_id")).distinct()
-      // 4: survivor report per lang
+      // 4: survivor report per lang. quality is a 4-dp-rounded DOUBLE,
+      // so a plain sum(quality) is addition-ORDER-dependent: Spark's
+      // partial aggregation over 32 partitions and DuckDB's sequential
+      // sum can land ±1 ulp apart, which flipped hround at an exact
+      // .00005 boundary at sf0.001 (caught by the first full sf0.001
+      // sweep, round 10). Re-quantize to exact integer 1e4 units before
+      // summing — the zipf_fit fixed-point discipline — so the group
+      // sum is order-independent and both engines divide identical
+      // operands.
       deduped.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          Text.hround(sum(col("quality")) / count(lit(1)), 4).as("avg_quality"))
+          sum(floor(col("quality") * lit(1e4) + lit(0.5)).cast("long"))
+            .as("qk"))
+        .select(col("lang"), col("n_docs"),
+          Text.hround(
+            col("qk").cast("double") / col("n_docs") / lit(1e4), 4)
+            .as("avg_quality"))
         .orderBy(col("lang"))
     },
     Some(s"""
@@ -2257,9 +2270,9 @@ object Extended {
       scored AS (
         SELECT doc_id, lang, text,
                ${Text.sqlHround(
-                 s"least(CAST(len(w) AS INT) / 100.0, 1.0) * 0.5 + " +
-                   s"${Text.sqlHround(s"${sqlStopScore("w", EnStop)} / CAST(len(w) AS INT)", 4)} * 0.3 + " +
-                   s"(1.0 - ${Text.sqlHround("CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) / n_chars", 4)}) * 0.2", 4)} AS quality
+                 s"least(CAST(len(w) AS INT) / 100e0, 1e0) * 0.5e0 + " +
+                   s"${Text.sqlHround(s"${sqlStopScore("w", EnStop)} / CAST(len(w) AS INT)", 4)} * 0.3e0 + " +
+                   s"(1e0 - ${Text.sqlHround("CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) / n_chars", 4)}) * 0.2e0", 4)} AS quality
         FROM ws),
       gated AS (SELECT * FROM scored WHERE quality >= 0.3),
       deduped AS (
@@ -2278,7 +2291,9 @@ object Extended {
         JOIN vsrc b ON b.vec_id = p.d2
         WHERE ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.2)
       SELECT dd.lang, count(*) AS n_docs,
-             ${Text.sqlHround("sum(dd.quality) / count(*)", 4)} AS avg_quality
+             ${Text.sqlHround(
+        """CAST(sum(CAST(floor(dd.quality * 1e4 + 0.5e0) AS BIGINT))
+               AS DOUBLE) / count(*) / 1e4""", 4)} AS avg_quality
       FROM deduped dd LEFT JOIN drops dr ON dr.doc_id = dd.doc_id
       WHERE dr.doc_id IS NULL
       GROUP BY 1 ORDER BY 1
