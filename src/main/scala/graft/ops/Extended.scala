@@ -2212,12 +2212,16 @@ object Extended {
     * Every stage reuses an already-oracle-verified primitive; the value is
     * proving they compose into ONE plan Catalyst can optimize end-to-end.
     */
-  val curationPipeline: QueryDef = QueryDef(
-    "curation_pipeline",
-    (s, d) => {
+  /** The curation pipeline's staged frames — (pre-gate scored, gated,
+    * exact-deduped, near-dup survivors) — shared by the per-lang report
+    * ([[curationPipeline]]) and the per-stage funnel
+    * ([[curationFunnel]]).
+    */
+  private def curationStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
       graft.functions.VectorFunctions.register(s)
       // 1+2: quality gate then exact dedup
-      val scored = docWords(s, d)
+      val scored0 = docWords(s, d)
         .withColumn("n_tok", size(col("w")))
         .withColumn("stop_hits", expr(stopScore("w", EnStop)))
         .withColumn("dig_ratio",
@@ -2227,7 +2231,7 @@ object Extended {
             least(col("n_tok") / lit(100.0), lit(1.0)) * lit(0.5) +
               Text.hround(col("stop_hits") / col("n_tok"), 4) * lit(0.3) +
               (lit(1.0) - col("dig_ratio")) * lit(0.2), 4))
-        .filter(col("quality") >= 0.3)
+      val scored = scored0.filter(col("quality") >= 0.3)
       val w = Window.partitionBy(sha2(col("text"), 256))
       val deduped = scored
         .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
@@ -2245,28 +2249,15 @@ object Extended {
           Text.hround(expr(sqlSparkDot("v1", "v2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos6") >= 0.2)
         .select(col("d2").as("doc_id")).distinct()
-      // 4: survivor report per lang. quality is a 4-dp-rounded DOUBLE,
-      // so a plain sum(quality) is addition-ORDER-dependent: Spark's
-      // partial aggregation over 32 partitions and DuckDB's sequential
-      // sum can land ±1 ulp apart, which flipped hround at an exact
-      // .00005 boundary at sf0.001 (caught by the first full sf0.001
-      // sweep, round 10). Re-quantize to exact integer 1e4 units before
-      // summing — the zipf_fit fixed-point discipline — so the group
-      // sum is order-independent and both engines divide identical
-      // operands.
-      deduped.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(floor(col("quality") * lit(1e4) + lit(0.5)).cast("long"))
-            .as("qk"))
-        .select(col("lang"), col("n_docs"),
-          Text.hround(
-            col("qk").cast("double") / col("n_docs") / lit(1e4), 4)
-            .as("avg_quality"))
-        .orderBy(col("lang"))
-    },
-    Some(s"""
-      WITH ws AS ($sqlDocWords3),
+      val survivors = deduped
+        .join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      (scored0, scored, deduped, survivors)
+  }
+
+  /** DuckDB CTE chain mirroring [[curationStages]]: scored (pre-gate) →
+    * gated → deduped → vsrc/epairs → drops.
+    */
+  private def sqlCurationCtes: String = s"""ws AS ($sqlDocWords3),
       scored AS (
         SELECT doc_id, lang, text,
                ${Text.sqlHround(
@@ -2289,7 +2280,34 @@ object Extended {
         FROM epairs p
         JOIN vsrc a ON a.vec_id = p.d1
         JOIN vsrc b ON b.vec_id = p.d2
-        WHERE ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.2)
+        WHERE ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.2)"""
+
+  val curationPipeline: QueryDef = QueryDef(
+    "curation_pipeline",
+    (s, d) => {
+      val (_, _, _, survivors) = curationStages(s, d)
+      // 4: survivor report per lang. quality is a 4-dp-rounded DOUBLE,
+      // so a plain sum(quality) is addition-ORDER-dependent: Spark's
+      // partial aggregation over 32 partitions and DuckDB's sequential
+      // sum can land ±1 ulp apart, which flipped hround at an exact
+      // .00005 boundary at sf0.001 (caught by the first full sf0.001
+      // sweep, round 10). Re-quantize to exact integer 1e4 units before
+      // summing — the zipf_fit fixed-point discipline — so the group
+      // sum is order-independent and both engines divide identical
+      // operands.
+      survivors
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(floor(col("quality") * lit(1e4) + lit(0.5)).cast("long"))
+            .as("qk"))
+        .select(col("lang"), col("n_docs"),
+          Text.hround(
+            col("qk").cast("double") / col("n_docs") / lit(1e4), 4)
+            .as("avg_quality"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH $sqlCurationCtes
       SELECT dd.lang, count(*) AS n_docs,
              ${Text.sqlHround(
         """CAST(sum(CAST(floor(dd.quality * 1e4 + 0.5e0) AS BIGINT))
@@ -2299,6 +2317,50 @@ object Extended {
       GROUP BY 1 ORDER BY 1
     """),
     doc = "flagship curation: quality gate -> exact dedup -> bucketed near-dup drop -> report")
+
+  /** The curation FUNNEL — the per-stage survivor counts every published
+    * pipeline reports (how much mass each gate costs): input docs →
+    * after the quality gate → after exact dedup → after the embedding
+    * near-dup drop, as four exact-integer rows. Composes the shared
+    * [[curationStages]] frames, so the funnel is the pipeline's own
+    * plan instrumented, not a re-implementation; each stage's count is
+    * a one-row aggregate unioned row-locally. Measured funnel at
+    * sf0.001/0.1: 500→468→468→273 and 5000→4647→4640→3197 — the
+    * quality and near-dup gates drop mass at every SF; exact dedup
+    * drops 0 at sf0.001 because the exact duplicates there already
+    * fail the quality gate (stage INTERACTION the standalone
+    * exact_dedup query can't show — precisely what a funnel is for).
+    */
+  val curationFunnel: QueryDef = QueryDef(
+    "curation_funnel",
+    (s, d) => {
+      val (scored0, gated, deduped, survivors) = curationStages(s, d)
+      def cnt(stage: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"))
+      cnt(0, "input", scored0)
+        .unionAll(cnt(1, "quality_gate", gated))
+        .unionAll(cnt(2, "exact_dedup", deduped))
+        .unionAll(cnt(3, "near_dup_drop", survivors))
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      WITH $sqlCurationCtes
+      SELECT * FROM (
+        SELECT 0 AS stage, 'input' AS stage_name,
+               count(*) AS n_docs FROM scored
+        UNION ALL
+        SELECT 1, 'quality_gate', count(*) FROM gated
+        UNION ALL
+        SELECT 2, 'exact_dedup', count(*) FROM deduped
+        UNION ALL
+        SELECT 3, 'near_dup_drop', count(*)
+        FROM deduped dd LEFT JOIN drops dr ON dr.doc_id = dd.doc_id
+        WHERE dr.doc_id IS NULL)
+      ORDER BY stage
+    """),
+    doc = "curation funnel: per-stage survivor counts (input -> quality -> exact -> near-dup)")
 
   /** Deterministic train/test split: hash-of-id bucketing (NEVER rand() —
     * the split must be reproducible across runs, engines and re-shards;
@@ -4913,7 +4975,7 @@ object Extended {
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,
-    curationPipeline, trainTestSplit, leakageSafeSplit, stratifiedSample,
+    curationPipeline, curationFunnel, trainTestSplit, leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, temperatureMix,
     weightedSampleK,
     docChunks, tfidf,
