@@ -55,6 +55,20 @@ object Bench {
     * weight-dealt 102-141 s). Name order is also stable when
     * bench_baseline.json is absent or stale — the deal never depends on
     * prior timings.
+    *
+    * COROLLARY for reading per-query deltas: when the registry grows,
+    * the round-robin re-deals EVERY shard, and a query's in-bench time
+    * moves ±30% with its new JVM cohort even when its isolated time
+    * improved (round 10: lsh_recall_eval BenchOne 4.7→4.3 s after its
+    * shared-corpus-pass dedup, yet in-bench 2.66→3.2 s calm — it now
+    * co-locates with ann_recall20/bpe_merge_rounds/simhash_wide_near_dup,
+    * all codegen-heavy — while ngram_jaccard_pairs dropped 1.54→0.50 s
+    * in another shard). And host load stacks on top: round 10's final
+    * bench flagged 3 queries >2× (lsh_recall_eval 6.28 s) that a
+    * round-11 calm back-to-back pair measured entirely inside the guard
+    * (2.9/3.2 s; zero regressions both runs, A/B median 1.01). So:
+    * attribute cross-round per-query deltas to dealing/load FIRST, and
+    * judge only calm same-commit pairs (scripts/bench_ab.py).
     */
   private[graft] def shardNames(i: Int, n: Int): Seq[String] =
     allNames.zipWithIndex.collect { case (q, j) if j % n == i => q }

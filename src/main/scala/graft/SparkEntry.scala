@@ -18,7 +18,7 @@ object SparkEntry {
     ops.Filters.all ++ ops.Scalars.all ++ ops.Joins.all ++
       ops.Aggregates.all ++ ops.Windows.all ++ ops.Extended.all ++
       ops.Analytics.all ++ ops.Relational.all ++ ops.Graph.all ++
-      ops.Clustering.all ++
+      ops.Clustering.all ++ ops.Learn.all ++
       ops.Multimodal.all ++ ops.Typed.all ++
       streaming.EventStream.all ++ pipeline.Climate.all
 

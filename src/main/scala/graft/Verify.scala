@@ -26,6 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release this query's persist()-pinned frames: across a 250+
+      // query session pins would otherwise accumulate in the session
+      // CacheManager (storage growth + cross-query plan-substitution
+      // surface — see graft.core.Pin). Bench deliberately does NOT
+      // release (its 2-pass min reuses pass-1 cache; short-lived JVMs).
+      graft.core.Pin.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables, Text}
+import graft.core.{Pin, QueryDef, Tables, Text}
 
 /** Embedding-space clustering and classification for corpus curation:
   * distributed k-means (diversity bucketing / semantic sharding), global
@@ -389,10 +389,11 @@ object Clustering {
           .select(lit(1).as("sel_order"), col("m.cid").as("cid"),
             col("m.cv").as("cv"), lit(null).cast("double").as("d6"))
           // each one-row selection is a subtree of EVERY later step's
-          // plan (step k embeds steps 1..k−1): persist()-pin them so the
-          // union evaluates K corpus passes, not K²/2 (lazy; populated
-          // during the one action — the pagerank edge-pin discipline)
-          .persist()
+          // plan (step k embeds steps 1..k−1): pin them so the union
+          // evaluates K corpus passes, not K²/2 (lazy; populated during
+          // the one action — the pagerank edge-pin discipline, now via
+          // the Pin registry so Verify can release after the action)
+          .transform(Pin.pin)
         val sels = (2 to K).foldLeft(Vector(sel1)) { (acc, k) =>
           val centers = acc.zipWithIndex
             .map { case (f, i) => f.select(col("cv").as(s"cv$i")) }
@@ -408,7 +409,7 @@ object Clustering {
               max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("mo"))
             .select(lit(k).as("sel_order"), col("m.cid").as("cid"),
               col("m.cv").as("cv"), col("mo.dmin").as("d6"))
-            .persist()
+            .transform(Pin.pin)
           acc :+ sk
         }
         sels.map(_.select(col("sel_order"), col("cid"), col("d6")))

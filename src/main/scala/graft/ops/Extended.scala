@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{QueryDef, Tables, Text}
+import graft.core.{Pin, QueryDef, Tables, Text}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -336,7 +336,7 @@ object Extended {
     // the edge list every iteration (the edge list is the big side —
     // at 100 TB this is the shuffle you pay once, not once per round)
     val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .toDF("v", "n").repartition(col("n")).persist()
+      .toDF("v", "n").repartition(col("n")).persist() // pin-exempt: self-released below
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     // NEIGHBOR-MIN INIT, not own-id: lbl0(v) = min(v, min neighbor) —
@@ -1779,10 +1779,14 @@ object Extended {
       def rec(method: String, ann: DataFrame): DataFrame =
         base.join(ann.select(col("q_id"), col("nn_id"), lit(1).as("hit")),
           Seq("q_id", "nn_id"), "left")
+          // denominator = actual truth rows (count(*) over the left
+          // side), NOT n_q·20: if a scale factor ever yields < 20 truth
+          // candidates for some query, recall must stay a true fraction
+          // of the available truth instead of silently understating
           .agg(countDistinct(col("q_id")).as("n_q"),
-            count(col("hit")).as("n_hit"))
+            count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
           .select(lit(method).as("method"), col("n_q"), col("n_hit"),
-            Text.hround(col("n_hit") / (col("n_q") * lit(20.0)), 4)
+            Text.hround(col("n_hit") / col("n_truth").cast("double"), 4)
               .as("recall20"))
       rec("lsh", annLshTopK(s, d, 20))
         .unionAll(rec("ivf", annIvfTopK(s, d, 20)))
@@ -1794,7 +1798,8 @@ object Extended {
         s"""SELECT '$tag' AS method,
               CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_q,
               CAST(count(a.nn_id) AS BIGINT) AS n_hit,
-              ${Text.sqlHround("count(a.nn_id) / (count(DISTINCT b.q_id) * 20e0)", 4)} AS recall20
+              ${Text.sqlHround(
+          "count(a.nn_id) / CAST(count(*) AS DOUBLE)", 4)} AS recall20
             FROM base b LEFT JOIN $cte a
               ON a.q_id = b.q_id AND a.nn_id = b.nn_id"""
       s"""
@@ -4231,12 +4236,18 @@ object Extended {
                THEN concat(slice(acc, 1, size(acc) - 1),
                            array(concat(ma, mb)))
                ELSE concat(acc, array(x)) END)"""
-      var cur = wf0.persist()
+      // Pin.tagged/Pin.pin (not bare persist): the wf0 word-frequency
+      // subtree shares the docWords→explode→lower→rlike prefix with
+      // bpe_pair_merges, and the session-wide CacheManager would
+      // substitute InMemoryTableScan into any later query containing an
+      // identical canonical subtree; the registry also lets Verify
+      // release the pins after the query's action (see graft.core.Pin).
+      var cur = Pin.tagged(wf0)
       val wins = (1 to rounds).map { r =>
         // size >= 2 guard: Spark's sequence(1, 0) DESCENDS to [1, 0]
         // (it never yields empty), so fully-merged single-symbol words
         // must be excluded before the pair expansion.
-        val win = cur.filter(size(col("syms")) >= 2)
+        val win = Pin.pin(cur.filter(size(col("syms")) >= 2)
           .select(explode(expr(
             """transform(sequence(1, size(syms) - 1),
                  i -> concat(element_at(syms, i), ' ',
@@ -4248,8 +4259,7 @@ object Extended {
           .select(lit(r).as("round"),
             split(col("pr"), " ").getItem(0).as("a"),
             split(col("pr"), " ").getItem(1).as("b"),
-            col("cnt"))
-          .persist()
+            col("cnt")))
         val carry = cur.columns.filterNot(_ == "syms").map(col).toSeq
         // LAZY localCheckpoint, not persist: round k's logical plan
         // otherwise embeds rounds 1..k-1 (persist caches DATA but the
@@ -4551,7 +4561,9 @@ object Extended {
     * against an in-JVM brute force.
     */
   private[graft] def ppjoinPairsOf(ds0: DataFrame): DataFrame = {
-      val ds = ds0.persist()
+      // tagged pin: ds0's (doc_id, h) subtree is the bare shingle-explode
+      // frame other dedup queries also plan — see graft.core.Pin
+      val ds = Pin.tagged(ds0)
       val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val dfq = ds.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val pref = ds.join(dfq.hint("shuffle_hash"), Seq("h"))
@@ -4637,24 +4649,21 @@ object Extended {
       // independently per leg (the round-9 advice — the query's cost was
       // roughly the sum of its parents). The legs' own work (prefix
       // filter vs signatures) is irreducible; the shared scan is not.
-      // Measured (round 10): isolated steady-state improved 4.7→4.3 s
-      // (BenchOne), but the IN-BENCH figure moved 2.66→3.2 s on a calm
-      // back-to-back pair — the round-8 shard-dealing effect: the 5 new
-      // round-10 queries re-dealt the name-order round-robin and this
-      // query now shares a JVM with ann_recall20/bpe_merge_rounds/
-      // simhash_wide_near_dup (codegen-heavy co-location), while
-      // ngram_jaccard_pairs in another shard dropped 1.54→0.50 s. The
-      // audit query's absolute cost is accepted; baseline left at its
-      // round-9 pin so drift stays visible.
+      // In-bench time swings with the shard deal (see Bench.shardNames
+      // for the policy + numbers); round 11's calm back-to-back pair
+      // measured 2.9/3.2 s vs the 2.66 s pin (1.1-1.2×, inside the
+      // guard) — the round-10 6.28 s flag was host load, not the plan.
       //
-      // The cache_tag column makes the persisted plan canonically
-      // DISTINCT from the bare shingleHashes subtree: persist()
-      // registers the plan with the session-wide CacheManager, and an
-      // exact canonical match silently substitutes InMemoryTableScan
-      // into UNRELATED queries planned later in the same session
-      // (Verify/Bench run hundreds sequentially) — ScaleSpec's
-      // ReusedExchange guard caught exactly that on minhash_lsh_pairs.
-      val sh = shingleHashes(s, d).withColumn("cache_tag", lit(1)).persist()
+      // Pin.tagged's cache_tag column makes the persisted plan
+      // canonically DISTINCT from the bare shingleHashes subtree:
+      // persist() registers the plan with the session-wide CacheManager,
+      // and an exact canonical match silently substitutes
+      // InMemoryTableScan into UNRELATED queries planned later in the
+      // same session (Verify/Bench run hundreds sequentially) —
+      // ScaleSpec's ReusedExchange guard caught exactly that on
+      // minhash_lsh_pairs (round 10; the discipline now lives in
+      // graft.core.Pin, which also lets Verify release the pin).
+      val sh = Pin.tagged(shingleHashes(s, d))
       val truth = ppjoinPairsOf(
         sh.select(col("doc_id"), explode(col("hs")).as("h")).distinct())
         .select(col("d1"), col("d2"))
@@ -4723,7 +4732,7 @@ object Extended {
       .select(col("doc_id"),
         expr(s"transform(sequence(1, size(hw) - ${K - 1}), i -> $horner)")
           .as("hs"))
-      .persist()
+      .transform(Pin.tagged)
     val ps = hss.select(col("doc_id"),
       posexplode(col("hs")).as(Seq("i", "h")))
     val ddf = ps.groupBy(col("h"))

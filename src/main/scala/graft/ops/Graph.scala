@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{QueryDef, Tables, Text}
+import graft.core.{Pin, QueryDef, Tables, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -46,15 +46,15 @@ object Graph {
     * whole query one lazy plan; the first action populates the cache and
     * the other two references scan it.
     *
-    * The persist is DELIBERATELY never unpersisted: the query fn returns
-    * a lazy DataFrame, so there is no "after the action" point inside the
-    * fn to release it, and CacheManager dedups the identical plan to one
-    * InMemoryRelation per sfDir (edge list ≤ |V|² = 625 rows here; nation
-    * count, not corpus-sized, at any SF). Unified memory can evict it
-    * under pressure, so the steady-state cost in a long session is one
-    * evictable edge-list cache entry — acceptable; revisit with a
-    * QueryExecutionListener-driven unpersist only if bench shows cache
-    * pressure.
+    * The pin goes through [[graft.core.Pin.tagged]] (round 11): the query
+    * fn returns a lazy DataFrame, so there is no "after the action" point
+    * inside the fn to release it — instead the Pin registry lets the
+    * HARNESS release after the action (Verify does, per query), the
+    * cache_tag marker keeps the edge subtree from being silently
+    * substituted into other trade-graph queries' plans, and CacheManager
+    * still dedups the identical tagged plan to one InMemoryRelation per
+    * sfDir (edge list ≤ |V|² = 625 rows here; nation count, not
+    * corpus-sized, at any SF).
     */
   val pagerank: QueryDef = QueryDef(
     "pagerank_trade",
@@ -71,7 +71,7 @@ object Graph {
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       val edges = e0.withColumn("wout",
           sum(col("w")).over(Window.partitionBy(col("src"))))
-        .persist()
+        .transform(Pin.tagged)
       val nodes = Tables.nation(s, d)
         .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
 
@@ -156,7 +156,7 @@ object Graph {
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
-        .persist()
+        .transform(Pin.tagged)
       val wedges = edges.select(col("a"), col("b").as("m"))
         .join(edges.select(col("a").as("m"), col("b").as("c")), Seq("m"))
       val tris = wedges.join(edges.select(col("a"), col("b").as("c")),
@@ -226,7 +226,7 @@ object Graph {
         .distinct()
       val edges = e0.select(col("cn").as("a"), col("sn").as("b"))
         .union(e0.select(col("sn").as("a"), col("cn").as("b")))
-        .persist()
+        .transform(Pin.tagged)
       var dist = e0.agg(min(col("cn")).as("node"))
         .select(col("node"), lit(0).as("d"))
       for (_ <- 1 to 6) {
@@ -306,7 +306,7 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")),
           struct(col("b").as("u"), col("a").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-        .persist()
+        .transform(Pin.tagged)
       val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val common = sym.select(col("v").as("m"), col("u").as("a"))
         .join(sym.select(col("v").as("m"), col("u").as("c")), Seq("m"))
@@ -451,7 +451,7 @@ object Graph {
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct().persist()
+        .distinct().transform(Pin.tagged)
       val kk = e0
         .agg(count(lit(1)).as("m"), countDistinct(col("c")).as("nc"),
           countDistinct(col("s")).as("ns"))
@@ -464,7 +464,7 @@ object Graph {
           .join(dsup.hint("shuffle_hash"), Seq("s"))
           .crossJoin(broadcast(kk))
           .filter(col("dc") >= col("p") && col("ds") >= col("q"))
-          .select(col("c"), col("s")).persist()
+          .select(col("c"), col("s")).transform(Pin.tagged)
       }
       val all4 = Iterator.iterate(e0)(peel).take(4).toSeq
       val stats = all4.zipWithIndex.map { case (e, r) =>

@@ -1125,6 +1125,123 @@ object Relational {
     """),
     doc = "recursive-CTE month spine with zero-filled monthly counts (UnionLoop)")
 
+  /** TPC-H-Q21-shaped multi-EXISTS decorrelation stressor — EXISTS and
+    * NOT EXISTS over the SAME table (lineitem) in one predicate: count,
+    * per supplier, the finished-order lineitems shipped > 365 days after
+    * the order date where at least one OTHER supplier contributed to the
+    * order (EXISTS) but NO other supplier was also that late (NOT
+    * EXISTS — the "sole blocker" semantics of Q21; the fixtures carry no
+    * receipt/commit dates, so lateness is ship-delay vs o_orderdate).
+    * The NOT EXISTS correlates on BOTH l1.l_orderkey and o.o_orderdate —
+    * the two-outer-table correlation that separates real decorrelation
+    * from the single-column textbook case. Catalyst's
+    * RewritePredicateSubquery turns both into LEFT SEMI / LEFT ANTI
+    * joins on the orderkey equi-key with the supplier/date residuals —
+    * one shuffle each over key-partitioned lineitem, no per-row re-scan
+    * (the O(rows × subquery) trap), no nested loop (the registry-wide
+    * ScaleSpec guard proves it). Top-20 via TakeOrdered; ties pinned by
+    * s_name.
+    */
+  val sqlWaitingOrders: QueryDef = QueryDef(
+    "sql_waiting_orders",
+    (s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier_v s
+        JOIN lineitem_v l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_v o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+      """)
+    },
+    Some("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name
+      LIMIT 20
+    """),
+    doc = "Q21-shaped exists + not-exists on one table -> semi + anti joins, no re-scan")
+
+  /** TPC-H-Q17-shaped correlated-AVG scalar subquery: revenue from
+    * lineitems whose quantity is below 20% of their PART's average
+    * quantity, grouped per brand (all 25 brands populated at every SF —
+    * the round-4 vacuous-threshold rule). The naive evaluation re-runs
+    * the AVG per outer row; Catalyst decorrelates it into ONE grouped
+    * aggregate over lineitem joined back on l_partkey — at 100 TB the
+    * difference between one extra key-partitioned aggregate and a
+    * non-plan. Float discipline: the per-part mean is the exact-decimal
+    * sum cast to DOUBLE divided by count (identical operands both
+    * engines — a plain avg(double) is partial-agg-order dependent and
+    * can flip the strict < at a boundary row), the 0.2 factor is the
+    * double literal 0.2e0 applied AFTER the division in the same order,
+    * and the revenue is the exact-decimal sum under the floor-half-up
+    * 2-dp form (Num.sqlAvg2's discipline, /7 for the Q17 "yearly" form).
+    */
+  val sqlSmallQuantityRevenue: QueryDef = QueryDef(
+    "sql_small_quantity_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT p.p_brand, count(*) AS n_small,
+               floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7e0 * 100e0 + 0.5e0) / 100e0
+                 AS avg_yearly
+        FROM lineitem_v l
+        JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+          SELECT 0.2e0 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) / count(*))
+          FROM lineitem_v l2 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+      """)
+    },
+    Some("""
+      SELECT p.p_brand, count(*) AS n_small,
+             floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / 7e0 * 100e0 + 0.5e0) / 100e0
+               AS avg_yearly
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < (
+        SELECT 0.2e0 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                             AS DOUBLE) / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand
+    """),
+    doc = "Q17-shaped correlated AVG subquery, decorrelated to one agg + join")
+
   /** CDC-style snapshot diff — the lakehouse table-diff primitive: a
     * FULL OUTER equi-join on the table key classifies every row as
     * insert / delete / update by null-ness and value comparison, then
@@ -1190,5 +1307,6 @@ object Relational {
       sqlLargeOrders, sqlDiscountedRevenue, sqlPromoRevenue,
       sqlMinPriceSupplier, sqlSupplierBreadth, sqlTopSupplier,
       sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
-      sqlOrderCountDist, snapshotDiff)
+      sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
+      snapshotDiff)
 }

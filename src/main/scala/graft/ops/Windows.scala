@@ -1266,9 +1266,14 @@ object Windows {
   val histQuantiles: QueryDef = QueryDef(
     "hist_quantiles",
     (s, d) => {
+      // both edges clamped (greatest 0 / least 59) to match the streaming
+      // sketch's documented [0, 600) clamped-edge contract — value is
+      // >= 0 at every fixture SF, so the lower clamp is latent, but a
+      // negative value must land in bin 0 on BOTH engines, not bin -k
       val hb = Tables.events(s, d)
         .select(col("event_type"),
-          least(lit(59), floor(col("value") / 10).cast("int")).as("b"))
+          greatest(lit(0),
+            least(lit(59), floor(col("value") / 10).cast("int"))).as("b"))
         .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
       val cum = hb
         .withColumn("cum", sum(col("c")).over(
@@ -1288,7 +1293,7 @@ object Windows {
     },
     Some("""
       WITH hb AS (SELECT event_type,
-               least(59, CAST(floor(value / 10) AS INT)) AS b,
+               greatest(0, least(59, CAST(floor(value / 10) AS INT))) AS b,
                count(*) AS c
              FROM events GROUP BY 1, 2),
       cum AS (SELECT event_type, b, CAST(c AS BIGINT) AS c,

@@ -619,6 +619,107 @@ object EventStream {
     verdicts.union(shortKept)
   }
 
+  final case class TypedEv(user_id: Long, ts: Timestamp, event_type: String)
+  final case class TypeCounts(user_id: Long, n_live_types: Long, n_hits: Long)
+
+  /** MapState + per-entry TTL — the state shape the ValueState processors
+    * above can't express: one keyed SUB-map per stream key (user →
+    * {event_type → hit count}) whose ENTRIES expire independently. With
+    * a plain ValueState[Map[...]] the whole map lives or dies together
+    * and a churning key set grows without bound; MapState with TTLConfig
+    * gives per-entry expiry in the state store itself (RocksDB filters
+    * expired entries on read and reclaims them in compaction) — the
+    * rolling-distinct / "active in the last T" aggregations a production
+    * pipeline needs as soon as keys churn. Emits, per micro-batch
+    * appearance of a user, the LIVE (unexpired) distinct-type count and
+    * the live hit total — O(live entries) state per user, O(batch) row
+    * traffic.
+    *
+    * TTL is PROCESSING-time based (the Spark contract; requires
+    * TimeMode.ProcessingTime) — so the deterministic batch twin below
+    * mirrors it in EVENT time: distinct types within the trailing 1-day
+    * horizon of the stream end. EventStreamSpec drives the processor
+    * across micro-batches and asserts actual expiry (a type counted in
+    * batch 1 is GONE from the live count after the TTL elapses).
+    */
+  class RollingDistinctProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEv, TypeCounts] {
+    import org.apache.spark.sql.streaming.{
+      MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var types: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      types = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        new TTLConfig(ttl))
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[TypedEv],
+        timers: TimerValues): Iterator[TypeCounts] = {
+      rows.foreach { e =>
+        val c =
+          if (types.containsKey(e.event_type)) types.getValue(e.event_type)
+          else 0L
+        // updateValue refreshes the entry's TTL: a type stays live while
+        // it keeps occurring, and expires ttl after its LAST hit
+        types.updateValue(e.event_type, c + 1L)
+      }
+      val live = types.iterator().toSeq // expired entries already filtered
+      Iterator.single(TypeCounts(user, live.size.toLong, live.map(_._2).sum))
+    }
+  }
+
+  /** Streaming wiring for [[RollingDistinctProcessor]] — TTL requires
+    * processing-time mode. OPERATIONAL NOTE: in TimeMode.ProcessingTime
+    * the operator reports shouldRunAnotherBatch = true unconditionally,
+    * so the query triggers continuously (empty batches advance the TTL
+    * clock). Production should set an explicit processing-time trigger
+    * to pace those batches; tests must poll the sink rather than call
+    * processAllAvailable()/Trigger.AvailableNow, which both wait for an
+    * idleness that never comes (see EventStreamSpec's TTL test).
+    */
+  def rollingDistinctState(ds: Dataset[TypedEv],
+      ttl: java.time.Duration): Dataset[TypeCounts] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RollingDistinctProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** Batch twin of [[RollingDistinctProcessor]], oracle-checked: the TTL
+    * horizon expressed in EVENT time — per user, distinct event types and
+    * hit count within the trailing 1 day of the stream end (the state a
+    * TTL'd map would hold at the last event, under an event-time clock).
+    * The stream-end timestamp is a one-row broadcast (scalar-subquery
+    * shape, ScaleSpec `intended`); the horizon is 1 day because the
+    * fixtures' 5-type/30-day stream discriminates there at every SF
+    * (6h/14d saturate to 1 or 5 types — the round-4 vacuous-gate rule).
+    */
+  val ttlDistinctTypes: QueryDef = QueryDef(
+    "ttl_distinct_types",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_live_types"),
+          count(lit(1)).as("n_hits"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH mx AS (SELECT max(ts) AS mx FROM events)
+      SELECT user_id, count(DISTINCT event_type) AS n_live_types,
+             count(*) AS n_hits
+      FROM events, mx
+      WHERE ts >= mx - INTERVAL 1 DAY
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "trailing-1d distinct types per user (event-time twin of the TTL'd MapState)")
+
   // ---- CDC apply: keyed change stream → current-state snapshot -----------
 
   final case class Change(k: Long, op: String, value: Double, seq: Long)
@@ -656,5 +757,6 @@ object EventStream {
 
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
-      intervalJoinOuterEvents, intervalJoinFullOuterEvents, ohlcStreamTwin)
+      intervalJoinOuterEvents, intervalJoinFullOuterEvents, ohlcStreamTwin,
+      ttlDistinctTypes)
 }

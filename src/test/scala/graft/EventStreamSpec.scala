@@ -468,6 +468,63 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("MapState + TTL: per-entry expiry across micro-batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import EventStream.{TypedEv, TypeCounts}
+    val mem = MemoryStream[TypedEv]
+    // TTL is processing-time based (the Spark contract): 1 s TTL, with a
+    // 3 s wall-clock gap between micro-batches — generous enough that the
+    // eviction assertion is deterministic on a loaded box.
+    //
+    // POLL, never processAllAvailable(): in TimeMode.ProcessingTime,
+    // TransformWithStateExec.shouldRunAnotherBatch is ALWAYS true, so
+    // the query triggers continuously (empty batches advance the TTL
+    // clock) and never reports idle — processAllAvailable() blocks
+    // forever and Trigger.AvailableNow never terminates (measured:
+    // 2000+ empty epochs before this test was restructured). Only
+    // data-carrying batches emit rows (no timers registered), so
+    // polling the foreachBatch buffer for the expected rows is exact.
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[TypeCounts]()
+    val q = EventStream.rollingDistinctState(mem.toDS(),
+        java.time.Duration.ofMillis(1000))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[TypeCounts], _: Long) =>
+          b.collect().foreach(buf.add)
+      }
+      .start()
+    def await(p: () => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!p() && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(p(), s"$what not observed in 60 s; buf=${buf.toArray.toSeq}")
+    }
+    try {
+      mem.addData(TypedEv(1L, ts(0), "click"), TypedEv(1L, ts(1), "view"),
+        TypedEv(1L, ts(2), "click"), TypedEv(2L, ts(3), "purchase"))
+      // within the TTL window: both of user 1's types live, counts exact
+      await(() => buf.contains(TypeCounts(1L, 2L, 3L)) &&
+        buf.contains(TypeCounts(2L, 1L, 1L)), "batch-1 live state")
+      Thread.sleep(3000) // let the 1 s TTL elapse for every batch-1 entry
+      buf.clear()
+      mem.addData(TypedEv(1L, ts(10), "purchase"))
+      // EVICTION: click/view expired — only the fresh type is live. A
+      // ValueState[Map] (or TTL-less MapState) would report 3 types / 4
+      // hits here; per-entry TTL is exactly what makes the count roll.
+      await(() => buf.contains(TypeCounts(1L, 1L, 1L)),
+        "post-TTL eviction (1 live type)")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: typed ValueState running agg on RocksDB store") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store (the scale

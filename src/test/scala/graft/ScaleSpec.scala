@@ -104,6 +104,10 @@ class ScaleSpec extends SparkSpec {
       // psi_value_drift broadcasts its one-row time-midpoint frame;
       // lsh_recall_eval broadcasts its one-row LSH-pair-count frame.
       "psi_value_drift", "lsh_recall_eval",
+      // quality_logit broadcasts its one-row weight-vector frame into
+      // each GD round and the one-row doc-count frame (both KB-scale);
+      // ttl_distinct_types broadcasts its one-row stream-end timestamp.
+      "quality_logit", "ttl_distinct_types",
       // rrf_fusion crosses bm25's one-row corpus-stats frame and the
       // one-row doc-0 query vector — both scalar-subquery broadcasts.
       "rrf_fusion")
@@ -268,6 +272,56 @@ class ScaleSpec extends SparkSpec {
       assert(dataJobs.isEmpty,
         s"data jobs ran during DataFrame construction: $dataJobs")
     } finally sc.removeSparkListener(listener)
+  }
+
+  test("persist discipline: every pin in src/main goes through Pin") {
+    // The round-10/11 cache-hygiene rule, enforced at the SOURCE level:
+    // a bare .persist() inside a QueryDef registers its plan with the
+    // session-wide CacheManager with no release path and no cache_tag
+    // isolation (see graft.core.Pin's scaladoc for both failure modes).
+    // Allow-listed: Pin itself (the sanctioned call sites) and
+    // ccOverEdges' iteration frame, which self-unpersists in its loop.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.toString.contains("/tools/"))
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        Files.readString(p).linesIterator.zipWithIndex.collect {
+          case (l, i) if l.contains(".persist(") && name != "Pin.scala" &&
+            !l.contains("pin-exempt") => s"$name:${i + 1}: ${l.trim}"
+        }
+      }
+      .toSeq
+    assert(offenders.isEmpty,
+      s"bare persist() outside graft.core.Pin:\n${offenders.mkString("\n")}")
+  }
+
+  test("pinning queries leave no cache entries after Pin.releaseAll") {
+    // Functional half of the discipline: run the heaviest pinning
+    // queries end-to-end, then release — the session CacheManager must
+    // be EMPTY (any survivor is a pin that skipped the registry, i.e. a
+    // cross-query substitution + storage-leak surface for the next 250
+    // queries of a Verify session). cacheManager is private[sql]; Scala
+    // package-private compiles to public bytecode, so reflection reads
+    // it without setAccessible.
+    def cacheEmpty: Boolean = {
+      val ss = spark.getClass.getMethod("sharedState").invoke(spark)
+      val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
+      cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
+    }
+    spark.catalog.clearCache()
+    core.Pin.releaseAll()
+    assert(cacheEmpty, "cache not empty after clearCache")
+    val pinning = Seq("bpe_merge_rounds", "bpe_encode", "kcenter_coreset",
+      "pagerank_trade", "kcore_peel", "dup_span_runs", "ppjoin_jaccard",
+      "lsh_recall_eval", "quality_logit")
+    pinning.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    assert(core.Pin.liveCount > 0, "pinning queries registered no pins")
+    core.Pin.releaseAll()
+    assert(cacheEmpty,
+      "cache entries survived Pin.releaseAll — an unregistered persist()")
   }
 
   test("runtime bloom filter prunes the fact side of a selective join") {
