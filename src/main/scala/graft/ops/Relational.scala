@@ -1242,6 +1242,107 @@ object Relational {
     """),
     doc = "Q17-shaped correlated AVG subquery, decorrelated to one agg + join")
 
+  /** TPC-H-Q22-shaped "global sales opportunity": per nation, the count
+    * and total balance of customers whose balance beats the positive-
+    * balance average but who placed no URGENT order. Two distinct
+    * subquery classes in ONE predicate — an UNCORRELATED scalar
+    * aggregate (one-row broadcast; Catalyst plans it as a subquery
+    * reused across the scan, never per-row) and a correlated NOT EXISTS
+    * (→ LEFT ANTI join on o_custkey). The anti-join correlates on a
+    * SELECTIVE predicate (priority) rather than bare order existence
+    * because the fixtures give every customer ≥ 1 order — the round-8
+    * vacuous-gate rule (plain Q22 "no orders at all" returns zero rows
+    * at every SF here). Balance sums are exact-decimal under half-even
+    * 2-dp (Num.sum2); the average is the exact-decimal mean so the
+    * strict > compares identical doubles on both engines.
+    */
+  val sqlColdCustomers: QueryDef = QueryDef(
+    "sql_cold_customers",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT n.n_name, count(*) AS n_cust,
+               bround(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS sum_bal
+        FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer_v WHERE c_acctbal > 0e0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+      """)
+    },
+    Some(s"""
+      SELECT n.n_name, count(*) AS n_cust,
+             ${Num.sqlSum2("c.c_acctbal")} AS sum_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*)
+          FROM customer WHERE c_acctbal > 0e0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT')
+      GROUP BY n.n_name
+      ORDER BY n.n_name
+    """),
+    doc = "Q22-shaped uncorrelated scalar avg + correlated NOT EXISTS (anti join)")
+
+  /** TPC-H-Q16-shaped NOT IN subquery — the NULL-AWARE anti join, the
+    * one subquery class the EXISTS family above cannot produce:
+    * `x NOT IN (subquery)` is three-valued (one NULL in the subquery
+    * empties the result; a NULL probe never qualifies), so Catalyst
+    * cannot rewrite it to the plain LeftAnti of NOT EXISTS. For a
+    * single-column broadcastable subquery it plans the special
+    * BroadcastHashJoin(LeftAnti, isNullAware=true) — the fast path
+    * Spark added precisely because the general null-aware fallback is a
+    * BroadcastNestedLoopJoin. The query: supplier breadth per
+    * (brand, size decile) counting only lineitems whose supplier is not
+    * on the low-balance blacklist. The blacklist cut (< 1000) is tuned
+    * non-empty at every SF (1/15/169 suppliers — the round-4 rule; a
+    * negative-balance cut is EMPTY at sf0.001). Keys are non-null in
+    * the fixtures, so results match the NOT EXISTS reading while the
+    * PLAN exercises the null-aware path — asserted in ScaleSpec, since
+    * a silent fallback to the nested-loop variant is exactly the
+    * 100 TB regression this query exists to catch.
+    */
+  val sqlNonBlacklistedParts: QueryDef = QueryDef(
+    "sql_parts_clean_suppliers",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT p.p_brand, p.p_size DIV 10 AS size_decile,
+               count(DISTINCT l.l_suppkey) AS n_supp,
+               count(*) AS n_lines
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 1000e0)
+        GROUP BY p.p_brand, p.p_size DIV 10
+        ORDER BY p.p_brand, size_decile
+      """)
+    },
+    Some("""
+      SELECT p.p_brand, CAST(p.p_size // 10 AS BIGINT) AS size_decile,
+             count(DISTINCT l.l_suppkey) AS n_supp,
+             count(*) AS n_lines
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000e0)
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """),
+    doc = "Q16-shaped NOT IN -> null-aware anti join (broadcast NAAJ fast path)")
+
   /** CDC-style snapshot diff — the lakehouse table-diff primitive: a
     * FULL OUTER equi-join on the table key classifies every row as
     * insert / delete / update by null-ness and value comparison, then
@@ -1308,5 +1409,5 @@ object Relational {
       sqlMinPriceSupplier, sqlSupplierBreadth, sqlTopSupplier,
       sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
       sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
-      snapshotDiff)
+      sqlColdCustomers, sqlNonBlacklistedParts, snapshotDiff)
 }

@@ -720,6 +720,157 @@ object EventStream {
     """),
     doc = "trailing-1d distinct types per user (event-time twin of the TTL'd MapState)")
 
+  final case class LastN(user_id: Long, n_recent: Long, mean2: Double)
+
+  /** ListState as a BOUNDED recent-history buffer — the feature-store
+    * primitive ("rolling mean of the user's last N readings"): per key,
+    * keep only the newest N values and emit their mean on every batch
+    * appearance. ListState (not ValueState[Seq]) because append is an
+    * O(1) state-store write — the whole list is NOT rewritten per event;
+    * the trim-to-N put() only runs when the buffer exceeds N. State is
+    * O(N) per key by construction — the property that lets a last-N
+    * feature run on an unbounded stream at all.
+    */
+  class LastNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, LastN] {
+    import org.apache.spark.sql.streaming.{
+      ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var buf: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Double]("recent",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[LastN] = {
+      // batch-internal arrival order pinned by (ts, value) so replays
+      // of the same micro-batch produce identical buffer contents
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        .foreach(e => buf.appendValue(e.value))
+      val all = buf.get().toArray
+      val keep = if (all.length > n) all.takeRight(n) else all
+      if (all.length > n) buf.put(keep)
+      // fixed left-to-right sum over the buffer order + half-up 2 dp:
+      // deterministic across replays (same order, same IEEE chain)
+      val mean = math.floor(keep.sum / keep.length * 100.0 + 0.5) / 100.0
+      Iterator.single(LastN(user, keep.length.toLong, mean))
+    }
+  }
+
+  /** Streaming wiring for [[LastNProcessor]]. */
+  def lastNState(ds: Dataset[Ev], n: Int): Dataset[LastN] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.user_id)
+      .transformWithState(new LastNProcessor(n),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Batch twin of [[LastNProcessor]] at N = 5, oracle-checked: per user,
+    * the mean of the 5 newest values by the unique (ts, event_id) order —
+    * the state a last-N buffer holds after the stream's final event. The
+    * per-user rank window cuts to ≤ 5 rows BEFORE the aggregate (window
+    * is partitioned by user, never global), and the mean follows the
+    * exact-decimal avg2 discipline.
+    */
+  val lastNRollingMean: QueryDef = QueryDef(
+    "last_n_rolling_mean",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_recent"), Num.avg2(col("value")).as("mean2"))
+        .orderBy(col("user_id")),
+    Some(s"""
+      SELECT user_id, count(*) AS n_recent, ${Num.sqlAvg2("value")} AS mean2
+      FROM (SELECT user_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn <= 5
+      GROUP BY 1 ORDER BY 1
+    """),
+    doc = "per-user mean of the 5 newest values (batch twin of the ListState buffer)")
+
+  /** EVENT-TIME TIMERS — the remaining transformWithState leg after
+    * typed state (ValueState/ListState/MapState) and TTL: a session
+    * closer that emits a user's session WHEN THE WATERMARK proves it
+    * over, not when the next event happens to arrive.
+    * [[sessionizeClosed]] can only emit a closed session upon a LATER
+    * event from the same user — a user who simply stops is never
+    * flushed. Here every input re-arms a timer at last-event + gap
+    * (delete-then-register keeps exactly one live timer per key), and
+    * `handleExpiredTimer` fires once the event-time watermark passes
+    * it: the session emits with no further traffic from that user, the
+    * state clears, and an idle key costs nothing. This is the idle-user
+    * flush every production sessionizer needs; state + one timer per
+    * ACTIVE user only.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, ClosedSession] {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[St]("sess",
+        org.apache.spark.sql.Encoders.product[St], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      var cur = if (st.exists()) st.get() else null
+      val closed = Seq.newBuilder[ClosedSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur =
+          if (cur == null) St(1L, e.value, t, t)
+          else if (t - cur.last > gapMs) {
+            // in-batch gap: close immediately (same as sessionizeClosed)
+            closed += ClosedSession(user, cur.n, cur.sum, cur.start, cur.last)
+            St(1L, e.value, t, t)
+          } else St(cur.n + 1, cur.sum + e.value, cur.start, t)
+      }
+      st.update(cur)
+      // exactly one live timer per key: re-arm at last-event + gap
+      getHandle.listTimers().foreach(ts =>
+        getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer(cur.last + gapMs)
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(ClosedSession(user, s.n, s.sum, s.start, s.last))
+      } else Iterator.empty
+  }
+
+  /** Streaming wiring for [[SessionTimerProcessor]] — event-time mode
+    * (the input must carry a watermark on `ts`; timers fire when the
+    * watermark passes last-event + gap).
+    */
+  def sessionizeWithTimers(ds: Dataset[Ev], gapMs: Long,
+      delay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   // ---- CDC apply: keyed change stream → current-state snapshot -----------
 
   final case class Change(k: Long, op: String, value: Double, seq: Long)
@@ -758,5 +909,5 @@ object EventStream {
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents, intervalJoinFullOuterEvents, ohlcStreamTwin,
-      ttlDistinctTypes)
+      ttlDistinctTypes, lastNRollingMean)
 }

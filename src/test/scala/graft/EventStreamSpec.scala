@@ -525,6 +525,79 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("ListState last-N buffer: bounded history, rolling mean (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import EventStream.LastN
+    val mem = MemoryStream[Ev]
+    val q = EventStream.lastNState(mem.toDS(), 3)
+      .writeStream.format("memory").queryName("lastn_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Ev(1L, ts(0), 10.0), Ev(1L, ts(1), 20.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, ts(2), 30.0), Ev(1L, ts(3), 100.0))
+      q.processAllAvailable()
+      val hist = spark.table("lastn_out").as[LastN].collect()
+      // batch 1: buffer [10, 20] → mean 15; batch 2: buffer trimmed to
+      // the newest 3 of [10, 20, 30, 100] → [20, 30, 100] → mean 50.
+      // A ValueState running agg would report mean 40 over all 4 — the
+      // trim is what the assertion distinguishes.
+      assert(hist.contains(LastN(1L, 2L, 15.0)), s"batch-1 wrong: ${hist.toSeq}")
+      assert(hist.contains(LastN(1L, 3L, 50.0)),
+        s"last-N trim not applied: ${hist.toSeq}")
+      assert(!hist.exists(r => r.n_recent > 3), "buffer exceeded N")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("event-time timers: idle session flushed by watermark, not by traffic") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import EventStream.ClosedSession
+    val gapMs = 10 * 60000L // 10-minute session gap
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionizeWithTimers(mem.toDS(), gapMs)
+      .writeStream.format("memory").queryName("timersess_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1's whole session arrives in batch 1; user 1 then goes IDLE.
+      // (events start at minute 1, not 0: the operator's late-row filter
+      // keeps only ts STRICTLY ABOVE the watermark, and the initial
+      // watermark is 0 — a ts-0 event would be silently dropped)
+      mem.addData(Ev(1L, ts(1), 1.0), Ev(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("timersess_out").isEmpty,
+        "session emitted before the watermark proved it closed")
+      // batch 2: only OTHER-user traffic; it advances the watermark past
+      // user 1's last-event + gap, so user 1's timer fires and the
+      // session flushes with ZERO further events from user 1 — the case
+      // the input-driven sessionizeClosed can never emit
+      mem.addData(Ev(2L, ts(60), 9.0))
+      q.processAllAvailable()
+      val out = spark.table("timersess_out").as[ClosedSession].collect()
+      assert(out.contains(ClosedSession(1L, 2L, 3.0, 60000L, 5L * 60000L)),
+        s"idle session not flushed by timer: ${out.toSeq}")
+      // user 2 is still open (its own timer hasn't passed the watermark)
+      assert(!out.exists(_.user_id == 2L), s"open session leaked: ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: typed ValueState running agg on RocksDB store") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store (the scale

@@ -274,6 +274,26 @@ class ScaleSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("NOT IN plans the null-aware broadcast anti join, never the NLJ fallback") {
+    // sql_parts_clean_suppliers exists to exercise Spark's NAAJ fast
+    // path: NOT IN is three-valued, the general implementation is a
+    // BroadcastNestedLoopJoin over the whole probe side, and the
+    // single-column broadcast special case is what makes the shape
+    // viable at scale. Assert the fast path actually planned — a config
+    // or shape change that silently demotes it to the NLJ is the
+    // 100 TB regression this guard catches.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = ops.Relational.sqlNonBlacklistedParts.fn(spark, sfDir)
+      .queryExecution.sparkPlan
+    val naaj = plan.collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty,
+      s"NOT IN did not plan the null-aware broadcast anti join:\n$plan")
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN fell back to the nested-loop variant:\n$plan")
+  }
+
   test("persist discipline: every pin in src/main goes through Pin") {
     // The round-10/11 cache-hygiene rule, enforced at the SOURCE level:
     // a bare .persist() inside a QueryDef registers its plan with the
