@@ -1343,6 +1343,63 @@ object Relational {
     """),
     doc = "Q16-shaped NOT IN -> null-aware anti join (broadcast NAAJ fast path)")
 
+  /** TPC-H-Q20-shaped NESTED decorrelation — an IN subquery whose inner
+    * query itself contains BOTH another IN subquery and a correlated
+    * scalar aggregate: suppliers who shipped an outlier-sized line
+    * (> 1.95× the part's mean quantity) of a Brand#11 part, rolled up
+    * per nation. Catalyst must decorrelate TWO levels in one pass: the
+    * correlated AVG becomes one grouped aggregate over lineitem joined
+    * back on l_partkey (the Q17 move), the part IN becomes a semi join,
+    * and the outer IN becomes a semi join on l_suppkey — three
+    * key-partitioned joins, zero per-row re-scans. The 1.95 factor ×
+    * Brand#11 gate is tuned discriminating at every SF (2/10, 47/100,
+    * 556/1000 suppliers — the round-4 rule; share-based "dominant
+    * supplier" gates collapse to 0 rows at sf0.1's flatter per-part
+    * supplier distribution). Float discipline: l_quantity is integral
+    * (checked: zero fractional rows at sf0.1), so the exact-decimal
+    * sum / count mean and the 1.95e0 multiply are identical IEEE chains
+    * on both engines; balance totals via Num.sum2.
+    */
+  val sqlOverstockSuppliers: QueryDef = QueryDef(
+    "sql_overstock_suppliers",
+    (s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT s.s_nationkey, count(*) AS n_supp,
+               bround(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS sum_bal
+        FROM supplier_v s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey FROM lineitem_v l
+          WHERE l.l_partkey IN (
+              SELECT p_partkey FROM part_v WHERE p_brand = 'Brand#11')
+            AND l.l_quantity > (
+              SELECT 1.95e0 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                    AS DOUBLE) / count(*))
+              FROM lineitem_v l2 WHERE l2.l_partkey = l.l_partkey))
+        GROUP BY s.s_nationkey
+        ORDER BY s.s_nationkey
+      """)
+    },
+    Some(s"""
+      SELECT s.s_nationkey, count(*) AS n_supp,
+             ${Num.sqlSum2("s.s_acctbal")} AS sum_bal
+      FROM supplier s
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#11')
+          AND l.l_quantity > (
+            SELECT 1.95e0 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                  AS DOUBLE) / count(*))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+      GROUP BY s.s_nationkey
+      ORDER BY s.s_nationkey
+    """),
+    doc = "Q20-shaped nested IN + correlated AVG, two-level decorrelation to semi joins")
+
   /** CDC-style snapshot diff — the lakehouse table-diff primitive: a
     * FULL OUTER equi-join on the table key classifies every row as
     * insert / delete / update by null-ness and value comparison, then
@@ -1409,5 +1466,6 @@ object Relational {
       sqlMinPriceSupplier, sqlSupplierBreadth, sqlTopSupplier,
       sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
       sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
-      sqlColdCustomers, sqlNonBlacklistedParts, snapshotDiff)
+      sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
+      snapshotDiff)
 }
