@@ -2105,6 +2105,60 @@ object Analytics {
     """),
     doc = "k-anonymity / l-diversity privacy audit over quasi-identifier classes")
 
+  /** Randomized-response differential privacy — the local-DP release
+    * primitive (Warner 1965; the RAPPOR core): each document reports its
+    * sensitive bit (lang = 'en') TRUTHFULLY with probability p = 3/4 and
+    * INVERTED otherwise, giving every individual report ε = ln(p/(1−p))
+    * = ln 3 local DP; the per-source true count is then debiased from
+    * the noisy tally as T̂ = (obs − (1−p)·n)/(2p−1) = (4·obs − n)/2.
+    * The coin is the DETERMINISTIC h32('rr1-' ‖ doc_id) % 4 < 3 —
+    * seeded-hash randomness, the only kind an exact cross-engine oracle
+    * can check (both engines flip identical coins; the ESTIMATOR's
+    * unbiasedness is what the query demonstrates: est_en tracks true_en
+    * within ~±2σ = ±√n at every SF). Everything is exact integer
+    * arithmetic until one final division by 2e0 (halves are exactly
+    * representable — no rounding discipline needed, unlike the ln-based
+    * Laplace mechanism, whose libm ulp drift is the round-10
+    * curation_pipeline bug class; the geometric/Laplace variant is the
+    * production path for counts ≫ per-user sensitivity, and swaps in
+    * without changing the plan). Plan: one row-local projection + one
+    * groupBy(source) with map-side combine — the same single-shuffle
+    * shape as any grouped count at 100 TB; true_en rides along only to
+    * exhibit estimator error and would be DROPPED from a real release.
+    */
+  val dpRandomizedResponse: QueryDef = QueryDef(
+    "dp_randomized_response",
+    (s, d) => {
+      val b = when(col("lang") === "en", 1L).otherwise(0L)
+      val c1 = Text.h32(concat(lit("rr1-"), col("doc_id").cast("string"))) % 4
+      Tables.documents(s, d)
+        .select(col("source"), b.as("b"),
+          when(c1 < 3, b).otherwise(lit(1L) - b).as("obs"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("obs")).as("rr_yes"),
+          sum(col("b")).as("true_en"))
+        .withColumn("est_en",
+          (lit(4L) * col("rr_yes") - col("n_docs")) / lit(2.0))
+        .select(col("source"), col("n_docs"), col("rr_yes"),
+          col("true_en"), col("est_en"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b,
+               ${Text.sqlH32("'rr1-' || CAST(doc_id AS VARCHAR)")} % 4 AS c1
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN c1 < 3 THEN b ELSE 1 - b END) AS BIGINT)
+               AS rr_yes,
+             CAST(sum(b) AS BIGINT) AS true_en,
+             CAST(4 * sum(CASE WHEN c1 < 3 THEN b ELSE 1 - b END)
+                  - count(*) AS DOUBLE) / 2.0 AS est_en
+      FROM d GROUP BY 1 ORDER BY 1
+    """),
+    doc = "Warner randomized-response local-DP release with debiased estimator")
+
   /** Population Stability Index per event type — THE ml-ops drift gate
     * (is this week's value distribution still the one the model saw?):
     * decile edges fitted on the REFERENCE half (first half of the time
@@ -2199,5 +2253,5 @@ object Analytics {
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
-      kAnonymity, psiValueDrift)
+      kAnonymity, psiValueDrift, dpRandomizedResponse)
 }
