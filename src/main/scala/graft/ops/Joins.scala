@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Num, QueryDef, Tables, Text}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -587,8 +588,144 @@ object Joins {
       doc = "geohash-4 spatial bucketing (bit-interleave + base32, exact ints)")
   }
 
+  /** Point-in-polygon spatial join — region assignment without a GIS
+    * library: stations (the sqlSLat/sqlSLon derivation, quantized to
+    * integer centidegrees) are classified into three literal polygons
+    * (a triangle, an L-shape, and a 10-vertex star — the non-convex
+    * shapes are the point: parity ray casting must count up to 5
+    * crossings on one ray) by the EVEN-ODD rule. The crossing test is
+    * EXACT INTEGER arithmetic: the ray +x at y=py crosses edge
+    * (x1,y1)-(x2,y2) iff (y1>py) ≠ (y2>py) (half-open at vertices, so a
+    * ray through a vertex counts once, never 0 or 2) and
+    * px < x-intersection, cross-multiplied by dy with a sign-aware flip
+    * instead of divided — no float anywhere past the coordinate
+    * quantization, so boundary points are deterministic on both engines
+    * (|terms| ≤ 2e4·3e4 = 6e8, far inside BIGINT).
+    *
+    * Scale shape — the spatial-index prune, not the brute force: each
+    * point lands in ONE 3000-unit grid cell (pure-integer floordiv on
+    * shifted-nonnegative coords — truncation = floor only for nonneg,
+    * and float division misbuckets exact multiples); each polygon's
+    * bbox expands in-plan to its covered cells (tiny: ≤ ~60 (cell,
+    * polygon) rows); candidates come from a broadcast EQUI-join on
+    * (cx,cy), then the ≤ 19-row edge table broadcast-joins on pid and
+    * the parity aggregate runs per (station, polygon). At 100 TB with
+    * real polygon sets this is the standard cell-index → exact-test
+    * pipeline; no cartesian anywhere. The ORACLE is deliberately the
+    * BRUTE FORCE (points × all edges, no prune) — an independent
+    * computation that proves the cell cover lost no candidate, the
+    * ppjoin_jaccard oracle discipline. Containment tuned discriminating
+    * at every SF (tri/lshape/star ≈ 12% of stations each: 18/16/15 at
+    * sf0.001, 1836/1741/1988 at sf0.1).
+    */
+  /** Frame-in/frame-out core of [[pointInPolygon]], split out for the
+    * property spec (the round-9 trio discipline — exact machinery gets
+    * adversarial planted-input tests): `pts(station_id, ix, iy)` ×
+    * `e(pid, x1, y1, x2, y2)` (all integer/long, coords within
+    * [-5000,5000]×[-15000,15000]) → the (station_id, pid) containment
+    * pairs under the half-open even-odd rule. Both the cell prune and
+    * the exact crossing predicate live HERE so the spec exercises the
+    * production path, not a copy.
+    */
+  private[graft] def pipContain(pts: DataFrame, e: DataFrame): DataFrame = {
+    val C = 3000 // cell size; SX/SY shift coords nonneg for exact floordiv
+    val (sx, sy) = (5000, 15000)
+    val crossing =
+      """CASE WHEN (y1 > iy) != (y2 > iy) THEN
+        |  CASE WHEN y2 > y1
+        |    THEN CASE WHEN (ix - x1) * (y2 - y1) < (iy - y1) * (x2 - x1)
+        |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |    ELSE CASE WHEN (ix - x1) * (y2 - y1) > (iy - y1) * (x2 - x1)
+        |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END END
+        |ELSE CAST(0 AS BIGINT) END""".stripMargin
+    // polygon bbox → covered grid cells (in-plan, tiny)
+    val cells = e.groupBy(col("pid"))
+      .agg(least(min("x1"), min("x2")).as("bx0"),
+        greatest(max("x1"), max("x2")).as("bx1"),
+        least(min("y1"), min("y2")).as("by0"),
+        greatest(max("y1"), max("y2")).as("by1"))
+      .withColumn("cx",
+        explode(sequence(expr(s"(bx0 + $sx) div $C"),
+          expr(s"(bx1 + $sx) div $C"))))
+      .withColumn("cy",
+        explode(sequence(expr(s"(by0 + $sy) div $C"),
+          expr(s"(by1 + $sy) div $C"))))
+      .select("pid", "cx", "cy")
+    pts
+      .withColumn("cx", expr(s"(ix + $sx) div $C"))
+      .withColumn("cy", expr(s"(iy + $sy) div $C"))
+      .join(broadcast(cells), Seq("cx", "cy"))
+      .join(broadcast(e), Seq("pid"))
+      .groupBy(col("station_id"), col("pid"))
+      .agg(sum(expr(crossing)).as("ncross"))
+      .filter(col("ncross") % 2 === 1)
+      .select("station_id", "pid")
+  }
+
+  val pointInPolygon: QueryDef = {
+    val polys: Seq[(String, Seq[(Int, Int)])] = Seq(
+      "lshape" -> Seq((-4000, 0), (1000, 0), (1000, 4000), (-1000, 4000),
+        (-1000, 9000), (-4000, 9000)),
+      "star5" -> Seq((0, -2000), (1200, 10000), (4800, 11000),
+        (2000, 13000), (3000, 15000), (0, 13500), (-3000, 15000),
+        (-2000, 13000), (-4800, 11000), (-1200, 10000)),
+      "tri" -> Seq((-4500, -12000), (4500, -9000), (-1500, -3000)))
+    val edges: Seq[(String, Int, Int, Int, Int)] = polys.flatMap {
+      case (pid, vs) => vs.zip(vs.tail :+ vs.head).map {
+        case ((x1, y1), (x2, y2)) => (pid, x1, y1, x2, y2)
+      }
+    }
+    val valuesSql = edges.map { case (p, x1, y1, x2, y2) =>
+      s"('$p', $x1, $y1, $x2, $y2)"
+    }.mkString(", ")
+    QueryDef(
+      "point_in_polygon_join",
+      (s, d) => {
+        import s.implicits._
+        val e = edges.toDF("pid", "x1", "y1", "x2", "y2")
+          .select(col("pid"), col("x1").cast("long"), col("y1").cast("long"),
+            col("x2").cast("long"), col("y2").cast("long"))
+        val pts = Tables.customer(s, d)
+          .select(col("c_custkey").as("station_id"),
+            expr(s"CAST(floor($sqlSLat * 100e0) AS BIGINT)").as("ix"),
+            expr(s"CAST(floor($sqlSLon * 100e0) AS BIGINT)").as("iy"))
+        pipContain(pts, e)
+          .groupBy(col("pid")).agg(count(lit(1)).as("n_inside"),
+            sum(col("station_id")).as("key_sum"))
+          .select(col("pid").as("polygon"), col("n_inside"), col("key_sum"))
+          .orderBy(col("polygon"))
+      },
+      Some(s"""
+        WITH pts AS (
+          SELECT c_custkey AS station_id,
+                 CAST(floor($sqlSLat * 100e0) AS BIGINT) AS ix,
+                 CAST(floor($sqlSLon * 100e0) AS BIGINT) AS iy
+          FROM customer),
+        e(pid, x1, y1, x2, y2) AS (VALUES $valuesSql),
+        cr AS (
+          SELECT p.station_id, e.pid,
+                 CASE WHEN (y1 > iy) != (y2 > iy) THEN
+                   CASE WHEN y2 > y1
+                     THEN CASE WHEN (ix - x1) * (y2 - y1)
+                                    < (iy - y1) * (x2 - x1)
+                               THEN 1 ELSE 0 END
+                     ELSE CASE WHEN (ix - x1) * (y2 - y1)
+                                    > (iy - y1) * (x2 - x1)
+                               THEN 1 ELSE 0 END END
+                 ELSE 0 END AS c
+          FROM pts p CROSS JOIN e),
+        par AS (
+          SELECT station_id, pid FROM cr GROUP BY 1, 2
+          HAVING sum(c) % 2 = 1)
+        SELECT pid AS polygon, count(*) AS n_inside,
+               CAST(sum(station_id) AS BIGINT) AS key_sum
+        FROM par GROUP BY 1 ORDER BY 1
+      """),
+      doc = "cell-index-pruned exact point-in-polygon join (brute-force oracle)")
+  }
+
   val all: Seq[QueryDef] =
     Seq(pivotAlign, snapJoin, nearestWindow, nearestKnnIrregular, dimEnrich,
       asof, asofNative, saltedSkewJoin, bigJoinBrand, rangeJoin, mergeUpsert,
-      bloomPrunedJoin, geohashCells)
+      bloomPrunedJoin, geohashCells, pointInPolygon)
 }
