@@ -106,8 +106,9 @@ class ScaleSpec extends SparkSpec {
       "psi_value_drift", "lsh_recall_eval",
       // quality_logit broadcasts its one-row weight-vector frame into
       // each GD round and the one-row doc-count frame (both KB-scale);
+      // score_calibration shares those and adds its one-row ECE frame;
       // ttl_distinct_types broadcasts its one-row stream-end timestamp.
-      "quality_logit", "ttl_distinct_types",
+      "quality_logit", "score_calibration", "ttl_distinct_types",
       // rrf_fusion crosses bm25's one-row corpus-stats frame and the
       // one-row doc-0 query vector — both scalar-subquery broadcasts.
       "rrf_fusion")
@@ -336,7 +337,7 @@ class ScaleSpec extends SparkSpec {
     assert(cacheEmpty, "cache not empty after clearCache")
     val pinning = Seq("bpe_merge_rounds", "bpe_encode", "kcenter_coreset",
       "pagerank_trade", "kcore_peel", "dup_span_runs", "ppjoin_jaccard",
-      "lsh_recall_eval", "quality_logit")
+      "lsh_recall_eval", "quality_logit", "score_calibration")
     pinning.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     assert(core.Pin.liveCount > 0, "pinning queries registered no pins")
     core.Pin.releaseAll()
