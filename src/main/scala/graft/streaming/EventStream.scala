@@ -871,6 +871,153 @@ object EventStream {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,
+      end_ts: java.sql.Timestamp)
+
+  /** CHAINED stateful operators — the Spark-4 frontier leg: a custom
+    * stateful operator whose OUTPUT feeds another event-time stateful
+    * operator downstream. Classic streaming (and our other processors)
+    * dead-ends after a transformWithState: the watermark column is
+    * consumed, so a windowed agg over its output cannot close. The
+    * `transformWithState(processor, eventTimeColumnName, ...)` overload
+    * re-assigns event time to an output column, and Spark re-derives
+    * the downstream watermark from it — enabling sessionize → "sessions
+    * per hour", the canonical two-stage production topology.
+    *
+    * The one sharp edge: a timer-driven flush happens when the
+    * watermark has already PASSED the session expiry, and the runtime
+    * REJECTS rows whose re-assigned event time is not after the current
+    * watermark (EMITTING_ROWS_OLDER_THAN_WATERMARK_NOT_ALLOWED — it
+    * would be silently late for the downstream operator). So the
+    * emitted session timestamp is FLUSH-time semantics:
+    * max(session expiry, watermark + 1 ms) — identical to expiry for
+    * in-batch closes (expiry is in the watermark's future) and nudged
+    * to the earliest legal instant for timer closes. A session can
+    * therefore be COUNTED in a later window than its expiry if it
+    * flushes very late; that is the price of exactly-once windowed
+    * delivery downstream, and the spec pins it.
+    */
+  class SessionTimerEmitProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[St]("sess",
+        org.apache.spark.sql.Encoders.product[St], TTLConfig.NONE)
+
+    private def out(user: Long, s: St, wmMs: Long): SessionOut =
+      SessionOut(user, s.n, s.sum,
+        new java.sql.Timestamp(math.max(s.last + gapMs, wmMs + 1)))
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      var cur = if (st.exists()) st.get() else null
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur =
+          if (cur == null) St(1L, e.value, t, t)
+          else if (t - cur.last > gapMs) {
+            closed += out(user, cur, wm)
+            St(1L, e.value, t, t)
+          } else St(cur.n + 1, cur.sum + e.value, cur.start, t)
+      }
+      st.update(cur)
+      getHandle.listTimers().foreach(ts =>
+        getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer(cur.last + gapMs)
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(out(user, s, timers.getCurrentWatermarkInMs()))
+      } else Iterator.empty
+  }
+
+  /** The chained topology: sessionize (timers + state) → tumbling-window
+    * session counts, both event-time stateful, in ONE streaming query.
+    * Output rows appear when the watermark passes the WINDOW end — i.e.
+    * only fully-closed hours of fully-closed sessions.
+    */
+  def sessionsPerWindow(ds: Dataset[Ev], gapMs: Long,
+      win: String): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerEmitProcessor(gapMs),
+        "end_ts", OutputMode.Append())
+      .groupBy(window(col("end_ts"), win))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .select(col("window.start").as("win_start"), col("n_sessions"),
+        col("n_events"))
+  }
+
+  /** Batch twin of [[sessionsPerWindow]], oracle-checked: gap-island
+    * sessions (30-min gap, the sessionize_batch construction) bucketed
+    * into tumbling hours by session EXPIRY (last event + gap — the
+    * instant the streaming timer would fire). Batch sees the whole
+    * stream at once, so every session lands at its TRUE expiry hour —
+    * the zero-clamp ideal the chained streaming topology converges to
+    * as traffic densifies (its flush-time clamp is bounded by one
+    * watermark step; the spec pins the sparse-traffic divergence).
+    * Same scale shape as sessionize_batch plus one bounded-domain
+    * hour aggregate.
+    */
+  val sessionsPerHour: QueryDef = QueryDef(
+    "sessions_per_hour",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts"), 1).over(ord)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(prevTs.isNull ||
+            col("ts") >= prevTs + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(max(col("ts")).as("sess_last"), count(lit(1)).as("n_ev"))
+        .select(date_trunc("hour",
+          col("sess_last") + expr("INTERVAL 30 MINUTES")).as("win_start"),
+          col("n_ev"))
+        .groupBy(col("win_start"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+        .orderBy(col("win_start"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL OR
+                         ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS sess_id, ts
+            FROM g),
+      se AS (SELECT user_id, sess_id, max(ts) AS sess_last,
+                    count(*) AS n_ev
+             FROM s GROUP BY 1, 2)
+      SELECT date_trunc('hour', sess_last + INTERVAL 30 MINUTE) AS win_start,
+             count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events
+      FROM se GROUP BY 1 ORDER BY 1
+    """),
+    doc = "sessions bucketed by expiry hour (batch twin of the chained topology)")
+
   // ---- CDC apply: keyed change stream → current-state snapshot -----------
 
   final case class Change(k: Long, op: String, value: Double, seq: Long)
@@ -909,5 +1056,5 @@ object EventStream {
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents, intervalJoinFullOuterEvents, ohlcStreamTwin,
-      ttlDistinctTypes, lastNRollingMean)
+      ttlDistinctTypes, lastNRollingMean, sessionsPerHour)
 }

@@ -598,6 +598,60 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("chained stateful ops: sessionize re-emits event time into a window agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapMs = 10 * 60000L
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionsPerWindow(mem.toDS(), gapMs, "1 hour")
+      .writeStream.format("memory").queryName("sesswin_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 session A (min 1-5) closes IN-BATCH when the
+      // min-70 event exceeds the gap (end_ts = 15, above the batch's
+      // wm=0); session B (min 70) and user 2 (min 20) stay open.
+      mem.addData(Ev(1L, ts(1), 1.0), Ev(1L, ts(5), 2.0),
+        Ev(1L, ts(70), 3.0), Ev(2L, ts(20), 4.0))
+      q.processAllAvailable()
+      // batch 2: a third user far in the future advances the watermark,
+      // firing the remaining timers.
+      mem.addData(Ev(3L, ts(400), 9.0))
+      q.processAllAvailable()
+      // batch 3: advance the watermark once more so the window holding
+      // session B's clamped flush can close.
+      mem.addData(Ev(4L, ts(800), 8.0))
+      q.processAllAvailable()
+      val out = spark.table("sesswin_out")
+        .select(col("win_start").cast("long"), col("n_sessions"),
+          col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      // FLUSH-TIME SEMANTICS, pinned: a timer-driven close re-emits at
+      // max(expiry, wm+1ms), because the runtime rejects rows behind the
+      // watermark (EMITTING_ROWS_OLDER_THAN_WATERMARK_NOT_ALLOWED).
+      //  - hour [0,1): session A only (in-batch close at its TRUE end,
+      //    min 15 — the watermark was still 0 when it flushed).
+      //  - hour [1,2): user 2's session expired at min 30 but flushed
+      //    when wm was already 70 → clamped to 70min+1ms.
+      //  - session B (expiry min 80) flushed when wm was 400 → lands in
+      //    hour [6,7) at 400min+1ms. With a dense stream (or a nonzero
+      //    watermark delay) the clamp shrinks to ~one batch; sparse
+      //    traffic makes it visible, which is exactly what this pins.
+      val want = Set((0L, 1L, 2L), (3600L, 1L, 1L), (21600L, 1L, 1L))
+      assert(out == want, s"got $out want $want")
+      // users 3/4: sessions still open (or their window unclosed) —
+      // nothing at/after user 3's flush hour
+      assert(!out.exists(_._1 >= 13 * 3600L), s"open session leaked: $out")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: typed ValueState running agg on RocksDB store") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store (the scale
