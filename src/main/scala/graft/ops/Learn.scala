@@ -230,15 +230,25 @@ object Learn {
     * to a 1e-6-unit BIGINT FIRST (the zipf_fit/curation_pipeline
     * discipline) and only the exact integer sum is divided at the end.
     * Plan: the shared scored frame → one groupBy on the FIXED 10-bin
-    * domain (map-side combine) → one-row ECE broadcast back (scalar-
-    * subquery shape, ScaleSpec `intended`).
+    * domain (map-side combine) → ECE via an unpartitioned window over
+    * the ≤ 10-row bin frame. The window (not an agg + one-row
+    * crossJoin) is deliberate: the frame would otherwise be referenced
+    * TWICE, and each reference embeds the whole unrolled 5-round
+    * training subtree — Catalyst re-analyzes the duplicated tree and
+    * the query planned at 4.6 s steady-state vs quality_logit's 1.8
+    * (measured, BenchOne sf0.1); single-reference + window is ~2×
+    * cheaper with an identical result. An unpartitioned window is
+    * normally the 100 TB anti-pattern, but here its input is the
+    * fixed 10-bin domain, same class as heavy_hitters' candidate list.
     */
   val scoreCalibration: QueryDef = QueryDef(
     "score_calibration",
     (s, d) => {
-      // 10-row frame, referenced twice (per-bin rows + the ECE reduce):
-      // pinned so the scoring pass runs once, not per reference
-      val bins = Pin.pin(scoredDocs(s, d)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      scoredDocs(s, d)
         .select(col("y"), col("pq"), least(lit(9),
           expr("pq div 100000")).cast("int").as("bin"))
         .groupBy(col("bin"))
@@ -251,13 +261,11 @@ object Learn {
             + lit(0.5e0)) / lit(10000e0)).as("acc4"),
           expr("""CAST(floor(n_docs * abs(CAST(sy AS DOUBLE) / n_docs
                   - CAST(spq AS DOUBLE) / n_docs / 1000000e0) * 1000000e0
-                  + 0.5e0) AS BIGINT)""").as("tq")))
-      val ece = bins.agg(sum(col("tq")).as("stq"), sum(col("n_docs")).as("nn"))
-        .select((floor(col("stq").cast("double") / col("nn")
-          + lit(0.5e0)) / lit(1000000e0)).as("ece6"))
-      bins.crossJoin(broadcast(ece))
+                  + 0.5e0) AS BIGINT)""").as("tq"))
         .select(col("bin"), col("n_docs"), col("conf4"), col("acc4"),
-          col("ece6"))
+          (floor(sum(col("tq")).over(wAll).cast("double")
+            / sum(col("n_docs")).over(wAll)
+            + lit(0.5e0)) / lit(1000000e0)).as("ece6"))
         .orderBy(col("bin"))
     },
     Some(s"""
@@ -278,12 +286,12 @@ object Learn {
                CAST(floor(n_docs * abs(CAST(sy AS DOUBLE) / n_docs
                     - CAST(spq AS DOUBLE) / n_docs / 1000000e0) * 1000000e0
                     + 0.5e0) AS BIGINT) AS tq
-        FROM bins),
-      ece AS (SELECT floor(CAST(sum(tq) AS DOUBLE)
-                           / CAST(sum(n_docs) AS BIGINT) + 0.5e0)
-                     / 1000000e0 AS ece6 FROM pres)
-      SELECT bin, n_docs, conf4, acc4, ece.ece6
-      FROM pres, ece ORDER BY bin
+        FROM bins)
+      SELECT bin, n_docs, conf4, acc4,
+             floor(CAST(sum(tq) OVER () AS DOUBLE)
+                   / CAST(sum(n_docs) OVER () AS BIGINT) + 0.5e0)
+               / 1000000e0 AS ece6
+      FROM pres ORDER BY bin
     """),
     doc = "reliability bins + ECE for the learned scorer (fixed-point parity)")
 
