@@ -505,6 +505,116 @@ object Graph {
     """),
     doc = "bipartite (p,q)-core peel: 3 unrolled rounds, adaptive integer thresholds")
 
+  /** Deterministic weighted random walks on the customer–supplier
+    * bipartite trade graph — the node2vec/item2vec PAIR-GENERATION step
+    * of embedding training, as one lazy plan: every customer starts one
+    * 2-hop walk (customer → supplier → customer), each hop choosing ONE
+    * out-edge by a weighted draw. The draw is inverse-CDF over the
+    * node's cumulative out-weights: edges carry a per-src running sum
+    * (window partitioned by the node — edge-list-sized, never global),
+    * the walker draws u = h32(seed ‖ walk-id) % out-weight, and the
+    * join+filter `cw − w ≤ u < cw` keeps EXACTLY one edge per walker.
+    * Seeded-hash randomness (the dp_randomized_response discipline — the
+    * only randomness an exact cross-engine oracle can check), with the
+    * hop-2 seed keyed by (origin, current) so walks through the same
+    * supplier diverge.
+    *
+    * Scale shape: the edge aggregation is the only fact-sized work (one
+    * orders ⋈ lineitem join, partial-agg to distinct (c,s) pairs); the
+    * pair frame is Pin.tagged (referenced by BOTH hop directions); each
+    * hop is an equi-join on the current node whose pre-filter output is
+    * Σ degree(frontier) — the standard cost of CDF-sampling without
+    * per-node alias tables (the alias-table build is itself an
+    * edge-list-sized groupBy and pays off only for many walks per
+    * node; scaladoc'd trade-off, one walk per node here). Output
+    * collapses to the 5×5 market-segment transition matrix plus
+    * distinct-destination counts — bounded domain, discriminating at
+    * every SF.
+    */
+  val randomWalkPairs: QueryDef = QueryDef(
+    "random_walk_pairs",
+    (s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(count(lit(1)).as("w"))
+        .transform(Pin.tagged)
+      val fwd = pairs
+        .withColumn("cw", sum(col("w")).over(Window.partitionBy(col("c"))
+          .orderBy(col("sp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("wout", sum(col("w")).over(Window.partitionBy(col("c"))))
+      val bwd = pairs
+        .withColumn("cw", sum(col("w")).over(Window.partitionBy(col("sp"))
+          .orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("wout", sum(col("w")).over(Window.partitionBy(col("sp"))))
+      val hop1 = fwd
+        .withColumn("u", Text.h32(concat(lit("rw1-"),
+          col("c").cast("string"))) % col("wout"))
+        .filter(col("u") >= col("cw") - col("w") && col("u") < col("cw"))
+        .select(col("c").as("origin"), col("sp"))
+      val hop2 = hop1.join(bwd, Seq("sp"))
+        .withColumn("u", Text.h32(concat(lit("rw2-"),
+          col("origin").cast("string"), lit("-"),
+          col("sp").cast("string"))) % col("wout"))
+        .filter(col("u") >= col("cw") - col("w") && col("u") < col("cw"))
+        .select(col("origin"), col("c").as("dest"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      hop2
+        .join(seg.withColumnRenamed("c_mktsegment", "src_seg"),
+          col("origin") === col("c_custkey")).drop("c_custkey")
+        .join(seg.withColumnRenamed("c_mktsegment", "dst_seg"),
+          col("dest") === col("c_custkey"))
+        .groupBy(col("src_seg"), col("dst_seg"))
+        .agg(count(lit(1)).as("n_walks"),
+          countDistinct(col("dest")).as("n_dst"))
+        .orderBy(col("src_seg"), col("dst_seg"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT o.o_custkey AS c, l.l_suppkey AS sp, count(*) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      fwd AS (
+        SELECT c, sp, w,
+               CAST(sum(w) OVER (PARTITION BY c ORDER BY sp
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY c) AS BIGINT) AS wout
+        FROM pairs),
+      bwd AS (
+        SELECT c, sp, w,
+               CAST(sum(w) OVER (PARTITION BY sp ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY sp) AS BIGINT) AS wout
+        FROM pairs),
+      hop1 AS (
+        SELECT c AS origin, sp FROM (
+          SELECT c, sp, w, cw, wout,
+                 ${Text.sqlH32("'rw1-' || CAST(c AS VARCHAR)")} % wout AS u
+          FROM fwd)
+        WHERE u >= cw - w AND u < cw),
+      hop2 AS (
+        SELECT origin, dest FROM (
+          SELECT h1.origin, b.c AS dest, b.w, b.cw,
+                 ${Text.sqlH32(
+      "'rw2-' || CAST(h1.origin AS VARCHAR) || '-' || CAST(h1.sp AS VARCHAR)")}
+                   % b.wout AS u
+          FROM hop1 h1 JOIN bwd b ON b.sp = h1.sp)
+        WHERE u >= cw - w AND u < cw)
+      SELECT cs.c_mktsegment AS src_seg, cd.c_mktsegment AS dst_seg,
+             count(*) AS n_walks,
+             CAST(count(DISTINCT h.dest) AS BIGINT) AS n_dst
+      FROM hop2 h
+      JOIN customer cs ON cs.c_custkey = h.origin
+      JOIN customer cd ON cd.c_custkey = h.dest
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "2-hop weighted random walks (seeded-hash inverse-CDF), segment transition matrix")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
-    nodeJaccard, graphAssortativity, kcorePeel)
+    nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs)
 }

@@ -337,7 +337,8 @@ class ScaleSpec extends SparkSpec {
     assert(cacheEmpty, "cache not empty after clearCache")
     val pinning = Seq("bpe_merge_rounds", "bpe_encode", "kcenter_coreset",
       "pagerank_trade", "kcore_peel", "dup_span_runs", "ppjoin_jaccard",
-      "lsh_recall_eval", "quality_logit", "score_calibration")
+      "lsh_recall_eval", "quality_logit", "score_calibration",
+      "random_walk_pairs")
     pinning.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     assert(core.Pin.liveCount > 0, "pinning queries registered no pins")
     core.Pin.releaseAll()
