@@ -1400,6 +1400,62 @@ object Relational {
     """),
     doc = "Q20-shaped nested IN + correlated AVG, two-level decorrelation to semi joins")
 
+  /** TPC-H-Q8-shaped market share: one nation's fraction of total
+    * discounted revenue per order-year — the ratio-of-conditional-sums
+    * pattern over a THREE-table fact join (lineitem ⋈ orders for the
+    * year, ⋈ supplier ⋈ nation for the share dimension; nation/supplier
+    * are broadcast dims, so the plan stays one fact scan + one grouped
+    * aggregate at any scale). Revenue follows the house decimal
+    * discipline (sql_promo_revenue): 4-dp-exact DECIMAL products, exact
+    * decimal sums for BOTH numerator and denominator, each cast to
+    * DOUBLE once, one division, one floor-form 4-dp round. The CASE's
+    * ELSE is an explicit DECIMAL(27,4) zero so branch types unify
+    * identically in both engines.
+    */
+  val sqlMarketShare: QueryDef = QueryDef(
+    "sql_market_share",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT year(o.o_orderdate) AS yr,
+               floor(CAST(sum(CASE WHEN n.n_name = 'NATION_7'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(1.0 - l.l_discount AS DECIMAL(8,2))
+                       ELSE CAST(0.0 AS DECIMAL(27,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                CAST(1.0 - l.l_discount AS DECIMAL(8,2)))
+                            AS DOUBLE)
+                     * 10000e0 + 0.5e0) / 10000e0 AS mkt_share4
+        FROM lineitem_v l
+        JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier_v sp ON sp.s_suppkey = l.l_suppkey
+        JOIN nation_v n ON n.n_nationkey = sp.s_nationkey
+        GROUP BY year(o.o_orderdate)
+        ORDER BY yr
+      """)
+    },
+    Some("""
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             floor(CAST(sum(CASE WHEN n.n_name = 'NATION_7'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1.0 - l.l_discount AS DECIMAL(8,2))
+                     ELSE CAST(0.0 AS DECIMAL(27,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                              CAST(1.0 - l.l_discount AS DECIMAL(8,2)))
+                          AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS mkt_share4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = sp.s_nationkey
+      GROUP BY year(o.o_orderdate)
+      ORDER BY yr
+    """),
+    doc = "TPC-H-Q8-shaped yearly market share (ratio of conditional decimal sums)")
+
   /** CDC-style snapshot diff — the lakehouse table-diff primitive: a
     * FULL OUTER equi-join on the table key classifies every row as
     * insert / delete / update by null-ness and value comparison, then
@@ -1467,5 +1523,5 @@ object Relational {
       sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
       sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
-      snapshotDiff)
+      sqlMarketShare, snapshotDiff)
 }
