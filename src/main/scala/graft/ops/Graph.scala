@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.{Pin, QueryDef, Tables, Text}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -531,6 +531,30 @@ object Graph {
     * distinct-destination counts — bounded domain, discriminating at
     * every SF.
     */
+  /** Per-node cumulative out-weight CDF over an edge frame — `part` is
+    * the node column, `ord` the (unique-within-node) neighbor column
+    * that fixes the interval order. Split out (with [[pick]]) for the
+    * property spec, the round-9 exact-machinery discipline.
+    */
+  private[graft] def cdf(edges: DataFrame, part: String,
+      ord: String): DataFrame =
+    edges
+      .withColumn("cw", sum(col("w")).over(Window.partitionBy(col(part))
+        .orderBy(col(ord))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wout", sum(col("w")).over(Window.partitionBy(col(part))))
+
+  /** Inverse-CDF edge choice: reduce the raw hash draw modulo the
+    * node's total out-weight and keep the ONE edge whose half-open
+    * weight interval [cw−w, cw) contains it. Totality: u ∈ [0, wout)
+    * and the intervals exactly tile [0, wout), so every walker matches
+    * exactly one edge for ANY weight shape (the property spec plants
+    * boundary draws to hold this).
+    */
+  private[graft] def pick(df: DataFrame, hash: Column): DataFrame =
+    df.withColumn("u", hash % col("wout"))
+      .filter(col("u") >= col("cw") - col("w") && col("u") < col("cw"))
+
   val randomWalkPairs: QueryDef = QueryDef(
     "random_walk_pairs",
     (s, d) => {
@@ -541,26 +565,12 @@ object Graph {
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .agg(count(lit(1)).as("w"))
         .transform(Pin.tagged)
-      val fwd = pairs
-        .withColumn("cw", sum(col("w")).over(Window.partitionBy(col("c"))
-          .orderBy(col("sp"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("wout", sum(col("w")).over(Window.partitionBy(col("c"))))
-      val bwd = pairs
-        .withColumn("cw", sum(col("w")).over(Window.partitionBy(col("sp"))
-          .orderBy(col("c"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("wout", sum(col("w")).over(Window.partitionBy(col("sp"))))
-      val hop1 = fwd
-        .withColumn("u", Text.h32(concat(lit("rw1-"),
-          col("c").cast("string"))) % col("wout"))
-        .filter(col("u") >= col("cw") - col("w") && col("u") < col("cw"))
+      val hop1 = pick(cdf(pairs, "c", "sp"),
+        Text.h32(concat(lit("rw1-"), col("c").cast("string"))))
         .select(col("c").as("origin"), col("sp"))
-      val hop2 = hop1.join(bwd, Seq("sp"))
-        .withColumn("u", Text.h32(concat(lit("rw2-"),
-          col("origin").cast("string"), lit("-"),
-          col("sp").cast("string"))) % col("wout"))
-        .filter(col("u") >= col("cw") - col("w") && col("u") < col("cw"))
+      val hop2 = pick(hop1.join(cdf(pairs, "sp", "c"), Seq("sp")),
+        Text.h32(concat(lit("rw2-"), col("origin").cast("string"),
+          lit("-"), col("sp").cast("string"))))
         .select(col("origin"), col("c").as("dest"))
       val seg = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
