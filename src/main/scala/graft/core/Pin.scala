@@ -71,8 +71,15 @@ object Pin {
   def releaseAll(): Unit = {
     var d = live.poll()
     while (d != null) {
+      // NonFatal only: a blanket Throwable here would swallow VM errors
+      // (OOM) and InterruptedException mid-release in a 250-query Verify
+      // session, surfacing later as an unrelated failure. Log and keep
+      // draining on the recoverable ones; let fatal errors propagate.
       try d.unpersist(false)
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[Pin] unpersist failed: $e")
+      }
       d = live.poll()
     }
   }

@@ -1777,12 +1777,20 @@ object Extended {
     (s, d) => {
       val base = cosineTopKAt(s, d, 20).select(col("q_id"), col("nn_id"))
       def rec(method: String, ann: DataFrame): DataFrame =
-        base.join(ann.select(col("q_id"), col("nn_id"), lit(1).as("hit")),
+        base.join(ann.select(col("q_id"), col("nn_id")).distinct()
+            .withColumn("hit", lit(1)),
           Seq("q_id", "nn_id"), "left")
           // denominator = actual truth rows (count(*) over the left
           // side), NOT n_q·20: if a scale factor ever yields < 20 truth
           // candidates for some query, recall must stay a true fraction
-          // of the available truth instead of silently understating
+          // of the available truth instead of silently understating.
+          // The ANN side is DISTINCT'd on (q_id, nn_id) first so the
+          // left join is ≤1 match per truth row BY CONSTRUCTION —
+          // count(*) of the join result then equals the truth count even
+          // if a future ANN leg emits duplicate pairs (which would
+          // otherwise silently inflate n_truth AND n_hit in both engines
+          // while parity stayed green). The distinct is a shuffle over
+          // the n_q·20-row candidate frame — KB-scale.
           .agg(countDistinct(col("q_id")).as("n_q"),
             count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
           .select(lit(method).as("method"), col("n_q"), col("n_hit"),
@@ -1804,9 +1812,9 @@ object Extended {
               ON a.q_id = b.q_id AND a.nn_id = b.nn_id"""
       s"""
       WITH base AS (SELECT q_id, nn_id FROM (${sqlCosineTopKAt(20)})),
-      lshr AS (SELECT q_id, nn_id FROM (${sqlAnnLshTopK(20)})),
-      ivfr AS (SELECT q_id, nn_id FROM (${sqlAnnIvfTopK(20)})),
-      mpr AS (SELECT q_id, nn_id FROM (${sqlAnnMultiprobeTopK(20)}))
+      lshr AS (SELECT DISTINCT q_id, nn_id FROM (${sqlAnnLshTopK(20)})),
+      ivfr AS (SELECT DISTINCT q_id, nn_id FROM (${sqlAnnIvfTopK(20)})),
+      mpr AS (SELECT DISTINCT q_id, nn_id FROM (${sqlAnnMultiprobeTopK(20)}))
       SELECT * FROM (${rec("lsh", "lshr")} UNION ALL ${rec("ivf", "ivfr")}
         UNION ALL ${rec("mp", "mpr")})
       ORDER BY method

@@ -720,6 +720,15 @@ object EventStream {
     """),
     doc = "trailing-1d distinct types per user (event-time twin of the TTL'd MapState)")
 
+  /** [[LastNProcessor]] input: [[Ev]] plus the event_id needed for an
+    * equal-ts tie-break identical to the batch twin's (ts, event_id)
+    * ordering — without it, equal-ts events straddling the trim boundary
+    * could leave the streaming buffer and the twin holding different
+    * "newest N" sets (replay-deterministic, but not twin-equivalent).
+    */
+  final case class EvK(user_id: Long, ts: Timestamp, event_id: Long,
+      value: Double)
+
   final case class LastN(user_id: Long, n_recent: Long, mean2: Double)
 
   /** ListState as a BOUNDED recent-history buffer — the feature-store
@@ -733,7 +742,7 @@ object EventStream {
     */
   class LastNProcessor(n: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, Ev, LastN] {
+        Long, EvK, LastN] {
     import org.apache.spark.sql.streaming.{
       ListState, TimeMode, TimerValues, TTLConfig}
     @transient private var buf: ListState[Double] = _
@@ -743,11 +752,14 @@ object EventStream {
         org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
 
     override def handleInputRows(
-        user: Long, rows: Iterator[Ev],
+        user: Long, rows: Iterator[EvK],
         timers: TimerValues): Iterator[LastN] = {
-      // batch-internal arrival order pinned by (ts, value) so replays
-      // of the same micro-batch produce identical buffer contents
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      // batch-internal arrival order pinned by (ts, event_id) — the SAME
+      // unique tie-break the batch twin last_n_rolling_mean sorts by, so
+      // equal-ts events straddling the trim boundary keep the identical
+      // "newest N" set in both the stream and the twin (sorting by value
+      // was replay-deterministic but diverged from the twin at ts ties)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         .foreach(e => buf.appendValue(e.value))
       val all = buf.get().toArray
       val keep = if (all.length > n) all.takeRight(n) else all
@@ -760,7 +772,7 @@ object EventStream {
   }
 
   /** Streaming wiring for [[LastNProcessor]]. */
-  def lastNState(ds: Dataset[Ev], n: Int): Dataset[LastN] = {
+  def lastNState(ds: Dataset[EvK], n: Int): Dataset[LastN] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     ds.groupByKey(_.user_id)

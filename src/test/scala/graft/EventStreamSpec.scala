@@ -530,15 +530,23 @@ class EventStreamSpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    import EventStream.LastN
-    val mem = MemoryStream[Ev]
+    import EventStream.{EvK, LastN}
+    val mem = MemoryStream[EvK]
     val q = EventStream.lastNState(mem.toDS(), 3)
       .writeStream.format("memory").queryName("lastn_out")
       .outputMode(OutputMode.Update()).start()
     try {
-      mem.addData(Ev(1L, ts(0), 10.0), Ev(1L, ts(1), 20.0))
+      mem.addData(EvK(1L, ts(0), 1L, 10.0), EvK(1L, ts(1), 2L, 20.0))
       q.processAllAvailable()
-      mem.addData(Ev(1L, ts(2), 30.0), Ev(1L, ts(3), 100.0))
+      mem.addData(EvK(1L, ts(2), 3L, 30.0), EvK(1L, ts(3), 4L, 100.0))
+      q.processAllAvailable()
+      // 4 EQUAL-ts events whose values are NOT monotone in event_id, so
+      // the trim boundary falls INSIDE the tie group: the (ts, event_id)
+      // order appends [30, 7, 100, 2] and keeps ids 6..8 → {7, 100, 2}
+      // (mean 36.33), while a (ts, value) order would append
+      // [2, 7, 30, 100] and keep {7, 30, 100} (mean 45.67).
+      mem.addData(EvK(1L, ts(4), 5L, 30.0), EvK(1L, ts(4), 6L, 7.0),
+        EvK(1L, ts(4), 7L, 100.0), EvK(1L, ts(4), 8L, 2.0))
       q.processAllAvailable()
       val hist = spark.table("lastn_out").as[LastN].collect()
       // batch 1: buffer [10, 20] → mean 15; batch 2: buffer trimmed to
@@ -548,6 +556,12 @@ class EventStreamSpec extends SparkSpec {
       assert(hist.contains(LastN(1L, 2L, 15.0)), s"batch-1 wrong: ${hist.toSeq}")
       assert(hist.contains(LastN(1L, 3L, 50.0)),
         s"last-N trim not applied: ${hist.toSeq}")
+      // batch 3: newest 3 by (ts, event_id) of the equal-ts group are
+      // ids 6,7,8 → values 7, 100, 2 → mean 36.33; a (ts, value) order
+      // would instead keep 30, 100 and drop 2 or 7 → mean 45.67/44.0 —
+      // the twin-equivalence regression this guards.
+      assert(hist.contains(LastN(1L, 3L, 36.33)),
+        s"equal-ts trim not tie-broken by event_id: ${hist.toSeq}")
       assert(!hist.exists(r => r.n_recent > 3), "buffer exceeded N")
     } finally {
       q.stop()
