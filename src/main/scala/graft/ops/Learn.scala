@@ -295,5 +295,78 @@ object Learn {
     """),
     doc = "reliability bins + ECE for the learned scorer (fixed-point parity)")
 
-  val all: Seq[QueryDef] = Seq(qualityLogit, scoreCalibration)
+  /** In-plan DISCRIMINATION evaluation for the learned scorer — the AUC
+    * companion to [[scoreCalibration]]'s calibration axis (the round-11
+    * lesson: oracle parity replays broken training identically in both
+    * engines, so each failure axis of an in-plan learner needs its own
+    * registered evaluation; calibration caught the diverged model,
+    * but a model can be calibrated-on-average yet rank no better than
+    * chance). AUC is computed as the tie-aware Mann-Whitney rank-sum
+    * statistic (the `mann_whitney_u` machinery): aggregate the scored
+    * docs to the DISTINCT-SCORE frame first, midranks from a cumulative
+    * count over it (2·midrank = 2·cum_less + t + 1 — exact integers),
+    * then AUC = U⁺/(n₊·n₋) with U⁺ from the positive-class rank sum.
+    * Everything up to the single final division is exact 64-bit integer
+    * arithmetic — no addition-order hazard, hround(·,4) on identical
+    * operands in both engines. The cumulative count is an unpartitioned
+    * window, safe BECAUSE its input is the distinct-score aggregate:
+    * scores are 1e-6 fixed-point probabilities, so the domain is
+    * bounded by 10⁶+1 keys at ANY corpus size (same class as
+    * score_calibration's 10-bin frame, vs mann_whitney_u's
+    * value-cardinality caveat).
+    *
+    * A dead model (all scores collapsed to one value, the round-11
+    * failure) yields a single all-ties bucket → U⁺ = n₊·n₋/2 → AUC
+    * exactly 0.5000 — the signature this query exists to expose. The
+    * trained scorer sits at 0.83-0.85 across SFs (object scaladoc).
+    */
+  val qualityAuc: QueryDef = QueryDef(
+    "quality_auc",
+    (s, d) => {
+      val byScore = scoredDocs(s, d)
+        .groupBy(col("pq"))
+        .agg(count(lit(1)).as("t"), sum(col("y")).cast("long").as("tp"))
+      val wLess = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pq"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val m = byScore
+        .withColumn("mr2",
+          lit(2L) * coalesce(sum(col("t")).over(wLess), lit(0L)) +
+            col("t") + lit(1L))
+        .agg(sum(col("tp")).as("n_pos"),
+          sum(col("t") - col("tp")).as("n_neg"),
+          sum(col("tp") * col("mr2")).as("r2p"))
+      // 2·R⁺ = Σ tp·mr2; U⁺ = R⁺ − n₊(n₊+1)/2; AUC = U⁺/(n₊·n₋)
+      //      = (Σ tp·mr2 − n₊(n₊+1)) / (2·n₊·n₋) — one exact division.
+      m.select(col("n_pos"), col("n_neg"),
+        Text.hround(
+          (col("r2p") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2e0) * (col("n_pos") * col("n_neg")).cast("double")), 4)
+          .as("auc4"))
+    },
+    Some(s"""
+      WITH $oracleScoredCtes,
+      sy AS (SELECT sc.pq, ws.y FROM sc JOIN ws USING (doc_id)),
+      bv AS (SELECT pq, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(y) AS BIGINT) AS tp
+             FROM sy GROUP BY 1),
+      mr AS (SELECT t, tp,
+               2 * coalesce(CAST(sum(t) OVER (ORDER BY pq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) + t + 1 AS mr2
+             FROM bv),
+      m AS (SELECT CAST(sum(tp) AS BIGINT) AS n_pos,
+                   CAST(sum(t - tp) AS BIGINT) AS n_neg,
+                   CAST(sum(tp * mr2) AS BIGINT) AS r2p FROM mr)
+      SELECT n_pos, n_neg,
+             ${Text.sqlHround(
+        "CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE) / " +
+          "(2e0 * CAST(n_pos * n_neg AS DOUBLE))", 4)} AS auc4
+      FROM m
+    """),
+    doc = "tie-aware rank-sum AUC of the learned scorer (discrimination eval; 0.5 = dead model)")
+
+  val all: Seq[QueryDef] = Seq(qualityLogit, scoreCalibration, qualityAuc)
 }

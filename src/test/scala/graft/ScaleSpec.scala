@@ -106,9 +106,11 @@ class ScaleSpec extends SparkSpec {
       "psi_value_drift", "lsh_recall_eval",
       // quality_logit broadcasts its one-row weight-vector frame into
       // each GD round and the one-row doc-count frame (both KB-scale);
-      // score_calibration shares those and adds its one-row ECE frame;
-      // ttl_distinct_types broadcasts its one-row stream-end timestamp.
-      "quality_logit", "score_calibration", "ttl_distinct_types",
+      // score_calibration and quality_auc share those (same scoredDocs
+      // training subtree); ttl_distinct_types broadcasts its one-row
+      // stream-end timestamp.
+      "quality_logit", "score_calibration", "quality_auc",
+      "ttl_distinct_types",
       // rrf_fusion crosses bm25's one-row corpus-stats frame and the
       // one-row doc-0 query vector — both scalar-subquery broadcasts.
       "rrf_fusion")
