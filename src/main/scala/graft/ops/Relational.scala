@@ -1456,6 +1456,121 @@ object Relational {
     """),
     doc = "TPC-H-Q8-shaped yearly market share (ratio of conditional decimal sums)")
 
+  /** TPC-H-Q9-shaped product-line profit by nation × year — the classic
+    * 5-way star join (lineitem ⋈ orders ⋈ supplier ⋈ nation ⋈ part)
+    * with a part-name substring filter and an extract(year) grouping.
+    * The fixtures carry no partsupp, so supply cost is proxied by
+    * p_retailprice · l_quantity (reference TPC-H Q9 uses
+    * ps_supplycost · l_quantity); profit = revenue − cost per line,
+    * summed per (nation, year). Parity follows the sql_market_share
+    * decimal discipline: every operand is cast to an exact DECIMAL
+    * before multiply/subtract/sum (order-independent accumulation —
+    * revenue DECIMAL(27,4), cost DECIMAL(37,4)), one final
+    * DOUBLE-division-free hround(2). Plan shape: the p_name LIKE
+    * filter pushes to the part scan and prunes ~12% of parts before
+    * the join; part/supplier/nation broadcast under AQE at test SFs
+    * (shuffle-join on p_partkey at 100 TB, where part is fact-sized);
+    * lineitem ⋈ orders is the one fact-fact shuffle, keyed on
+    * l_orderkey. year() is computed AFTER the join on the ~|lineitem|
+    * matched rows — no date function in any join key.
+    */
+  val sqlProductProfit: QueryDef = QueryDef(
+    "sql_product_profit",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               bround(CAST(sum(
+                 CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1.0 - l.l_discount AS DECIMAL(8,2))
+                      AS DECIMAL(38,4)) -
+                 CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) *
+                      CAST(l.l_quantity AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))) AS DOUBLE), 2) AS profit2
+        FROM lineitem_v l
+        JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier_v sp ON sp.s_suppkey = l.l_suppkey
+        JOIN nation_v n ON n.n_nationkey = sp.s_nationkey
+        JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%bolt%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY nation, o_year
+      """)
+    },
+    Some("""
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             round_even(CAST(sum(
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1.0 - l.l_discount AS DECIMAL(8,2))
+                    AS DECIMAL(38,4)) -
+               CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) *
+                    CAST(l.l_quantity AS DECIMAL(18,2))
+                    AS DECIMAL(38,4))) AS DOUBLE), 2) AS profit2
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = sp.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%bolt%'
+      GROUP BY n.n_name, year(o.o_orderdate)
+      ORDER BY nation, o_year
+    """),
+    doc = "TPC-H-Q9-shaped nation x year profit (5-way star join, exact decimal sums)")
+
+  /** TPC-H-Q12-shaped late-shipment priority split — the two-way
+    * conditional aggregation over a fact-fact join: for line items
+    * shipped in 1997 MORE THAN 60 days after their order date (the
+    * fixtures carry no commit/receipt dates or ship modes, so
+    * ship-lag > 60d stands in for Q12's receipt-after-commit and
+    * l_returnflag for the mode axis), count high-priority
+    * (1-URGENT/2-HIGH) vs lower-priority orders per flag. Both counts
+    * are conditional sums in ONE pass over the join — the Q12 signature
+    * shape (no per-priority re-scan). The shipdate range pushes to the
+    * lineitem scan; the lag predicate is a post-join residual (it
+    * compares columns from both sides); the ONE shuffle is the
+    * orderkey join, and the final aggregate's domain is 3 flags.
+    */
+  val sqlShipmodePriority: QueryDef = QueryDef(
+    "sql_shipmode_priority",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT l.l_returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem_v l
+        JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+      """)
+    },
+    Some("""
+      SELECT l.l_returnflag,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag
+    """),
+    doc = "TPC-H-Q12-shaped late-shipment two-way priority counts per return flag")
+
   /** CDC-style snapshot diff — the lakehouse table-diff primitive: a
     * FULL OUTER equi-join on the table key classifies every row as
     * insert / delete / update by null-ness and value comparison, then
@@ -1523,5 +1638,5 @@ object Relational {
       sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
       sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
-      sqlMarketShare, snapshotDiff)
+      sqlMarketShare, sqlProductProfit, sqlShipmodePriority, snapshotDiff)
 }
