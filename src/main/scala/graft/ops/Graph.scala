@@ -625,6 +625,125 @@ object Graph {
     """),
     doc = "2-hop weighted random walks (seeded-hash inverse-CDF), segment transition matrix")
 
+  /** Length-4 weighted random walks (c → sp → c → sp → c) — the walk
+    * LENGTH leg node2vec corpora actually need (L ≈ 10-80;
+    * [[randomWalkPairs]] proves the 2-hop mechanism, this proves the
+    * chain composes): the same seeded-hash inverse-CDF draw
+    * ([[cdf]]/[[pick]]), one hop per join, walk state carried as
+    * COLUMNS (origin rides along; the sql_recursive_spine lesson — no
+    * per-hop re-derivation of anything data-dependent). The two CDF
+    * frames are built ONCE and Pin.tagged: fwd (per-customer intervals)
+    * feeds hops 1 and 3, bwd (per-supplier) hops 2 and 4 — without the
+    * pin each reference re-runs the fact-sized edge aggregation + its
+    * window. Hop seeds are keyed by (hop, origin, current node), so
+    * walks crossing the same node diverge and no hop reuses another's
+    * draw. Each hop stays an equi-join on the current node with
+    * Σ degree(frontier) pre-filter output — the documented CDF-sampling
+    * cost (alias tables pay off only at many walks per node; one walk
+    * per customer here). Output: 5×5 segment transition matrix of the
+    * 4-hop endpoints + distinct-destination and returned-home counts —
+    * bounded domain, discriminating at every SF.
+    */
+  val randomWalkLen4: QueryDef = QueryDef(
+    "random_walk_len4",
+    (s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(count(lit(1)).as("w"))
+      val fwd = Pin.tagged(cdf(pairs, "c", "sp"))
+      val bwd = Pin.tagged(cdf(pairs, "sp", "c"))
+      def seed(h: Int, origin: Column, cur: Column): Column =
+        Text.h32(concat(lit(s"w4h$h-"), origin.cast("string"),
+          lit("-"), cur.cast("string")))
+      val hop1 = pick(fwd,
+        Text.h32(concat(lit("w4h1-"), col("c").cast("string"))))
+        .select(col("c").as("origin"), col("sp"))
+      val hop2 = pick(hop1.join(bwd, Seq("sp")),
+        seed(2, col("origin"), col("sp")))
+        .select(col("origin"), col("c").as("c2"))
+      val hop3 = pick(hop2.join(fwd, col("c") === col("c2")),
+        seed(3, col("origin"), col("c2")))
+        .select(col("origin"), col("sp").as("sp2"))
+      val hop4 = pick(hop3.join(bwd, col("sp") === col("sp2")),
+        seed(4, col("origin"), col("sp2")))
+        .select(col("origin"), col("c").as("dest"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      hop4
+        .join(seg.withColumnRenamed("c_mktsegment", "src_seg"),
+          col("origin") === col("c_custkey")).drop("c_custkey")
+        .join(seg.withColumnRenamed("c_mktsegment", "dst_seg"),
+          col("dest") === col("c_custkey"))
+        .groupBy(col("src_seg"), col("dst_seg"))
+        .agg(count(lit(1)).as("n_walks"),
+          countDistinct(col("dest")).as("n_dst"),
+          sum(when(col("dest") === col("origin"), 1L).otherwise(0L))
+            .as("n_home"))
+        .orderBy(col("src_seg"), col("dst_seg"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT o.o_custkey AS c, l.l_suppkey AS sp, count(*) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      fwd AS (
+        SELECT c, sp, w,
+               CAST(sum(w) OVER (PARTITION BY c ORDER BY sp
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY c) AS BIGINT) AS wout
+        FROM pairs),
+      bwd AS (
+        SELECT c, sp, w,
+               CAST(sum(w) OVER (PARTITION BY sp ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY sp) AS BIGINT) AS wout
+        FROM pairs),
+      h1 AS (
+        SELECT c AS origin, sp FROM (
+          SELECT c, sp, w, cw, wout,
+                 ${Text.sqlH32("'w4h1-' || CAST(c AS VARCHAR)")} % wout AS u
+          FROM fwd)
+        WHERE u >= cw - w AND u < cw),
+      h2 AS (
+        SELECT origin, c2 FROM (
+          SELECT h.origin, b.c AS c2, b.w, b.cw,
+                 ${Text.sqlH32(
+        "'w4h2-' || CAST(h.origin AS VARCHAR) || '-' || CAST(h.sp AS VARCHAR)")}
+                   % b.wout AS u
+          FROM h1 h JOIN bwd b ON b.sp = h.sp)
+        WHERE u >= cw - w AND u < cw),
+      h3 AS (
+        SELECT origin, sp2 FROM (
+          SELECT h.origin, f.sp AS sp2, f.w, f.cw,
+                 ${Text.sqlH32(
+        "'w4h3-' || CAST(h.origin AS VARCHAR) || '-' || CAST(h.c2 AS VARCHAR)")}
+                   % f.wout AS u
+          FROM h2 h JOIN fwd f ON f.c = h.c2)
+        WHERE u >= cw - w AND u < cw),
+      h4 AS (
+        SELECT origin, dest FROM (
+          SELECT h.origin, b.c AS dest, b.w, b.cw,
+                 ${Text.sqlH32(
+        "'w4h4-' || CAST(h.origin AS VARCHAR) || '-' || CAST(h.sp2 AS VARCHAR)")}
+                   % b.wout AS u
+          FROM h3 h JOIN bwd b ON b.sp = h.sp2)
+        WHERE u >= cw - w AND u < cw)
+      SELECT cs.c_mktsegment AS src_seg, cd.c_mktsegment AS dst_seg,
+             count(*) AS n_walks,
+             CAST(count(DISTINCT h.dest) AS BIGINT) AS n_dst,
+             CAST(sum(CASE WHEN h.dest = h.origin THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_home
+      FROM h4 h
+      JOIN customer cs ON cs.c_custkey = h.origin
+      JOIN customer cd ON cd.c_custkey = h.dest
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "length-4 weighted random walks (pinned CDF frames, per-hop seeded draws)")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
-    nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs)
+    nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
+    randomWalkLen4)
 }
