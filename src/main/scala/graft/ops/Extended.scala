@@ -576,6 +576,59 @@ object Extended {
     incrementalDedup.oracle,
     doc = "incremental dedup probed against the parquet-persisted bucket store (state round-trip)")
 
+  /** Bucket-store GC/compaction — the maintenance pass the persisted
+    * dedup state needs at 100 TB: documents get DELETED from the corpus
+    * (takedowns, re-crawls), and a store row whose owning doc is gone
+    * must either transfer ownership to a surviving bucket member or be
+    * dropped. Deletions are simulated by tombstoning corpus docs with
+    * doc_id % 7 == 0. The compaction is INCREMENTAL, split by an
+    * exact invariant:
+    *  - owner survives → the row is untouched: old_min was the min over
+    *    all members, and removing OTHER members can never lower a min
+    *    the survivor already holds — no recompute, no signature access;
+    *  - owner deleted → recompute min over the bucket's SURVIVING
+    *    members only (survivor bands equi-joined to the affected bucket
+    *    keys — the join prunes the recompute to touched buckets);
+    *    a bucket with no survivor drops out of the store entirely.
+    * The store is written/re-read via its partitioned-parquet layout
+    * (the dedup_state_roundtrip artifact; band-partitioned, so a real
+    * deployment rewrites affected band directories, not the store) —
+    * eager sink round-trip, ScaleSpec `eager` set. The ORACLE is
+    * deliberately INDEPENDENT (the ppjoin discipline): DuckDB builds
+    * the post-deletion store from scratch over the surviving corpus, so
+    * the hash match proves the incremental path is EQUIVALENT to a full
+    * rebuild — the compaction contract — rather than mirroring the
+    * keep/recompute split.
+    */
+  val dedupStateCompact: QueryDef = QueryDef(
+    "dedup_state_compact",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "dedup_state_compact")
+      bucketStoreOf(Tables.documents(s, d).filter(col("doc_id") % 10 < 8))
+        .write.mode("overwrite").partitionBy("band").parquet(dir)
+      val store = s.read.parquet(dir)
+      val keep = store.filter(col("old_min") % 7 =!= 0)
+      val affected = store.filter(col("old_min") % 7 === 0)
+        .select(col("band"), col("bkey"))
+      val survivorBands = bandsOf(signatures(s, d))
+        .filter(col("doc_id") % 10 < 8 && col("doc_id") % 7 =!= 0)
+      val recomputed = survivorBands
+        .join(affected, Seq("band", "bkey"))
+        .groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("old_min"))
+      keep.select(col("band"), col("bkey"), col("old_min"))
+        .unionByName(recomputed)
+        .orderBy(col("band"), col("bkey"))
+    },
+    Some(s"""
+      WITH $sqlSignatures,
+      bands AS ($sqlBandsFromSig)
+      SELECT band, bkey, min(doc_id) AS old_min
+      FROM bands WHERE doc_id % 10 < 8 AND doc_id % 7 <> 0
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "bucket-store GC after deletions: incremental compaction == full rebuild (independent oracle)")
+
   /** Line-level exact dedup with document reassembly — the
     * RefinedWeb/FineWeb-style pass that strips repeated boilerplate
     * SEGMENTS (headers, footers, navigation) while keeping the documents:
@@ -4983,7 +5036,8 @@ object Extended {
     ngramNovelty, sourceDriftJs, quantizedRecall, llrCollocations,
     contrastivePairs, embedStandardize, trendingTerms,
     exactDedup, minhashLsh, dupClusters, clusterCanonical,
-    incrementalDedup, dedupStateRoundtrip, lineDedup, corpusOverlap,
+    incrementalDedup, dedupStateRoundtrip, dedupStateCompact, lineDedup,
+    corpusOverlap,
     importanceWeights, simhash,
     simhashNearDup, simhashWideNearDup, ngramJaccard, minhashCalibration,
     editDistancePairs,
