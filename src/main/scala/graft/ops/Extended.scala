@@ -4549,9 +4549,12 @@ object Extended {
     * SNM tradeoff (production multi-pass SNM unions a second sort key;
     * our LSH family IS that second pass).
     */
-  val sortedNeighborhoodEr: QueryDef = QueryDef(
-    "sorted_neighborhood_er",
-    (s, d) => {
+  /** SNM candidate frame (a, t120, nb.bid, nb.bt) — the window-blocking
+    * candidate generation extracted from [[sortedNeighborhoodEr]] so the
+    * blocking-recall audit ([[erRecallEval]]) measures the SAME candidate
+    * set the production linkage verifies (the lsh_recall_eval seam).
+    */
+  private[graft] def snmCandidateFrame(s: SparkSession, d: String): DataFrame = {
       val t = Tables.documents(s, d)
         .select(col("doc_id"),
           lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).as("nrm"),
@@ -4561,7 +4564,7 @@ object Extended {
       // all four leads share ONE window spec → a single Window operator
       // over a single per-block sort (a two-branch union would scan and
       // sort the corpus twice); the two neighbors then unfold row-locally
-      val p = t
+      t
         .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
         .withColumn("n1_t", lead(col("t120"), 1).over(w))
         .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
@@ -4571,6 +4574,12 @@ object Extended {
             struct(col("n1_id").as("bid"), col("n1_t").as("bt")),
             struct(col("n2_id").as("bid"), col("n2_t").as("bt")))).as("nb"))
         .filter(col("nb.bid").isNotNull)
+  }
+
+  val sortedNeighborhoodEr: QueryDef = QueryDef(
+    "sorted_neighborhood_er",
+    (s, d) => {
+      val p = snmCandidateFrame(s, d)
       p.select(least(col("a"), col("nb.bid")).as("d1"),
           greatest(col("a"), col("nb.bid")).as("d2"),
           levenshtein(col("t120"), col("nb.bt")).as("lev"))
@@ -4751,6 +4760,65 @@ object Extended {
       FROM j
     """),
     doc = "banded-minhash dedup recall vs the exact PPJoin ground truth")
+
+  /** Window-blocking recall audit — [[lshRecallEval]]'s twin for the
+    * sorted-neighborhood linkage: of the pairs PROVEN similar by the
+    * exact prefix-filtered PPJoin (Jaccard ≥ 0.5 on 3-gram shingles,
+    * brute-force-verified oracle, property-proven filter), how many does
+    * the single-pass SNM window (8-char block, w = 3) even CANDIDATE?
+    * SNM's verify step can only confirm pairs the sort puts within the
+    * window, so this recall — not the lev threshold — is the number that
+    * decides whether the blocking key survives a corpus scale-up (near
+    * dups whose first 8 normalized chars differ fall across block
+    * boundaries: the documented single-pass SNM miss class, here
+    * measured instead of just documented). Truth and candidates are both
+    * bounded pipelines (prefix-filter equi-join / per-block window);
+    * the audit is one left join + count on pair keys.
+    */
+  val erRecallEval: QueryDef = QueryDef(
+    "er_recall_eval",
+    (s, d) => {
+      val truth = ppjoinPairsOf(
+        shingleHashes(s, d)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .distinct())
+        .select(col("d1"), col("d2"))
+      val snm = snmCandidateFrame(s, d)
+        .select(least(col("a"), col("nb.bid")).as("d1"),
+          greatest(col("a"), col("nb.bid")).as("d2"))
+        .distinct()
+      val nSnm = snm.agg(count(lit(1)).as("n_snm"))
+      truth.join(snm.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+        .crossJoin(broadcast(nSnm))
+        .select(col("n_truth"), col("n_snm"), col("n_hit"),
+          Text.hround(col("n_hit").cast("double") / col("n_truth"), 4)
+            .as("recall4"))
+    },
+    Some(s"""
+      WITH t AS (SELECT d1, d2 FROM (${ppjoinJaccard.oracle.get})),
+      nb AS (SELECT doc_id,
+               lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS nrm
+             FROM documents),
+      bb AS (SELECT doc_id, nrm, substr(nrm, 1, 8) AS blk FROM nb),
+      cc AS (SELECT doc_id,
+               lead(doc_id, 1) OVER w AS n1_id,
+               lead(doc_id, 2) OVER w AS n2_id
+             FROM bb WINDOW w AS (PARTITION BY blk ORDER BY nrm, doc_id)),
+      pp AS (SELECT doc_id AS a, n1_id AS bid FROM cc WHERE n1_id IS NOT NULL
+             UNION ALL
+             SELECT doc_id, n2_id FROM cc WHERE n2_id IS NOT NULL),
+      sn AS (SELECT DISTINCT least(a, bid) AS d1, greatest(a, bid) AS d2
+             FROM pp),
+      j AS (SELECT count(*) AS n_truth, CAST(count(sn.d1) AS BIGINT) AS n_hit
+            FROM t LEFT JOIN sn ON sn.d1 = t.d1 AND sn.d2 = t.d2)
+      SELECT CAST(n_truth AS BIGINT) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM sn) AS n_snm,
+             n_hit,
+             ${Text.sqlHround("CAST(n_hit AS DOUBLE) / n_truth", 4)} AS recall4
+      FROM j
+    """),
+    doc = "sorted-neighborhood blocking recall vs the exact PPJoin ground truth")
 
   /** Cross-document duplicated-SPAN audit — the per-document statistic a
     * substring-level dedup pass (Lee et al., "Deduplicating Training
@@ -5055,5 +5123,6 @@ object Extended {
     perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
     bpePairMerges, bpeMergeRounds, bpeEncode, zipfFit, sortedNeighborhoodEr,
-    ppjoinJaccard, lshRecallEval, dupSpanRuns, dupMaxSpans, cdcChunks)
+    ppjoinJaccard, lshRecallEval, erRecallEval, dupSpanRuns, dupMaxSpans,
+    cdcChunks)
 }

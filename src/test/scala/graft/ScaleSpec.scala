@@ -102,8 +102,9 @@ class ScaleSpec extends SparkSpec {
       // into the next round's merge fold — the same unrolled shape.
       "kcore_peel", "kcenter_coreset", "bpe_merge_rounds", "bpe_encode",
       // psi_value_drift broadcasts its one-row time-midpoint frame;
-      // lsh_recall_eval broadcasts its one-row LSH-pair-count frame.
-      "psi_value_drift", "lsh_recall_eval",
+      // lsh_recall_eval and er_recall_eval broadcast their one-row
+      // candidate-count frames.
+      "psi_value_drift", "lsh_recall_eval", "er_recall_eval",
       // quality_logit broadcasts its one-row weight-vector frame into
       // each GD round and the one-row doc-count frame (both KB-scale);
       // score_calibration and quality_auc share those (same scoredDocs
