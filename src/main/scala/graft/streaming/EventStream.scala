@@ -325,6 +325,108 @@ object EventStream {
     """),
     doc = "full-outer interval join (both-side null-padded stream-stream twin)")
 
+  /** LEFT-SEMI stream-stream interval join — the existence filter of the
+    * join-mode matrix: a signup emits (once, left columns only) as soon
+    * as ANY purchase by the same user lands inside [ts, ts + within].
+    * Semi is the "keep if seen in the other stream" primitive (the
+    * positive half of streaming decontamination); like inner it emits on
+    * match without waiting for the watermark, and the same two-sided
+    * time bound keeps join state evictable.
+    */
+  def intervalJoinSemi(signups: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes", streaming: Boolean = true): DataFrame = {
+    val l = (if (streaming) signups.withWatermark("ts", "10 minutes")
+             else signups).as("l")
+    val r = (if (streaming) purchases.withWatermark("ts", "10 minutes")
+             else purchases).as("r")
+    l.join(r, expr("l.user_id = r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"interval $within"), "left_semi")
+      .select(col("user_id"), col("ts").as("signup_ts"),
+        col("value").as("signup_value"))
+  }
+
+  /** LEFT-ANTI stream-stream interval join — streaming DECONTAMINATION:
+    * drop every event whose key appeared in the other stream within the
+    * window, keep the rest. Spark does not support `left_anti` between
+    * two streams, so the anti is encoded as the SUPPORTED left-outer
+    * join filtered to its null-padded rows — semantically identical
+    * (an unmatched left row emits exactly once, and only after the
+    * watermark passes the END of its join window, since any earlier
+    * emission could be contradicted by a late match) and with the same
+    * evictable state. The filter references only the outer join's
+    * output, so it composes with Append mode. Runs unchanged on batch
+    * frames, where Catalyst sees the isNull filter on the outer join.
+    */
+  def intervalJoinAnti(signups: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes", streaming: Boolean = true): DataFrame = {
+    val l = (if (streaming) signups.withWatermark("ts", "10 minutes")
+             else signups).as("l")
+    val r = (if (streaming) purchases.withWatermark("ts", "10 minutes")
+             else purchases).as("r")
+    l.join(r, expr("l.user_id = r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"interval $within"), "left_outer")
+      .filter(col("r.ts").isNull)
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("signup_ts"),
+        col("l.value").as("signup_value"))
+  }
+
+  /** Batch twin of [[intervalJoinSemi]] — EXISTS semantics: signups with
+    * at least one purchase in-window, left columns only, each signup row
+    * at most once (duplicate-signup rows stay distinct rows).
+    */
+  val intervalJoinSemiEvents: QueryDef = QueryDef(
+    "interval_join_semi",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      intervalJoinSemi(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        streaming = false)
+        .orderBy(col("user_id"), col("signup_ts"), col("signup_value"))
+    },
+    Some("""
+      SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS signup_ts,
+             l.value AS signup_value
+      FROM events l
+      WHERE l.event_type = 'signup' AND EXISTS (
+        SELECT 1 FROM events r
+        WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+      ORDER BY 1, 2, 3
+    """),
+    doc = "left-semi interval join (EXISTS twin of the stream-stream semi)")
+
+  /** Batch twin of [[intervalJoinAnti]] — NOT EXISTS semantics: signups
+    * with NO purchase in-window (the decontamination keep-set).
+    */
+  val intervalJoinAntiEvents: QueryDef = QueryDef(
+    "interval_join_anti",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      intervalJoinAnti(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        streaming = false)
+        .orderBy(col("user_id"), col("signup_ts"), col("signup_value"))
+    },
+    Some("""
+      SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS signup_ts,
+             l.value AS signup_value
+      FROM events l
+      WHERE l.event_type = 'signup' AND NOT EXISTS (
+        SELECT 1 FROM events r
+        WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+      ORDER BY 1, 2, 3
+    """),
+    doc = "left-anti interval join (NOT EXISTS twin of the streaming decontamination)")
+
   /** foreachBatch sink with idempotent-by-batchId writes — the
     * exactly-once recipe for sinks with no transactional commit: each
     * micro-batch OVERWRITES its own `bid=<batchId>` partition, so a batch
@@ -1067,6 +1169,7 @@ object EventStream {
 
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
-      intervalJoinOuterEvents, intervalJoinFullOuterEvents, ohlcStreamTwin,
+      intervalJoinOuterEvents, intervalJoinFullOuterEvents,
+      intervalJoinSemiEvents, intervalJoinAntiEvents, ohlcStreamTwin,
       ttlDistinctTypes, lastNRollingMean, sessionsPerHour)
 }

@@ -357,6 +357,54 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semi/anti interval join: semi emits on match, anti only after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups    = MemoryStream[(Timestamp, Long, Double)]
+    val purchases  = MemoryStream[(Timestamp, Long, Double)]
+    val signups2   = MemoryStream[(Timestamp, Long, Double)]
+    val purchases2 = MemoryStream[(Timestamp, Long, Double)]
+    val semi = EventStream.intervalJoinSemi(
+      signups.toDF().toDF("ts", "user_id", "value"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+    val anti = EventStream.intervalJoinAnti(
+      signups2.toDF().toDF("ts", "user_id", "value"),
+      purchases2.toDF().toDF("ts", "user_id", "value"))
+    val qs = semi.writeStream.format("memory").queryName("ijs_out")
+      .outputMode(OutputMode.Append()).start()
+    val qa = anti.writeStream.format("memory").queryName("ija_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 matched in-window, user 2 unmatched, user 3's purchase is
+      // outside the 30-min window (45 min later) — matched for NEITHER
+      val su = Seq((ts(10), 1L, 0.5), (ts(10), 2L, 0.7), (ts(10), 3L, 0.9))
+      val pu = Seq((ts(25), 1L, 9.5), (ts(55), 3L, 3.0))
+      signups.addData(su: _*); purchases.addData(pu: _*)
+      signups2.addData(su: _*); purchases2.addData(pu: _*)
+      qs.processAllAvailable(); qa.processAllAvailable()
+      def semiRows = spark.table("ijs_out")
+        .select("user_id", "signup_value")
+        .as[(Long, Double)].collect().toSet
+      def antiRows = spark.table("ija_out")
+        .select("user_id", "signup_value")
+        .as[(Long, Double)].collect().toSet
+      // semi emits on match, exactly once, left columns only
+      assert(semiRows === Set((1L, 0.5)), s"semi: $semiRows")
+      // anti must NOT have emitted yet: the watermark (max ts − 10 min)
+      // hasn't passed the unmatched signups' window end (ts 40)
+      assert(antiRows === Set.empty, s"anti emitted early: $antiRows")
+      // advance the watermark far past ts 40 on both anti inputs, two
+      // micro-batches so the outer-emission pass sees the new watermark
+      signups2.addData((ts(200), 9L, 0.0)); purchases2.addData((ts(200), 9L, 1.0))
+      qa.processAllAvailable()
+      signups2.addData((ts(210), 9L, 0.0)); purchases2.addData((ts(211), 9L, 1.0))
+      qa.processAllAvailable()
+      // users 2 and 3 are the decontamination keep-set (3's purchase was
+      // out-of-window); user 1 must never appear
+      assert(antiRows.intersect(Set((1L, 0.5), (2L, 0.7), (3L, 0.9))) ===
+        Set((2L, 0.7), (3L, 0.9)), s"anti keep-set wrong: $antiRows")
+    } finally { qs.stop(); qa.stop() }
+  }
+
   test("full-outer interval join: both sides null-emit after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val signups   = MemoryStream[(Timestamp, Long, Double)]
