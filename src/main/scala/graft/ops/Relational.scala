@@ -1571,6 +1571,98 @@ object Relational {
     """),
     doc = "TPC-H-Q12-shaped late-shipment two-way priority counts per return flag")
 
+  /** TPC-H-Q19-shaped disjunctive-predicate revenue — the OR-of-ANDs
+    * join filter that separates optimizers: each disjunct constrains
+    * BOTH sides (part attributes AND lineitem quantity), so a naive
+    * plan evaluates everything post-join, while a good one pushes the
+    * part-only disjunction (brand/size/type legs OR'd together) to the
+    * part scan and keeps only the mixed residual on the join. All
+    * three legs are non-vacuous at every SF (sf0.01: 205/699/4902
+    * matching lines). Revenue is the exact-decimal sum.
+    */
+  val sqlDisjunctiveRevenue: QueryDef = QueryDef(
+    "sql_disjunctive_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT count(*) AS n_items,
+               bround(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                CAST(1.0 - l.l_discount AS DECIMAL(8,2)))
+                           AS DOUBLE), 2) AS revenue2
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 40
+               AND l.l_quantity BETWEEN 20 AND 50)
+      """)
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             round_even(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                 CAST(1.0 - l.l_discount AS DECIMAL(8,2)))
+                             AS DOUBLE), 2) AS revenue2
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 20)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+             AND l.l_quantity BETWEEN 10 AND 35)
+         OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 40
+             AND l.l_quantity BETWEEN 20 AND 50)
+    """),
+    doc = "TPC-H-Q19-shaped OR-of-ANDs join predicate (disjunction split across scan + residual)")
+
+  /** TPC-H-Q11-shaped important-stock cut — grouped value per part
+    * filtered against a GLOBAL aggregate of the same frame (Q11's
+    * HAVING sum > fraction · total). The fixture has no partsupp, so
+    * value is lineitem revenue per part, and the cut is
+    * value > 1.5 × mean-part-value — data-DEPENDENT, not a fixed
+    * fraction: a Q11-style absolute fraction goes vacuous across SFs
+    * (per-part share shrinks as the part count grows — the round-4
+    * threshold rule), while ×-mean discriminates at every SF
+    * (2/29/252 parts at sf0.001/0.01/0.1). The global (total, count)
+    * is a ONE-ROW aggregate broadcast-crossed into the per-part frame
+    * (the tfidf scalar-subquery shape; the per-part frame is
+    * Pin.tagged — two consumers). The comparison multiplies IDENTICAL
+    * double operands on both engines (2·v·np > 3·tot) — no epsilon,
+    * no decimal-precision overflow at any SF.
+    */
+  val sqlImportantParts: QueryDef = QueryDef(
+    "sql_important_parts",
+    (s, d) => {
+      val pv = graft.core.Pin.tagged(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(8,2)")).as("v"),
+            count(lit(1)).as("n_lines")))
+      val t = pv.agg(sum(col("v")).cast("double").as("tot"),
+        count(lit(1)).as("np"))
+      pv.crossJoin(broadcast(t))
+        .filter(lit(2e0) * col("v").cast("double") * col("np") >
+          lit(3e0) * col("tot"))
+        .select(col("l_partkey"),
+          bround(col("v").cast("double"), 2).as("value2"), col("n_lines"))
+        .orderBy(col("value2").desc, col("l_partkey"))
+    },
+    Some("""
+      WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(1.0 - l_discount AS DECIMAL(8,2))) AS v,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(v) AS DOUBLE) AS tot, count(*) AS np FROM pv)
+      SELECT l_partkey, round_even(CAST(v AS DOUBLE), 2) AS value2,
+             CAST(n_lines AS BIGINT) AS n_lines
+      FROM pv, t
+      WHERE 2e0 * CAST(v AS DOUBLE) * np > 3e0 * tot
+      ORDER BY value2 DESC, l_partkey
+    """),
+    doc = "TPC-H-Q11-shaped grouped-vs-global cut (1.5x mean part value, scalar-subquery broadcast)")
+
   /** CDC-style snapshot diff — the lakehouse table-diff primitive: a
     * FULL OUTER equi-join on the table key classifies every row as
     * insert / delete / update by null-ness and value comparison, then
@@ -1638,5 +1730,6 @@ object Relational {
       sqlIdleCustomers, sqlLateralTopk, sqlRecursiveSpine,
       sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
-      sqlMarketShare, sqlProductProfit, sqlShipmodePriority, snapshotDiff)
+      sqlMarketShare, sqlProductProfit, sqlShipmodePriority,
+      sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff)
 }
