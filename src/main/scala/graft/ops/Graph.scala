@@ -743,7 +743,86 @@ object Graph {
     """),
     doc = "length-4 weighted random walks (pinned CDF frames, per-hop seeded draws)")
 
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) —
+    * community detection as fixed-round message passing, the
+    * deterministic variant an oracle can check: labels init to the node
+    * id, and each half-round every node adopts the label with the
+    * LARGEST incident edge weight (ties broken by SMALLEST label — the
+    * argmax is a per-node row_number over (cnt DESC, lab ASC), exact
+    * integers, no randomness). Two full alternating rounds
+    * (customer→part→customer ×2) on the REPEAT-trade bipartite graph
+    * (customer–part edges with weight ≥ 2): the full trade graph
+    * funnels through too few hub nodes and collapses to one community
+    * at sf0.001 (measured — the vacuous-gate rule applied to graph
+    * shape), while repeat-trade keeps real cluster structure at every
+    * SF (47/385/620 communities, max sizes 15/3/3). Plan: the edge
+    * aggregation is the only fact-sized work (Pin.tagged — all four
+    * half-rounds join it); each half-round is one edge-keyed join +
+    * one (node, lab) aggregate + one node-partitioned window — no
+    * global window, no driver loop, one lazy plan (the pagerank
+    * discipline). Output: per-community size, min member and member-id
+    * checksum.
+    */
+  val labelPropagation: QueryDef = QueryDef(
+    "label_propagation",
+    (s, d) => {
+      val e = Pin.tagged(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2))
+      def adopt(edgesWithLab: DataFrame, to: String): DataFrame =
+        edgesWithLab
+          .groupBy(col(to), col("lab"))
+          .agg(sum(col("w")).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col(to))
+              .orderBy(col("cnt").desc, col("lab").asc)))
+          .filter(col("rn") === 1)
+          .select(col(to), col("lab"))
+      val c0 = e.select(col("c")).distinct().withColumn("lab", col("c"))
+      val p1 = adopt(e.join(c0, Seq("c")), "p")
+      val c1 = adopt(e.join(p1, Seq("p")), "c")
+      val p2 = adopt(e.join(c1, Seq("c")), "p")
+      val c2 = adopt(e.join(p2, Seq("p")), "c")
+      c2.groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_members"), min(col("c")).as("member_min"),
+          sum(col("c")).as("member_sum"))
+        .orderBy(col("lab"))
+    },
+    Some("""
+      WITH e AS (SELECT c, p, w FROM (
+             SELECT o.o_custkey AS c, l.l_partkey AS p, count(*) AS w
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             GROUP BY 1, 2) WHERE w >= 2),
+      c0 AS (SELECT DISTINCT c, c AS lab FROM e),
+      p1 AS (SELECT p, lab FROM (
+        SELECT e.p, x.lab, row_number() OVER (PARTITION BY e.p
+          ORDER BY sum(e.w) DESC, x.lab ASC) AS rn
+        FROM e JOIN c0 x USING (c) GROUP BY e.p, x.lab) WHERE rn = 1),
+      c1 AS (SELECT c, lab FROM (
+        SELECT e.c, x.lab, row_number() OVER (PARTITION BY e.c
+          ORDER BY sum(e.w) DESC, x.lab ASC) AS rn
+        FROM e JOIN p1 x USING (p) GROUP BY e.c, x.lab) WHERE rn = 1),
+      p2 AS (SELECT p, lab FROM (
+        SELECT e.p, x.lab, row_number() OVER (PARTITION BY e.p
+          ORDER BY sum(e.w) DESC, x.lab ASC) AS rn
+        FROM e JOIN c1 x USING (c) GROUP BY e.p, x.lab) WHERE rn = 1),
+      c2 AS (SELECT c, lab FROM (
+        SELECT e.c, x.lab, row_number() OVER (PARTITION BY e.c
+          ORDER BY sum(e.w) DESC, x.lab ASC) AS rn
+        FROM e JOIN p2 x USING (p) GROUP BY e.c, x.lab) WHERE rn = 1)
+      SELECT lab, count(*) AS n_members,
+             CAST(min(c) AS BIGINT) AS member_min,
+             CAST(sum(c) AS BIGINT) AS member_sum
+      FROM c2 GROUP BY 1 ORDER BY 1
+    """),
+    doc = "deterministic weighted label propagation (2 alternating rounds, repeat-trade graph)")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
     nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
-    randomWalkLen4)
+    randomWalkLen4, labelPropagation)
 }
