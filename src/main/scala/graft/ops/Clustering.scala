@@ -442,7 +442,232 @@ object Clustering {
       doc = "greedy k-center coreset (farthest-point diversity sampling, 8 picks)")
   }
 
+  // ---- product quantization ---------------------------------------------
+
+  /** PQ geometry: M subspaces of Dim/M dims, K centroids per subspace,
+    * fixed Lloyd rounds (the kmeans_embed discipline — fixed depth so
+    * the oracle unrolls identically).
+    */
+  private val PqM     = 8
+  private val PqSub   = 8  // dims per subspace (64 / PqM)
+  private val PqK     = 16
+  private val PqIters = 2
+
+  /** (vec_id, m, sv): every vector split into its M subvectors — the
+    * PQ-defining move expressed as DATA, not as M unrolled plans: the
+    * subspace index is a key column, so ONE assign/update dataflow
+    * trains all M codebooks simultaneously (each shuffle keys on
+    * (m, cid[, pos]) — M× the kmeans key domain, same passes).
+    */
+  private def subvecs(s: SparkSession, d: String): DataFrame =
+    base(s, d).select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), mm -> slice(v, mm * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "sv")))
+
+  /** One PQ assignment pass: nearest codeword per (vector, subspace).
+    * Codebooks are M·K = 128 rows — broadcast; argmin via min(struct)
+    * on the 6-dp-rounded distance (ties → cid), one (vec_id, m)-keyed
+    * aggregate.
+    */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), Seq("m"))
+      .withColumn("d6", Text.hround(
+        expr("graft_dot(sv, sv) - 2 * graft_dot(sv, c) + graft_dot(c, c)"), 6))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d6"), col("cid"), col("sv"))).as("x"))
+      .select(col("vec_id"), col("m"), col("x.d6").as("d6"),
+        col("x.cid").as("cid"), col("x.sv").as("sv"))
+
+  /** One PQ update pass: per-(subspace, codeword, dimension) mean over
+    * micro-quantized components (exact long sums), rebuilt into arrays.
+    */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .withColumn("q", expr("CAST(floor(x * 1000000e0 + 0.5e0) AS BIGINT)"))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("m"), col("cid"), col("pos"),
+        (col("sq").cast("double") / col("n").cast("double") / lit(1e6)).as("mv"))
+      .groupBy(col("m"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
+        .as("c"))
+
+  /** Trained PQ state: (subvector frame, final codebooks, final codes).
+    * sv is Pin.tagged — the training rounds, the final assignment, and
+    * pq_recall's query-side distance table all reference it.
+    */
+  private def pqTrained(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sv = Pin.tagged(subvecs(s, d))
+    val c0 = sv.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
+    val cN = (1 to PqIters).foldLeft(c0)((c, _) => pqUpdate(pqAssign(sv, c)))
+    (sv, cN, pqAssign(sv, cN))
+  }
+
+  /** Final (vec_id, m, cid, d6) code frame after training. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqTrained(s, d)._3
+
+  /** DuckDB mirror: sv → c0 → PqIters assign/update rounds → final codes
+    * CTE `af(vec_id, m, cid, d6)`. Shared by both PQ oracles.
+    */
+  private def sqlPqCodesCtes: String = {
+    def round(i: Int, prev: String) = s"""
+      d$i AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+               ${Text.sqlHround(
+        "list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.c)" +
+          " + list_dot_product(c.c, c.c)", 6)} AS d6
+             FROM sv s JOIN $prev c ON c.m = s.m),
+      a$i AS (SELECT vec_id, m, sv, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY d6, cid) AS rn FROM d$i) WHERE rn = 1),
+      u$i AS (SELECT m, cid, unnest(generate_series(1, len(sv))) AS pos,
+               unnest([CAST(floor(x * 1000000e0 + 0.5e0) AS BIGINT) FOR x IN sv]) AS q
+             FROM a$i),
+      mm$i AS (SELECT m, cid, pos,
+               CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000e0 AS mv
+             FROM u$i GROUP BY 1, 2, 3),
+      c$i AS (SELECT m, cid, list(mv ORDER BY pos) AS c FROM mm$i GROUP BY 1, 2)"""
+    val rounds = (1 to PqIters).map(i =>
+      round(i, if (i == 1) "c0" else s"c${i - 1}")).mkString(",")
+    val f = PqIters
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sv AS (SELECT vec_id, m, list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub) AS sv
+             FROM n, UNNEST(generate_series(0, ${PqM - 1})) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS c FROM sv
+             WHERE vec_id < $PqK),
+      $rounds,
+      df AS (SELECT s.vec_id, s.m, c.cid,
+               ${Text.sqlHround(
+        "list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.c)" +
+          " + list_dot_product(c.c, c.c)", 6)} AS d6
+             FROM sv s JOIN c$f c ON c.m = s.m),
+      af AS (SELECT vec_id, m, cid, d6 FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY d6, cid) AS rn FROM df) WHERE rn = 1)"""
+  }
+
+  /** Product-quantization codebook training + corpus encoding — the
+    * compression leg of a billion-scale ANN stack (IVF-PQ): 64-d floats
+    * → M=$PqM codes of log2($PqK) bits (64× compression), trained
+    * IN-PLAN by Lloyd rounds where the subspace index is a key column
+    * (see [[subvecs]] — no per-subspace plan unrolling; shuffles key on
+    * (m, cid, pos), map-side combined; codebooks are 128-row
+    * broadcasts). Output: per-(subspace, codeword) occupancy and mean
+    * quantization error — the codebook-health report (a dead codeword
+    * shows n_vecs = 0 by absence; a collapsed subspace shows one fat
+    * codeword).
+    */
+  val pqTrainEncode: QueryDef = QueryDef(
+    "pq_train_encode",
+    (s, d) => pqCodes(s, d)
+      .groupBy(col("m"), col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(CAST(floor(d6 * 1000000e0 + 0.5e0) AS BIGINT))").as("sq"))
+      .select(col("m"), col("cid"), col("n_vecs"), Text.hround(
+        col("sq").cast("double") / col("n_vecs").cast("double") / lit(1e6), 6)
+        .as("mean_d6"))
+      .orderBy(col("m"), col("cid")),
+    Some(s"""
+      WITH $sqlPqCodesCtes
+      SELECT CAST(m AS INTEGER) AS m, cid, count(*) AS n_vecs,
+             ${Text.sqlHround(
+      "CAST(sum(CAST(floor(d6 * 1000000e0 + 0.5e0) AS BIGINT)) AS DOUBLE)" +
+        " / CAST(count(*) AS DOUBLE) / 1000000e0", 6)} AS mean_d6
+      FROM af GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = s"PQ codebook training ($PqM×$PqK, $PqIters Lloyd rounds, subspace-as-key) + encode audit")
+
+  /** ADC recall@5 — the evaluation that decides whether the PQ
+    * compression is usable for retrieval: queries (vec_id % 100 == 0)
+    * rank the corpus by ASYMMETRIC distance (query subvector → codeword
+    * lookup table, the classic ADC of Jégou et al. 2011) and the top-5
+    * is compared against the exact float L2 top-5. The distance table
+    * is (n_q · M · K) rows — KB-scale, broadcast; per-entry distances
+    * are micro-quantized to BIGINT BEFORE the Σ over subspaces, so the
+    * ADC score is an exact integer sum in any order and the top-5
+    * cut-off ties break identically cross-engine on (score, vec_id).
+    * The corpus-side cost is one equi-join of the code frame against
+    * the broadcast table + one (q, vec) aggregate — at production scale
+    * this sits behind an IVF prune (embed_ann_ivf), which is exactly
+    * how IVF-PQ composes. Truth is the brute-force L2 top-5
+    * (embed_cosine_topk's broadcast shape, ScaleSpec-intended).
+    */
+  val pqRecall: QueryDef = QueryDef(
+    "pq_recall",
+    (s, d) => {
+      val (sv, cN, codes) = pqTrained(s, d)
+      val qs = base(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val truth = base(s, d).select(col("vec_id").as("x"), col("v"))
+        .crossJoin(broadcast(qs))
+        .filter(col("x") =!= col("qid"))
+        .withColumn("d6", Text.hround(
+          expr("graft_dot(v, v) - 2 * graft_dot(v, qv) + graft_dot(qv, qv)"), 6))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("d6"), col("x"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("x"))
+      val dt = sv.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+        .join(broadcast(cN), Seq("m"))
+        .select(col("qid"), col("m"), col("cid"), expr(
+          """CAST(floor((graft_dot(qsv, qsv) - 2 * graft_dot(qsv, c)
+              + graft_dot(c, c)) * 1000000e0 + 0.5e0) AS BIGINT)""").as("dtq"))
+      val adc = codes.select(col("vec_id"), col("m"), col("cid"))
+        .join(broadcast(dt), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("dtq")).as("adcq"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("adcq"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("x"), lit(1).as("hit"))
+      truth.join(adc, Seq("qid", "x"), "left")
+        .agg(countDistinct(col("qid")).as("n_q"),
+          count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+        .select(col("n_q"), col("n_truth"), col("n_hit"),
+          Text.hround(col("n_hit").cast("double") / col("n_truth"), 4)
+            .as("recall5"))
+    },
+    Some(s"""
+      WITH $sqlPqCodesCtes,
+      q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id % 100 = 0),
+      tr AS (SELECT qid, x FROM (
+        SELECT q.qid, x.vec_id AS x,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 ${Text.sqlHround(
+      "list_dot_product(x.v, x.v) - 2 * list_dot_product(x.v, q.qv)" +
+        " + list_dot_product(q.qv, q.qv)", 6)}, x.vec_id) AS rn
+        FROM n x, q WHERE x.vec_id <> q.qid) WHERE rn <= 5),
+      dt AS (SELECT s.vec_id AS qid, s.m, c.cid,
+               CAST(floor((list_dot_product(s.sv, s.sv)
+                 - 2 * list_dot_product(s.sv, c.c)
+                 + list_dot_product(c.c, c.c)) * 1000000e0 + 0.5e0)
+                 AS BIGINT) AS dtq
+             FROM sv s JOIN c$PqIters c ON c.m = s.m
+             WHERE s.vec_id % 100 = 0),
+      adc AS (SELECT qid, vec_id AS x FROM (
+        SELECT dt.qid, af.vec_id,
+               row_number() OVER (PARTITION BY dt.qid
+                 ORDER BY sum(dt.dtq), af.vec_id) AS rn
+        FROM af JOIN dt ON af.m = dt.m AND af.cid = dt.cid
+        WHERE af.vec_id <> dt.qid
+        GROUP BY dt.qid, af.vec_id) WHERE rn <= 5)
+      SELECT CAST(count(DISTINCT tr.qid) AS BIGINT) AS n_q,
+             count(*) AS n_truth,
+             CAST(count(adc.x) AS BIGINT) AS n_hit,
+             ${Text.sqlHround(
+      "CAST(count(adc.x) AS DOUBLE) / count(*)", 4)} AS recall5
+      FROM tr LEFT JOIN adc ON adc.qid = tr.qid AND adc.x = tr.x
+    """),
+    doc = "PQ asymmetric-distance recall@5 vs exact L2 truth (integer-exact ADC sums)")
+
   val all: Seq[QueryDef] =
     Seq(kmeansEmbed, embedOutliers, knnClassify, knnClassifyAnn,
-      kcenterCoreset)
+      kcenterCoreset, pqTrainEncode, pqRecall)
 }

@@ -107,7 +107,9 @@ class ScaleSpec extends SparkSpec {
       "psi_value_drift", "lsh_recall_eval", "er_recall_eval",
       // sql_important_parts broadcasts its one-row (total, n-parts)
       // frame into the per-part cut — the tfidf scalar-subquery shape.
-      "sql_important_parts",
+      // pq_recall broadcasts the tiny query set into the brute-force
+      // L2 truth leg (the embed_cosine_topk shape).
+      "sql_important_parts", "pq_recall",
       // quality_logit broadcasts its one-row weight-vector frame into
       // each GD round and the one-row doc-count frame (both KB-scale);
       // score_calibration and quality_auc share those (same scoredDocs
