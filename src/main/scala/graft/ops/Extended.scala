@@ -3315,6 +3315,74 @@ object Extended {
     """),
     doc = "add-one-smoothed bigram LM perplexity per doc (micro-bit integer sums)")
 
+  /** Jelinek-Mercer INTERPOLATED bigram perplexity — the smoothing that
+    * actually ships in LM-quality filters (add-one over-penalizes unseen
+    * bigrams of frequent words; interpolation backs off to the unigram):
+    * p(w₂|w₁) = λ·n_b/n_p + (1−λ)·n_s/N with λ = 0.7, marginals from
+    * the single bigram-vocab aggregate (the collocation_pmi exchange-
+    * reuse shape — prefix and suffix totals re-aggregate bv's
+    * post-shuffle output, never the corpus expansion). Parity: both
+    * mixture terms are divisions of exact BIGINT casts and the mix is
+    * an identical-operand IEEE chain, so the single -log2 is the only
+    * transcendental — micro-quantized to BIGINT before the per-doc sum
+    * (the perplexity_unigram discipline). Every test doc's bigrams are
+    * in-vocabulary here (train = test corpus, the quality-signal
+    * setting), so λ interpolation — not the unseen-event floor — is
+    * what the numbers exercise; ranks diverge from the add-one variant
+    * on repetitive docs.
+    */
+  val perplexityInterp: QueryDef = QueryDef(
+    "perplexity_interp",
+    (s, d) => {
+      val ws = docWords(s, d)
+      val bi = ws.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+            .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bv = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_b"))
+      val pv = bv.groupBy(col("w1")).agg(sum(col("n_b")).as("n_p"))
+      val sv = bv.groupBy(col("w2")).agg(sum(col("n_b")).as("n_s"))
+      val nv = bv.agg(sum(col("n_b")).as("n_tot"))
+      bi.join(bv, Seq("w1", "w2")).join(pv, Seq("w1")).join(sv, Seq("w2"))
+        .crossJoin(broadcast(nv))
+        .select(col("doc_id"), expr(
+          """CAST(floor(-log2(0.7e0 * CAST(n_b AS DOUBLE) / CAST(n_p AS DOUBLE)
+              + 0.3e0 * CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE))
+              * 1000000e0 + 0.5e0) AS BIGINT)""").as("ubits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ubits")).as("su"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Text.hround(
+            col("su").cast("double") / col("n_bigrams").cast("double") / lit(1e6),
+            4).as("bits"))
+        .withColumn("ppl", Text.hround(pow(lit(2.0), col("bits")), 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      bi AS (SELECT doc_id, unnest(w[1:len(w) - 1]) AS w1,
+                    unnest(w[2:len(w)]) AS w2 FROM ws),
+      bv AS (SELECT w1, w2, count(*) AS n_b FROM bi GROUP BY 1, 2),
+      pv AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS n_p FROM bv GROUP BY 1),
+      sv AS (SELECT w2, CAST(sum(n_b) AS BIGINT) AS n_s FROM bv GROUP BY 1),
+      nv AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_tot FROM bv),
+      sc AS (SELECT doc_id,
+               CAST(floor(-log2(0.7e0 * CAST(n_b AS DOUBLE) / CAST(n_p AS DOUBLE)
+                 + 0.3e0 * CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                 * 1000000e0 + 0.5e0) AS BIGINT) AS ubits
+             FROM bi JOIN bv USING (w1, w2) JOIN pv USING (w1)
+                     JOIN sv USING (w2), nv),
+      pd AS (SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(ubits) AS DOUBLE) AS su FROM sc GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             ${Text.sqlHround("su / CAST(n_bigrams AS DOUBLE) / 1e6", 4)} AS bits,
+             ${Text.sqlHround(
+        "pow(2e0, " + Text.sqlHround("su / CAST(n_bigrams AS DOUBLE) / 1e6", 4) + ")", 2)} AS ppl
+      FROM pd ORDER BY doc_id
+    """),
+    doc = "Jelinek-Mercer interpolated bigram perplexity (lambda=0.7, micro-bit integer sums)")
+
   /** Collocation mining by pointwise mutual information — the corpus-
     * linguistics signal for multi-word expressions ("new york"-style
     * pairs whose co-occurrence beats chance): PMI(w1,w2) =
@@ -5120,7 +5188,8 @@ object Extended {
     docChunks, tfidf,
     bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,
-    perplexityUnigram, perplexityBigram, collocationPmi, quantizeEmbeddings,
+    perplexityUnigram, perplexityBigram, perplexityInterp, collocationPmi,
+    quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
     bpePairMerges, bpeMergeRounds, bpeEncode, zipfFit, sortedNeighborhoodEr,
     ppjoinJaccard, lshRecallEval, erRecallEval, dupSpanRuns, dupMaxSpans,

@@ -101,6 +101,9 @@ class ScaleSpec extends SparkSpec {
       // bpe_merge_rounds broadcasts each round's one-row winning pair
       // into the next round's merge fold — the same unrolled shape.
       "kcore_peel", "kcenter_coreset", "bpe_merge_rounds", "bpe_encode",
+      // perplexity_interp rides its one-row bigram-total frame exactly
+      // like perplexity_unigram/bigram.
+      "perplexity_interp",
       // psi_value_drift broadcasts its one-row time-midpoint frame;
       // lsh_recall_eval and er_recall_eval broadcast their one-row
       // candidate-count frames.
