@@ -472,6 +472,60 @@ object Aggregates {
     """),
     doc = "per-group HLL sketches + sketch-union global, hash-checkable 5% tolerance")
 
+  /** HLL INTERSECTION estimate via inclusion-exclusion — the set
+    * operation sketches don't support natively (HLL merges by max, so
+    * only unions are exact-in-sketch; intersections come from
+    * |A∩B| = |A| + |B| − |A∪B| over three estimates). Populations:
+    * early-era (≤ 1997) vs late-era (≥ 1998) purchasing customers;
+    * the intersection is the retained-customer count — the classic
+    * audience-overlap question sketches answer at 100 TB without ever
+    * shuffling the raw id sets (three 16 KB sketches vs a distinct on
+    * the full id universe). Error model: each estimate carries ~0.8%
+    * relative error at precision 14, and inclusion-exclusion compounds
+    * ABSOLUTELY (relative to the union, not the intersection — a tiny
+    * overlap of two huge sets is unrecoverable from HLLs; here the
+    * overlap is ~90% of the union, the favorable regime). Contract:
+    * |est∩ − exact∩| ≤ 5% of the exact UNION — the honest bound for
+    * the method — emitted as a hash-checkable boolean like the other
+    * sketch queries (DuckDB reproduces exacts + literal TRUE).
+    */
+  val hllIntersection: QueryDef = QueryDef(
+    "hll_intersection",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) <= 1997)
+      val b = o.filter(year(col("o_orderdate")) >= 1998)
+      val sk = a.agg(expr("hll_sketch_agg(o_custkey, 14)").as("ska"),
+          countDistinct(col("o_custkey")).as("exact_a"))
+        .crossJoin(b.agg(expr("hll_sketch_agg(o_custkey, 14)").as("skb"),
+          countDistinct(col("o_custkey")).as("exact_b")))
+      val exacts = a.select(col("o_custkey")).intersect(b.select(col("o_custkey")))
+        .agg(count(lit(1)).as("exact_inter"))
+        .crossJoin(a.select(col("o_custkey")).union(b.select(col("o_custkey")))
+          .agg(countDistinct(col("o_custkey")).as("exact_union")))
+      sk.crossJoin(exacts)
+        .select(col("exact_a"), col("exact_b"), col("exact_inter"),
+          col("exact_union"),
+          (abs(expr("hll_sketch_estimate(ska) + hll_sketch_estimate(skb) " +
+            "- hll_sketch_estimate(hll_union(ska, skb))")
+            - col("exact_inter")) <= col("exact_union") * 0.05)
+            .as("within_5pct_of_union"))
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) <= 1997),
+      b AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) >= 1998)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS exact_inter,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM (SELECT * FROM a UNION SELECT * FROM b)) AS exact_union,
+             TRUE AS within_5pct_of_union
+    """),
+    doc = "HLL audience-overlap estimate (inclusion-exclusion, 5%-of-union certified band)")
+
   /** Count-min-sketch frequency estimation with a CERTIFIED error bound —
     * the point-query companion to heavy_hitters' Misra-Gries: one global
     * [[graft.functions.CountMin]] aggregate (4×256 counter matrix;
@@ -826,6 +880,7 @@ object Aggregates {
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
+    hllIntersection,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
     tableChecksum, trimmedMean)
 }

@@ -87,6 +87,9 @@ class ScaleSpec extends SparkSpec {
       "ann_recall", "ann_ndcg", "ann_recall20", "domain_mix_sample",
       "funnel_conversion", "bm25_topk",
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
+      // hll_intersection crosses four one-row frames (two sketches,
+      // exact intersection/union counts) — all KB-scale builds.
+      "hll_intersection",
       "nearest_knn_irregular", "importance_weights", "heavy_hitters",
       "kmeans_embed", "embed_outliers", "knn_classify", "perplexity_bigram",
       "market_basket_lift", "cms_freq_bound", "collocation_pmi",
