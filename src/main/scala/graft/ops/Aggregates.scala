@@ -526,6 +526,52 @@ object Aggregates {
     """),
     doc = "HLL audience-overlap estimate (inclusion-exclusion, 5%-of-union certified band)")
 
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * primitive: a persisted per-user aggregate state (count / exact
+    * cent sum / last-event ts) is MERGED with a new batch's partial
+    * aggregate instead of recomputing over the full history. Merge
+    * validity is algebraic (all three aggregates are commutative
+    * monoids: +, +, max) and every quantity is exact-integer (cents as
+    * BIGINT from a decimal sum — no float reaggregation drift), so
+    * merged state ≡ full recompute BY CONSTRUCTION — and the oracle
+    * CHECKS that construction independently: DuckDB recomputes from
+    * the raw event history and the hash match proves merge ≡ rebuild
+    * (the dedup_state_compact discipline). The batch split is
+    * event_id % 10 (8/2), the incremental_dedup convention. State is
+    * parquet-persisted and re-read (the artifact a scheduled refresh
+    * keeps; eager sink round-trip, ScaleSpec `eager`). At 100 TB the
+    * merge costs one batch-sized aggregate + one state-keyed shuffle —
+    * never a history scan.
+    */
+  val incrementalAggMaintain: QueryDef = QueryDef(
+    "incremental_agg_maintain",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "agg_state")
+      val ev = Tables.events(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(col("value").cast("decimal(18,2)")) * lit(100))
+              .cast("long").as("cents"),
+            max(col("ts")).as("last_ts"))
+      partial(ev.filter(col("event_id") % 10 < 8))
+        .write.mode("overwrite").parquet(dir)
+      val state = s.read.parquet(dir)
+      val delta = partial(ev.filter(col("event_id") % 10 >= 8))
+      state.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("cents")).as("cents"), max(col("last_ts")).as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+             CAST(max(ts) AS TIMESTAMP) AS last_ts
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+    doc = "mergeable partial-agg state refresh == full recompute (independent oracle)")
+
   /** Count-min-sketch frequency estimation with a CERTIFIED error bound —
     * the point-query companion to heavy_hitters' Misra-Gries: one global
     * [[graft.functions.CountMin]] aggregate (4×256 counter matrix;
@@ -880,7 +926,7 @@ object Aggregates {
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
-    hllIntersection,
+    hllIntersection, incrementalAggMaintain,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
     tableChecksum, trimmedMean)
 }

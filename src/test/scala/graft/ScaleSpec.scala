@@ -247,7 +247,8 @@ class ScaleSpec extends SparkSpec {
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
       "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
-      "dedup_state_compact", "grid_source_roundtrip",
+      "dedup_state_compact", "incremental_agg_maintain",
+      "grid_source_roundtrip",
       // bpeLoop truncates each round's lineage with a LAZY
       // localCheckpoint (the ccOverEdges discipline — without it
       // Catalyst re-analyzes the whole growing round chain per action,
