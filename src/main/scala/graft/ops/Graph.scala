@@ -829,7 +829,120 @@ object Graph {
     """),
     doc = "deterministic weighted label propagation (2 alternating rounds, repeat-trade graph)")
 
+  /** SECOND-ORDER (node2vec p/q-biased) random walk — the bias the
+    * first-order walkers ([[randomWalkPairs]]/[[randomWalkLen4]]) can't
+    * express: the hop-2 edge choice depends on the PREVIOUS node
+    * (Grover & Leskovec 2016 — return edges reweighted by 1/p, outward
+    * by 1/q). On a bipartite graph every non-return candidate from the
+    * current node is exactly distance-2 from the previous node, so the
+    * full three-case bias collapses to return-vs-out: integer factors
+    * 1 (return, p=2) vs 2 (outward, q=1), keeping every weight an exact
+    * BIGINT. The cost that kills naive second-order walkers — a CDF per
+    * DIRECTED EDGE, Σ deg² precompute — is avoided by building the
+    * biased CDF only for VISITED states: hop-1's one-state-per-origin
+    * frontier joins the current node's out-edges (Σ deg over frontier
+    * rows — the first-order hop cost times the bias arithmetic), and
+    * the per-walker window partitions by origin (one live walk per
+    * origin). Graph = repeat-trade customer–part (the label_propagation
+    * graph; part degrees are bounded ~30, so the frontier join stays
+    * frontier×deg-sized — on the supplier graph the hub degrees would
+    * make the same join frontier×6000 at sf0.1, scaladoc'd trade-off).
+    * Output: segment transition matrix + per-cell return counts — the
+    * n_return column is the bias's observable (the unbiased walker
+    * returns ~2× as often, and the spec-free proof is the oracle
+    * replaying the identical biased draw).
+    */
+  val randomWalkNode2vec: QueryDef = QueryDef(
+    "random_walk_node2vec",
+    (s, d) => {
+      val e = Pin.tagged(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2))
+      val hop1 = pick(cdf(e, "c", "p"),
+        Text.h32(concat(lit("n2v1-"), col("c").cast("string"))))
+        .select(col("c").as("origin"), col("p"))
+      // biased per-walker CDF: current part's out-edges, return edge
+      // (c2 == origin) at weight w·1, outward at w·2; intervals ordered
+      // by candidate id within the (one-walk-per-origin) partition
+      val cand = hop1
+        .join(e.select(col("p"), col("c").as("c2"), col("w")), Seq("p"))
+        .withColumn("wb", col("w") *
+          when(col("c2") === col("origin"), 1L).otherwise(2L))
+      val wOrd = Window.partitionBy(col("origin")).orderBy(col("c2"))
+      val hop2 = cand
+        .withColumn("cw", sum(col("wb")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("wout", sum(col("wb")).over(
+          Window.partitionBy(col("origin"))))
+        .withColumn("u", Text.h32(concat(lit("n2v2-"),
+          col("origin").cast("string"), lit("-"), col("p").cast("string")))
+          % col("wout"))
+        .filter(col("u") >= col("cw") - col("wb") && col("u") < col("cw"))
+        .select(col("origin"), col("c2").as("dest"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      hop2
+        .join(seg.withColumnRenamed("c_mktsegment", "src_seg"),
+          col("origin") === col("c_custkey")).drop("c_custkey")
+        .join(seg.withColumnRenamed("c_mktsegment", "dst_seg"),
+          col("dest") === col("c_custkey"))
+        .groupBy(col("src_seg"), col("dst_seg"))
+        .agg(count(lit(1)).as("n_walks"),
+          sum(when(col("dest") === col("origin"), 1L).otherwise(0L))
+            .as("n_return"))
+        .orderBy(col("src_seg"), col("dst_seg"))
+    },
+    Some(s"""
+      WITH e AS (SELECT c, p, w FROM (
+             SELECT o.o_custkey AS c, l.l_partkey AS p, count(*) AS w
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             GROUP BY 1, 2) WHERE w >= 2),
+      fwd AS (
+        SELECT c, p, w,
+               CAST(sum(w) OVER (PARTITION BY c ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY c) AS BIGINT) AS wout
+        FROM e),
+      h1 AS (
+        SELECT c AS origin, p FROM (
+          SELECT c, p, w, cw, wout,
+                 ${Text.sqlH32("'n2v1-' || CAST(c AS VARCHAR)")} % wout AS u
+          FROM fwd)
+        WHERE u >= cw - w AND u < cw),
+      cand AS (
+        SELECT h.origin, h.p, e.c AS c2,
+               e.w * CASE WHEN e.c = h.origin THEN 1 ELSE 2 END AS wb
+        FROM h1 h JOIN e ON e.p = h.p),
+      h2 AS (
+        SELECT origin, c2 AS dest FROM (
+          SELECT origin, p, c2, wb,
+                 CAST(sum(wb) OVER (PARTITION BY origin ORDER BY c2
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                 CAST(sum(wb) OVER (PARTITION BY origin) AS BIGINT) AS wout
+          FROM cand)
+        WHERE ${Text.sqlH32(
+      "'n2v2-' || CAST(origin AS VARCHAR) || '-' || CAST(p AS VARCHAR)")}
+          % wout >= cw - wb
+          AND ${Text.sqlH32(
+      "'n2v2-' || CAST(origin AS VARCHAR) || '-' || CAST(p AS VARCHAR)")}
+          % wout < cw)
+      SELECT cs.c_mktsegment AS src_seg, cd.c_mktsegment AS dst_seg,
+             count(*) AS n_walks,
+             CAST(sum(CASE WHEN h.dest = h.origin THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_return
+      FROM h2 h
+      JOIN customer cs ON cs.c_custkey = h.origin
+      JOIN customer cd ON cd.c_custkey = h.dest
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    doc = "node2vec second-order biased walk (return 1/p vs out 1/q, per-walker integer CDF)")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
     nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
-    randomWalkLen4, labelPropagation)
+    randomWalkLen4, labelPropagation, randomWalkNode2vec)
 }
