@@ -2244,6 +2244,79 @@ object Analytics {
     """),
     doc = "PSI value-drift per type: decile bins from the reference half, exact terms")
 
+  /** Kolmogorov-Smirnov two-sample test between the even/odd-user purchase
+    * splits — the distribution-shape sibling of `mann_whitney_u` (which only
+    * sees location shifts; KS reacts to any ECDF divergence, the test a
+    * data-drift monitor wants beside `psi_value_drift`'s binned
+    * approximation). Same discipline as mann_whitney_u: aggregate to the
+    * DISTINCT-VALUE frame first (one map-side-combined shuffle), then
+    * D = max |F_a − F_b| is computed on the EXACT-integer numerator
+    * |fa·n_b − fb·n_a| (cumulative counts × opposite totals — sup of an
+    * order-independent integer set), with the only float ops being the two
+    * final divisions and one sqrt on identical operands in both engines.
+    * The distinct-value cumsum is a single-partition window over the
+    * value-cardinality frame — the documented small-frame trade-off
+    * (PLANS.md); at 100 TB cardinality you'd range-partition it first.
+    * Output: split sizes, D (6 dp) and the scaled statistic
+    * D·sqrt(n_a·n_b/(n_a+n_b)) (6 dp; ≥ ~1.36 rejects at α=0.05).
+    */
+  val ksTwoSample: QueryDef = QueryDef(
+    "ks_two_sample",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("grp"), col("value"))
+      val byV = ev.groupBy(col("value"))
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val m = byV
+        .select(
+          sum(col("ca")).over(wCum).as("fa"),
+          sum(col("cb")).over(wCum).as("fb"),
+          sum(col("ca")).over(wAll).as("na"),
+          sum(col("cb")).over(wAll).as("nb"))
+        .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na")))
+            .as("dnum"),
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      val dD = col("dnum").cast("double") /
+        (col("n_a") * col("n_b")).cast("double")
+      m.select(col("n_a"), col("n_b"),
+        Text.hround(dD, 6).as("d6"),
+        Text.hround(dD * sqrt((col("n_a") * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")), 6).as("ks6"))
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id % 2 AS grp, value
+                  FROM events WHERE event_type = 'purchase'),
+      byv AS (SELECT value,
+                CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM ev GROUP BY 1),
+      cum AS (SELECT
+                CAST(sum(ca) OVER w AS BIGINT) AS fa,
+                CAST(sum(cb) OVER w AS BIGINT) AS fb,
+                CAST(sum(ca) OVER () AS BIGINT) AS na,
+                CAST(sum(cb) OVER () AS BIGINT) AS nb
+              FROM byv
+              WINDOW w AS (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      m AS (SELECT CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS dnum,
+                   max(na) AS n_a, max(nb) AS n_b FROM cum)
+      SELECT n_a, n_b,
+             ${Text.sqlHround(
+        "CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 6)} AS d6,
+             ${Text.sqlHround(
+        "CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) * " +
+          "sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))",
+        6)} AS ks6
+      FROM m
+    """),
+    doc = "two-sample KS test: exact-integer ECDF sup-gap on the distinct-value frame")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -2253,5 +2326,5 @@ object Analytics {
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
-      kAnonymity, psiValueDrift, dpRandomizedResponse)
+      kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample)
 }

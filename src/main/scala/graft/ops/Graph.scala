@@ -942,7 +942,97 @@ object Graph {
     """),
     doc = "node2vec second-order biased walk (return 1/p vs out 1/q, per-walker integer CDF)")
 
+  /** Adamic-Adar link-prediction index for the same wedge-connected
+    * nation pairs as [[nodeJaccard]]: AA(a,c) = Σ_{m∈N(a)∩N(c)} 1/ln deg(m)
+    * — common neighbors weighted by how UN-hub-like they are (sharing a
+    * rare partner is stronger evidence than sharing a hub). Same wedge
+    * join (two equi-joins on the middle vertex, a<c), but the middle
+    * vertex m now rides along so each wedge joins deg(m) and contributes
+    * a per-wedge term. That term sum crosses an addition-order boundary,
+    * so it is floor-quantized to 1e-9-unit BIGINT per wedge FIRST
+    * (identical /ln operands → identical IEEE doubles → identical
+    * integers on both engines; the zipf_fit discipline) and only the
+    * exact integer sum is divided at the end. deg(m) ≥ 2 for any wedge
+    * middle (it neighbors both a and c), so ln never hits 0. The sym
+    * edge frame is the SAME data+shape nodeJaccard pins — the sanctioned
+    * deliberate-sharing class (dup_span_runs precedent); at 100 TB the
+    * wedge join takes the identical hub cap noted there.
+    */
+  val adamicAdar: QueryDef = QueryDef(
+    "adamic_adar",
+    (s, d) => {
+      val raw = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+      val sym = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .transform(Pin.tagged)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      sym.select(col("v").as("m"), col("u").as("a"))
+        .join(sym.select(col("v").as("m"), col("u").as("c")), Seq("m"))
+        .filter(col("a") < col("c"))
+        .join(deg.select(col("u").as("m"), col("deg").as("deg_m")), Seq("m"))
+        .select(col("a"), col("c"),
+          floor(lit(1e9) / log(col("deg_m").cast("double")) + lit(0.5))
+            .cast("long").as("t9"))
+        .groupBy(col("a"), col("c"))
+        .agg(count(lit(1)).as("common"), sum(col("t9")).as("s9"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("a"),
+            col("n_name").as("a_name"))), Seq("a"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("c"),
+            col("n_name").as("c_name"))), Seq("c"))
+        .select(col("a_name"), col("c_name"), col("common"),
+          Text.hround(col("s9").cast("double") / lit(1e9), 6).as("aa6"))
+        .orderBy(col("a_name"), col("c_name"))
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw),
+      sym AS (SELECT a AS u, b AS v FROM e
+              UNION ALL SELECT b AS u, a AS v FROM e),
+      deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+      wedge AS (
+        SELECT s1.u AS a, s2.u AS c,
+               CAST(floor(1e9 / ln(CAST(dm.deg AS DOUBLE)) + 0.5) AS BIGINT)
+                 AS t9
+        FROM sym s1
+        JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        JOIN deg dm ON dm.u = s1.v),
+      aa AS (SELECT a, c, count(*) AS common,
+               CAST(sum(t9) AS BIGINT) AS s9
+             FROM wedge GROUP BY 1, 2)
+      SELECT na.n_name AS a_name, nc.n_name AS c_name, aa.common,
+             ${Text.sqlHround("CAST(s9 AS DOUBLE) / 1e9", 6)} AS aa6
+      FROM aa
+      JOIN nation na ON na.n_nationkey = aa.a
+      JOIN nation nc ON nc.n_nationkey = aa.c
+      ORDER BY a_name, c_name
+    """),
+    doc = "Adamic-Adar link prediction on wedge pairs (fixed-point 1/ln(deg) terms)")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
     nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
-    randomWalkLen4, labelPropagation, randomWalkNode2vec)
+    randomWalkLen4, labelPropagation, randomWalkNode2vec, adamicAdar)
 }

@@ -1720,6 +1720,66 @@ object Relational {
     """),
     doc = "CDC snapshot diff: full-outer key join -> insert/delete/update counts + key checksum")
 
+  /** TPC-DS-style year-over-year growth report (the web/catalog/store
+    * YoY shape of DS Q74/Q75 re-expressed on the fixture star): yearly
+    * revenue per customer nation, then a per-nation lag window produces
+    * the previous year and the growth ratio. Two shuffles total — the
+    * grouped decimal aggregate (map-side combined) and the window
+    * repartition by nation, whose partition count is the nation domain
+    * (25) but whose per-partition payload is one row per year — at
+    * 100 TB the window input is already the ~25×|years| aggregate, not
+    * the fact table. Parity: yearly revenue is an exact DECIMAL sum
+    * (order-independent); growth divides the SAME two decimal-cast
+    * doubles in both engines, then hround(4).
+    */
+  val sqlYoyGrowth: QueryDef = QueryDef(
+    "sql_yoy_growth",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(8,2)")).as("revd"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+      rev
+        .select(col("n_name"), col("yr"),
+          col("revd"), lag(col("revd"), 1).over(w).as("prevd"))
+        .filter(col("prevd").isNotNull)
+        .select(col("n_name"), col("yr"),
+          bround(col("revd").cast("double"), 2).as("rev2"),
+          Text.hround(
+            (col("revd").cast("double") - col("prevd").cast("double")) /
+              col("prevd").cast("double"), 4).as("yoy4"))
+        .orderBy(col("n_name"), col("yr"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS revd
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      lagged AS (
+        SELECT n_name, yr, revd,
+               lag(revd) OVER (PARTITION BY n_name ORDER BY yr) AS prevd
+        FROM rev)
+      SELECT n_name, yr,
+             round_even(CAST(revd AS DOUBLE), 2) AS rev2,
+             floor((CAST(revd AS DOUBLE) - CAST(prevd AS DOUBLE))
+                   / CAST(prevd AS DOUBLE) * 10000 + 0.5) / 10000 AS yoy4
+      FROM lagged WHERE prevd IS NOT NULL
+      ORDER BY n_name, yr
+    """),
+    doc = "TPC-DS-style YoY revenue growth per nation (lag window over exact decimal sums)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
@@ -1731,5 +1791,5 @@ object Relational {
       sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
       sqlMarketShare, sqlProductProfit, sqlShipmodePriority,
-      sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff)
+      sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff, sqlYoyGrowth)
 }
