@@ -1032,7 +1032,119 @@ object Graph {
     """),
     doc = "Adamic-Adar link prediction on wedge pairs (fixed-point 1/ln(deg) terms)")
 
+  private val HitsIters = 3
+  private val HScale = 1000000L // hub/auth score 1.0
+
+  /** HITS hubs-and-authorities on the DIRECTED trade graph (customer
+    * nation → supplier nation, weighted by order-line count): the second
+    * classic eigenvector-style ranking beside [[pagerank]], and the one
+    * that distinguishes the two ROLES a vertex can play — a hub routes
+    * demand to many strong suppliers, an authority receives demand from
+    * many strong buyers (Kleinberg's mutual-reinforcement recursion:
+    * a = normalize(Mᵀh), h = normalize(Ma), fixed $HitsIters rounds).
+    *
+    * Numeric discipline = pagerank's, plus the normalization step HITS
+    * needs and PageRank doesn't: scores are 1e6-fixed-point BIGINTs and
+    * each half-round rescales by the CURRENT MAX — computed as an
+    * unpartitioned window max over the |V|-row score frame (bounded
+    * domain, the round-11 window-over-agg+crossJoin rule), so every op
+    * is integer multiply / floor-div and bit-identical in both engines
+    * in any aggregation order. Overflow bound: Σ_u w·score ≤
+    * |V|·w_max·$HScale must fit int64 — at fixture SFs w_max is order
+    * 1e4 (bound ~1e12); a 100 TB edge list pre-buckets w (w DIV c) to
+    * keep the invariant, which rescales both scores uniformly and so
+    * cancels in the normalization.
+    *
+    * Scale shape: the one fact-sized job is the same edge aggregation
+    * every trade-graph query does (pinned via [[graft.core.Pin.tagged]],
+    * referenced by all 2·$HitsIters message-passing joins); each
+    * half-round is an edge-list-sized join + |V|-row agg + |V|-row
+    * window. Dangling nations (no in- or out-edges in the filtered
+    * graph) are kept by the left join at score 0, exactly like
+    * pagerank's coalesce.
+    */
+  val hitsScores: QueryDef = QueryDef(
+    "hits_scores",
+    (s, d) => {
+      val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .transform(Pin.tagged)
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+
+      // One normalized half-round: raw = Σ_in w·score, then ×HScale DIV max.
+      def halfRound(score: DataFrame, scoreCol: String, from: String,
+          to: String, outCol: String): DataFrame = {
+        val raw = edges
+          .join(score, col("node") === col(from))
+          .select(col(to).as("node"),
+            (col("w") * col(scoreCol)).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+        nodes.select(col("node"))
+          .join(raw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+          .withColumn("mx", greatest(lit(1L), max(col("raw")).over(wAll)))
+          .select(col("node"),
+            expr(s"(raw * $HScale) DIV mx").as(outCol))
+      }
+
+      val h0 = nodes.select(col("node"), lit(HScale).as("h"))
+      val (hN, aN) = (1 to HitsIters).foldLeft(
+        (h0, h0.select(col("node"), col("h").as("a")))) { case ((h, _), _) =>
+        val a = halfRound(h, "h", "src", "dst", "a")
+        val h2 = halfRound(a, "a", "dst", "src", "h")
+        (h2, a)
+      }
+      nodes.join(hN, Seq("node")).join(aN, Seq("node"))
+        .select(col("n_name"), col("h").as("hub"), col("a").as("auth"))
+        .orderBy(col("hub").desc, col("auth").desc, col("n_name"))
+    },
+    Some {
+      val iterCtes = (1 to HitsIters).map { i =>
+        s"""ar$i AS (SELECT e.dst AS node, CAST(sum(e.w * h.h) AS BIGINT) AS raw
+             FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         a$i AS (SELECT node, CAST((raw * $HScale) //
+                    greatest(1, max(raw) OVER ()) AS BIGINT) AS a
+             FROM (SELECT n.node, coalesce(ar.raw, 0) AS raw
+                   FROM n LEFT JOIN ar$i ar USING (node))),
+         hr$i AS (SELECT e.src AS node, CAST(sum(e.w * a.a) AS BIGINT) AS raw
+             FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         h$i AS (SELECT node, CAST((raw * $HScale) //
+                    greatest(1, max(raw) OVER ()) AS BIGINT) AS h
+             FROM (SELECT n.node, coalesce(hr.raw, 0) AS raw
+                   FROM n LEFT JOIN hr$i hr USING (node)))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      n AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+      h0 AS (SELECT node, CAST($HScale AS BIGINT) AS h FROM n),
+      $iterCtes
+      SELECT n.n_name, h.h AS hub, a.a AS auth
+      FROM n JOIN h$HitsIters h USING (node) JOIN a$HitsIters a USING (node)
+      ORDER BY hub DESC, auth DESC, n_name
+      """
+    },
+    doc = s"HITS hubs/authorities: $HitsIters integer-exact mutual-reinforcement rounds with window-max normalization")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
     nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
-    randomWalkLen4, labelPropagation, randomWalkNode2vec, adamicAdar)
+    randomWalkLen4, labelPropagation, randomWalkNode2vec, adamicAdar,
+    hitsScores)
 }
