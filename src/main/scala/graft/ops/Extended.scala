@@ -4888,6 +4888,142 @@ object Extended {
     """),
     doc = "sorted-neighborhood blocking recall vs the exact PPJoin ground truth")
 
+  /** Fellegi-Sunter probabilistic record linkage over the SNM candidate
+    * pairs — the SCORED decision model the ER family was missing: where
+    * [[sortedNeighborhoodEr]] verifies with a single lev threshold,
+    * Fellegi-Sunter compares K independent fields and sums per-field
+    * log-odds evidence log2(m/u) on agreement and log2((1−m)/(1−u)) on
+    * disagreement (m = P(agree | true match), u = P(agree | random
+    * pair)), then classifies by two thresholds into match / possible /
+    * non-match — the possible band is exactly the human-review queue a
+    * production linkage pipeline budgets for. Four field comparators on
+    * the document "record": 16-char normalized-prefix equality, same
+    * source, length within 10% (exact integer cross-multiply), and
+    * lev(t120) ≤ 30. The m/u priors are fixed model constants, so the
+    * weights are compile-time integer milli-units and the score is an
+    * exact BIGINT sum — bit-identical parity with zero float ops.
+    * Thresholds (match ≥ 10000, possible ≥ −2000 milli) were tuned
+    * against the agreement-pattern histogram at ALL THREE SFs (the
+    * round-4 rule): every decision class is populated at every SF
+    * (sf0.1: 257 match / 98 possible; non-match is filtered out of the
+    * output but its count is the SNM candidate complement).
+    *
+    * Scale shape: candidates are the same ≤ 2·N sorted-neighborhood
+    * window (one per-block sort, leads unfold row-locally — never a
+    * pair-enumerating bucket join), and scoring is a per-row expression;
+    * the only shuffle is the block-partitioned sort the SNM family
+    * already pays.
+    */
+  val fellegiSunterEr: QueryDef = {
+    // log2-odds milli-weights for fixed priors: (m, u) per field.
+    // pre (0.9, 0.01); src (0.4, 0.15); len (0.95, 0.3); lev (0.9, 0.005)
+    val (preA, preD) = (6492L, -3307L)
+    val (srcA, srcD) = (1415L, -503L)
+    val (lenA, lenD) = (1663L, -3807L)
+    val (levA, levD) = (7492L, -3315L)
+    QueryDef(
+      "fellegi_sunter_er",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).as("nrm"),
+            substring(col("text"), 1, 120).as("t120"))
+          .withColumn("blk", substring(col("nrm"), 1, 8))
+          .withColumn("p16", substring(col("nrm"), 1, 16))
+        val w = Window.partitionBy(col("blk")).orderBy(col("nrm"), col("doc_id"))
+        val led = t
+          .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
+          .withColumn("n1_p16", lead(col("p16"), 1).over(w))
+          .withColumn("n1_src", lead(col("source"), 1).over(w))
+          .withColumn("n1_len", lead(col("n_chars"), 1).over(w))
+          .withColumn("n1_t", lead(col("t120"), 1).over(w))
+          .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
+          .withColumn("n2_p16", lead(col("p16"), 2).over(w))
+          .withColumn("n2_src", lead(col("source"), 2).over(w))
+          .withColumn("n2_len", lead(col("n_chars"), 2).over(w))
+          .withColumn("n2_t", lead(col("t120"), 2).over(w))
+          .select(col("doc_id").as("a"), col("p16"), col("source"),
+            col("n_chars"), col("t120"),
+            explode(array(
+              struct(col("n1_id").as("bid"), col("n1_p16").as("bp16"),
+                col("n1_src").as("bsrc"), col("n1_len").as("blen"),
+                col("n1_t").as("bt")),
+              struct(col("n2_id").as("bid"), col("n2_p16").as("bp16"),
+                col("n2_src").as("bsrc"), col("n2_len").as("blen"),
+                col("n2_t").as("bt")))).as("nb"))
+          .filter(col("nb.bid").isNotNull)
+        val fPre = col("p16") === col("nb.bp16")
+        val fSrc = col("source") === col("nb.bsrc")
+        val fLen = abs(col("n_chars") - col("nb.blen")) * 10 <=
+          least(col("n_chars"), col("nb.blen"))
+        val fLev = levenshtein(col("t120"), col("nb.bt")) <= 30
+        led
+          .select(least(col("a"), col("nb.bid")).as("d1"),
+            greatest(col("a"), col("nb.bid")).as("d2"),
+            concat(when(fPre, "1").otherwise("0"),
+              when(fSrc, "1").otherwise("0"),
+              when(fLen, "1").otherwise("0"),
+              when(fLev, "1").otherwise("0")).as("pattern"),
+            (when(fPre, preA).otherwise(preD) +
+              when(fSrc, srcA).otherwise(srcD) +
+              when(fLen, lenA).otherwise(lenD) +
+              when(fLev, levA).otherwise(levD)).as("score_milli"))
+          .withColumn("decision",
+            when(col("score_milli") >= 10000L, "match")
+              .when(col("score_milli") >= -2000L, "possible")
+              .otherwise("non_match"))
+          .filter(col("decision") =!= "non_match")
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""
+      WITH t AS (SELECT doc_id, source, n_chars,
+                   lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS nrm,
+                   substr(text, 1, 120) AS t120 FROM documents),
+      b AS (SELECT doc_id, source, n_chars, nrm, t120,
+              substr(nrm, 1, 8) AS blk, substr(nrm, 1, 16) AS p16 FROM t),
+      c AS (SELECT doc_id, p16, source, n_chars, t120,
+              lead(doc_id, 1) OVER w AS n1_id, lead(p16, 1) OVER w AS n1_p16,
+              lead(source, 1) OVER w AS n1_src,
+              lead(n_chars, 1) OVER w AS n1_len, lead(t120, 1) OVER w AS n1_t,
+              lead(doc_id, 2) OVER w AS n2_id, lead(p16, 2) OVER w AS n2_p16,
+              lead(source, 2) OVER w AS n2_src,
+              lead(n_chars, 2) OVER w AS n2_len, lead(t120, 2) OVER w AS n2_t
+            FROM b WINDOW w AS (PARTITION BY blk ORDER BY nrm, doc_id)),
+      p AS (SELECT doc_id AS a, p16, source, n_chars, t120,
+              n1_id AS bid, n1_p16 AS bp16, n1_src AS bsrc,
+              n1_len AS blen, n1_t AS bt
+            FROM c WHERE n1_id IS NOT NULL
+            UNION ALL
+            SELECT doc_id, p16, source, n_chars, t120,
+              n2_id, n2_p16, n2_src, n2_len, n2_t
+            FROM c WHERE n2_id IS NOT NULL),
+      f AS (SELECT least(a, bid) AS d1, greatest(a, bid) AS d2,
+              CASE WHEN p16 = bp16 THEN 1 ELSE 0 END AS f_pre,
+              CASE WHEN source = bsrc THEN 1 ELSE 0 END AS f_src,
+              CASE WHEN abs(n_chars - blen) * 10 <= least(n_chars, blen)
+                   THEN 1 ELSE 0 END AS f_len,
+              CASE WHEN levenshtein(t120, bt) <= 30 THEN 1 ELSE 0 END AS f_lev
+            FROM p),
+      sc AS (SELECT d1, d2,
+               CAST(f_pre AS VARCHAR) || CAST(f_src AS VARCHAR) ||
+               CAST(f_len AS VARCHAR) || CAST(f_lev AS VARCHAR) AS pattern,
+               CAST(CASE WHEN f_pre = 1 THEN $preA ELSE $preD END +
+                    CASE WHEN f_src = 1 THEN $srcA ELSE $srcD END +
+                    CASE WHEN f_len = 1 THEN $lenA ELSE $lenD END +
+                    CASE WHEN f_lev = 1 THEN $levA ELSE $levD END
+                 AS BIGINT) AS score_milli
+             FROM f)
+      SELECT d1, d2, pattern, score_milli,
+             CASE WHEN score_milli >= 10000 THEN 'match'
+                  WHEN score_milli >= -2000 THEN 'possible'
+                  ELSE 'non_match' END AS decision
+      FROM sc
+      WHERE score_milli >= -2000
+      ORDER BY d1, d2
+      """),
+      doc = "Fellegi-Sunter probabilistic linkage: integer log-odds over 4 field comparators, 3-way decision")
+  }
+
   /** Cross-document duplicated-SPAN audit — the per-document statistic a
     * substring-level dedup pass (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better") cuts on: for every document,
@@ -5192,6 +5328,6 @@ object Extended {
     quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
     bpePairMerges, bpeMergeRounds, bpeEncode, zipfFit, sortedNeighborhoodEr,
-    ppjoinJaccard, lshRecallEval, erRecallEval, dupSpanRuns, dupMaxSpans,
-    cdcChunks)
+    ppjoinJaccard, lshRecallEval, erRecallEval, fellegiSunterEr,
+    dupSpanRuns, dupMaxSpans, cdcChunks)
 }
