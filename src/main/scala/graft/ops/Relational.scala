@@ -1780,6 +1780,86 @@ object Relational {
     """),
     doc = "TPC-DS-style YoY revenue growth per nation (lag window over exact decimal sums)")
 
+  /** TPC-DS-Q51-shaped cumulative cross-source comparison: monthly BOOKED
+    * revenue (orders.o_totalprice by order month) vs monthly SHIPPED
+    * revenue (lineitem extendedprice·(1−disc) by ship month), each
+    * aggregated independently, FULL OUTER joined on the month key, then
+    * two cumulative windows over the joined spine and a running backlog
+    * ratio — the Q51 web-vs-store shape with genuinely different
+    * sources, which is why the full-outer + dual-window plan is the
+    * honest one (a single conditional-agg pass cannot express two
+    * different fact tables). Each source collapses to its ~|months| agg
+    * before the join; the cumulative windows are unpartitioned but run
+    * over the bounded month spine (~84 rows — the round-11
+    * bounded-domain window rule), never over facts. Parity: per-month
+    * and cumulative sums are exact decimals (order-independent); the
+    * backlog ratio divides the same two decimal-cast doubles in both
+    * engines, then hround(4).
+    */
+  val sqlBacklogCompare: QueryDef = QueryDef(
+    "sql_backlog_compare",
+    (s, d) => {
+      val dec = "decimal(18,2)"
+      val booked = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("ym"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("mb"))
+      val shipped = Tables.lineitem(s, d)
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("int").as("ym"))
+        // full-precision decimal product — downcasting to (18,2) per line
+        // rounds .xx5 midpoints engine-differently (Num scaladoc)
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1.0) - col("l_discount")).cast("decimal(8,2)")).as("ms"))
+      val wCum = Window.orderBy(col("ym"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      booked.join(shipped, Seq("ym"), "full_outer")
+        .select(col("ym"),
+          coalesce(col("mb"), lit(0).cast(dec)).as("mb"),
+          coalesce(col("ms"), lit(0).cast(dec)).as("ms"))
+        .select(col("ym"),
+          sum(col("mb")).over(wCum).as("cb"),
+          sum(col("ms")).over(wCum).as("cs"))
+        .select(col("ym"),
+          bround(col("cb").cast("double"), 2).as("cum_booked2"),
+          bround(col("cs").cast("double"), 2).as("cum_shipped2"),
+          when(col("cb") > 0, Text.hround(
+            (col("cb").cast("double") - col("cs").cast("double")) /
+              col("cb").cast("double"), 4))
+            .otherwise(lit(null).cast("double")).as("backlog4"))
+        .orderBy(col("ym"))
+    },
+    Some(s"""
+      WITH booked AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+                 AS ym,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mb
+        FROM orders GROUP BY 1),
+      shipped AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER)
+                 AS ym,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(1.0 - l_discount AS DECIMAL(8,2))) AS ms
+        FROM lineitem GROUP BY 1),
+      sp AS (SELECT coalesce(b.ym, s.ym) AS ym,
+               coalesce(b.mb, 0) AS mb, coalesce(s.ms, 0) AS ms
+             FROM booked b FULL OUTER JOIN shipped s ON b.ym = s.ym),
+      cum AS (SELECT ym,
+               sum(mb) OVER (ORDER BY ym
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(ms) OVER (ORDER BY ym
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+             FROM sp)
+      SELECT ym,
+             round_even(CAST(cb AS DOUBLE), 2) AS cum_booked2,
+             round_even(CAST(cs AS DOUBLE), 2) AS cum_shipped2,
+             CASE WHEN cb > 0 THEN ${Text.sqlHround(
+        "(CAST(cb AS DOUBLE) - CAST(cs AS DOUBLE)) / CAST(cb AS DOUBLE)", 4)}
+                  ELSE CAST(NULL AS DOUBLE) END AS backlog4
+      FROM cum ORDER BY ym
+    """),
+    doc = "TPC-DS-Q51-shaped cumulative booked-vs-shipped comparison (full outer join + dual windows)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
@@ -1791,5 +1871,6 @@ object Relational {
       sqlOrderCountDist, sqlWaitingOrders, sqlSmallQuantityRevenue,
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
       sqlMarketShare, sqlProductProfit, sqlShipmodePriority,
-      sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff, sqlYoyGrowth)
+      sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff, sqlYoyGrowth,
+      sqlBacklogCompare)
 }
