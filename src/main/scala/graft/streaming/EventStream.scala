@@ -1167,9 +1167,202 @@ object EventStream {
       }
   }
 
+  /** CEP matcher constants: the pattern view → click → purchase must
+    * complete within [[CepWindowUs]] of the opening view (skip-till-
+    * next-match: non-matching events are skipped, a completed match
+    * resets the machine, an overdue machine resets and may immediately
+    * re-open on a view). 24 h was tuned against the match-count
+    * histogram at ALL THREE SFs (6/79/744 matched users) — the
+    * round-4 de-vacuation rule.
+    */
+  private[graft] val CepWindowUs = 86400000000L
+  private[graft] val CepStages = Seq("view", "click", "purchase")
+
+  /** Per-user CEP fold over a (user_id, tsu, event_id, event_type)
+    * frame — the frame-in/frame-out core shared by the oracle-checked
+    * batch twin and [[CepFunnelProcessor]]'s spec (the Ppjoin/Simhash
+    * split-core discipline). One shuffle to the user key, per-user
+    * sort_array on the unique (tsu, event_id) order, then the whole
+    * state machine is a single codegen'd `aggregate` lambda — no join,
+    * no window, no driver loop. Per-user event lists are
+    * activity-bounded (the collect_list contract every sessionize-class
+    * query in this file already carries).
+    */
+  private[graft] def cepFunnelFold(evs: DataFrame,
+      windowUs: Long = CepWindowUs): DataFrame =
+    evs
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("tsu"), col("event_id"), col("event_type")))).as("evs"))
+      .select(col("user_id"), expr(s"""aggregate(evs,
+          named_struct('stage', 0, 'start', CAST(0 AS BIGINT),
+                       'cnt', 0, 'last_end', CAST(0 AS BIGINT)),
+          (acc, e) -> CASE
+            WHEN acc.stage > 0 AND e.tsu - acc.start > $windowUs THEN
+              CASE WHEN e.event_type = '${CepStages(0)}'
+                   THEN named_struct('stage', 1, 'start', e.tsu,
+                          'cnt', acc.cnt, 'last_end', acc.last_end)
+                   ELSE named_struct('stage', 0, 'start', CAST(0 AS BIGINT),
+                          'cnt', acc.cnt, 'last_end', acc.last_end) END
+            WHEN acc.stage = 0 AND e.event_type = '${CepStages(0)}'
+              THEN named_struct('stage', 1, 'start', e.tsu,
+                     'cnt', acc.cnt, 'last_end', acc.last_end)
+            WHEN acc.stage = 1 AND e.event_type = '${CepStages(1)}'
+              THEN named_struct('stage', 2, 'start', acc.start,
+                     'cnt', acc.cnt, 'last_end', acc.last_end)
+            WHEN acc.stage = 2 AND e.event_type = '${CepStages(2)}'
+              THEN named_struct('stage', 0, 'start', CAST(0 AS BIGINT),
+                     'cnt', acc.cnt + 1, 'last_end', e.tsu)
+            ELSE acc
+          END)""").as("st"))
+      .select(col("user_id"), col("st.cnt").as("n_matches"),
+        col("st.last_end").as("last_end_us"))
+      .filter(col("n_matches") > 0)
+
+  /** Batch twin of [[CepFunnelProcessor]], oracle-checked: per-user
+    * count of completed view→click→purchase sequences within 24 h plus
+    * the last completion instant. The DuckDB oracle is an INDEPENDENT
+    * implementation of the same machine — a `list_reduce` over
+    * ':'-delimited state strings (the bpe fold-encoding discipline; the
+    * Spark side folds a native struct), so parity checks the state
+    * machine, not a mirrored expression tree. Timestamps compare as
+    * exact integer microseconds on both engines (unix_micros /
+    * epoch_us — the round-9 epoch-rounding class, avoided by
+    * construction).
+    */
+  val cepFunnelMatch: QueryDef = {
+    val T = CepWindowUs
+    QueryDef(
+      "cep_funnel_match",
+      (s, d) => cepFunnelFold(
+        Tables.events(s, d)
+          .filter(col("event_type").isin(CepStages: _*))
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("event_type")))
+        .orderBy(col("user_id")),
+      Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+                 FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+      l AS (SELECT user_id,
+              list(CAST(tsu AS VARCHAR) || ':' || event_type
+                   ORDER BY tsu, event_id) AS evs
+            FROM e GROUP BY 1),
+      f AS (SELECT user_id,
+              list_reduce(list_prepend('0:0:0:0', evs), (acc, x) -> CASE
+                WHEN CAST(split_part(acc, ':', 1) AS INTEGER) > 0
+                     AND CAST(split_part(x, ':', 1) AS BIGINT)
+                         - CAST(split_part(acc, ':', 2) AS BIGINT) > $T THEN
+                  CASE WHEN split_part(x, ':', 2) = 'view'
+                       THEN '1:' || split_part(x, ':', 1) || ':' ||
+                            split_part(acc, ':', 3) || ':' ||
+                            split_part(acc, ':', 4)
+                       ELSE '0:0:' || split_part(acc, ':', 3) || ':' ||
+                            split_part(acc, ':', 4) END
+                WHEN CAST(split_part(acc, ':', 1) AS INTEGER) = 0
+                     AND split_part(x, ':', 2) = 'view'
+                  THEN '1:' || split_part(x, ':', 1) || ':' ||
+                       split_part(acc, ':', 3) || ':' || split_part(acc, ':', 4)
+                WHEN CAST(split_part(acc, ':', 1) AS INTEGER) = 1
+                     AND split_part(x, ':', 2) = 'click'
+                  THEN '2:' || split_part(acc, ':', 2) || ':' ||
+                       split_part(acc, ':', 3) || ':' || split_part(acc, ':', 4)
+                WHEN CAST(split_part(acc, ':', 1) AS INTEGER) = 2
+                     AND split_part(x, ':', 2) = 'purchase'
+                  THEN '0:0:' ||
+                       CAST(CAST(split_part(acc, ':', 3) AS INTEGER) + 1
+                            AS VARCHAR) || ':' || split_part(x, ':', 1)
+                -- NOT a plain ELSE acc: DuckDB 1.0.0 list_reduce leaks the
+                -- accumulator ACROSS ROWS when a lambda branch returns its
+                -- acc argument unmodified (user B's fold resumes from user
+                -- A's final state; reproduced deterministically on a 2-row
+                -- input, nondeterministic at 15 rows). Rebuilding the
+                -- string from its parts forces a fresh value per step.
+                ELSE split_part(acc, ':', 1) || ':' || split_part(acc, ':', 2)
+                     || ':' || split_part(acc, ':', 3) || ':' ||
+                     split_part(acc, ':', 4)
+              END) AS st
+            FROM l)
+      SELECT user_id,
+             CAST(split_part(st, ':', 3) AS INTEGER) AS n_matches,
+             CAST(split_part(st, ':', 4) AS BIGINT) AS last_end_us
+      FROM f
+      WHERE CAST(split_part(st, ':', 3) AS INTEGER) > 0
+      ORDER BY user_id
+      """),
+      doc = "CEP skip-till-next-match funnel (view→click→purchase ≤ 24 h): per-user match counts; independent list_reduce oracle")
+  }
+
+  /** [[CepFunnelProcessor]] output: the k-th completed match for a user
+    * with its open/close instants (microseconds).
+    */
+  final case class CepMatch(user_id: Long, match_n: Int,
+      start_us: Long, end_us: Long)
+
+  /** Streaming CEP: the same skip-till-next-match machine as
+    * [[cepFunnelFold]], run as per-user ValueState — state is ONE
+    * (stage, start, cnt) triple per user regardless of stream length,
+    * and each completed sequence is emitted AS IT CLOSES (the batch
+    * twin only reports the end-of-stream summary). Intra-batch order is
+    * pinned by the unique (ts, event_id) sort — the LastNProcessor
+    * tie-break discipline — so stream and twin agree whenever each
+    * user's events arrive in event-time order across batches (the same
+    * ordered-delivery contract every CEP engine states; a late
+    * cross-batch event is processed at arrival position, deterministic
+    * on replay).
+    */
+  class CepFunnelProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvT, CepMatch] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[CepSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CepSt]("cep",
+        org.apache.spark.sql.Encoders.product[CepSt], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[EvT],
+        timers: TimerValues): Iterator[CepMatch] = {
+      var s = if (st.exists()) st.get() else CepSt(0, 0L, 0)
+      val out = Seq.newBuilder[CepMatch]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val tsu = e.ts.getTime * 1000L
+        if (s.stage > 0 && tsu - s.start > windowUs)
+          s = CepSt(0, 0L, s.cnt)
+        s = (s.stage, e.event_type) match {
+          case (0, "view") => CepSt(1, tsu, s.cnt)
+          case (1, "click") => CepSt(2, s.start, s.cnt)
+          case (2, "purchase") =>
+            out += CepMatch(user, s.cnt + 1, s.start, tsu)
+            CepSt(0, 0L, s.cnt + 1)
+          case _ => s
+        }
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  final case class CepSt(stage: Int, start: Long, cnt: Int)
+
+  /** [[CepFunnelProcessor]] input: a typed event with its kind. */
+  final case class EvT(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String)
+
+  /** Streaming wiring for [[CepFunnelProcessor]]. */
+  def cepFunnelState(ds: Dataset[EvT],
+      windowUs: Long = CepWindowUs): Dataset[CepMatch] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.user_id)
+      .transformWithState(new CepFunnelProcessor(windowUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents, intervalJoinFullOuterEvents,
       intervalJoinSemiEvents, intervalJoinAntiEvents, ohlcStreamTwin,
-      ttlDistinctTypes, lastNRollingMean, sessionsPerHour)
+      ttlDistinctTypes, lastNRollingMean, sessionsPerHour, cepFunnelMatch)
 }

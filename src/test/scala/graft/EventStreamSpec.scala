@@ -879,4 +879,51 @@ class EventStreamSpec extends SparkSpec {
       assert(snap.toMap === twin, s"stream snapshot != batch twin:\n$snap\n$twin")
     } finally q.stop()
   }
+
+  test("CEP funnel: skip-till-next-match across batches, timeout reset, twin parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{CepMatch, EvT}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val winUs = 60L * 60000000L // 60 minutes
+    def us(minutes: Long): Long = minutes * 60000000L
+    val mem = MemoryStream[EvT]
+    val q = EventStream.cepFunnelState(mem.toDS(), winUs)
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 2 never clicks — the key-isolation control
+    val b1 = Seq(EvT(1L, ts(2), 2L, "click"), EvT(1L, ts(1), 1L, "view"),
+      EvT(2L, ts(5), 10L, "view"), EvT(2L, ts(6), 11L, "purchase"))
+    val b2 = Seq(EvT(1L, ts(10), 3L, "purchase"), // closes match 1 (cross-batch)
+      EvT(1L, ts(20), 4L, "view"), EvT(1L, ts(25), 5L, "click"))
+    val b3 = Seq(EvT(1L, ts(90), 6L, "purchase"), // 70 min > window: reset, no match
+      EvT(1L, ts(95), 7L, "view"), EvT(1L, ts(96), 8L, "click"),
+      EvT(1L, ts(100), 9L, "purchase")) // match 2
+    try {
+      // b1 is fed OUT of event order: the (ts, event_id) intra-batch sort
+      // must still see view before click
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val got = spark.table("cep_out").as[CepMatch].collect().toSet
+      assert(got === Set(
+        CepMatch(1L, 1, us(1), us(10)),
+        CepMatch(1L, 2, us(95), us(100))), s"stream emissions wrong: $got")
+      // batch-twin parity: the fold over the same rows reports the same
+      // end-of-stream summary the stream's final state implies
+      val twin = EventStream.cepFunnelFold(
+        (b1 ++ b2 ++ b3).toDS().toDF()
+          .select(col("user_id"), (col("ts").cast("long") * 1000000L).as("tsu"),
+            col("event_id"), col("event_type")), winUs)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(twin === Set((1L, 2, us(100))), s"batch twin wrong: $twin")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
