@@ -922,11 +922,82 @@ object Aggregates {
     """),
     doc = "5% two-sided trimmed mean from the value-count frame (integer clamps)")
 
+  /** Functional-dependency discovery/audit — the schema-level data-quality
+    * profile beside [[dqRuleSummary]]'s row-level rules: for each candidate
+    * FD det → dep, does the determinant fix the dependent, and if not, how
+    * badly is it broken? Reports the group-level violation count AND the
+    * standard g3 approximate-FD error (minimum fraction of rows to delete
+    * for the FD to hold exactly = 1 − Σ_det max_dep_count / n — Kivinen &
+    * Mannila), the measure AFD miners (TANE-style) cut on. Four candidate
+    * FDs chosen so the verdict mix is non-vacuous at every SF: a true key
+    * FD (p_partkey → p_brand, 0 violations), a scale-dependent one
+    * (p_retailprice → p_size: holds at sf0.001, breaks once prices
+    * recycle), and two always-broken ones.
+    *
+    * Plan per FD: groupBy(det, dep) count, then groupBy(det) keeping
+    * max/sum — both map-side-combined hash aggregates whose output is
+    * value-cardinality-sized; the final row is a one-row agg. All counts
+    * are exact integers; the only float is the g3 ratio under hround.
+    * The four legs union in-plan over the same dim scan. At 100 TB this
+    * is the profile you run per ingest batch to catch schema drift
+    * upstream of training-data joins.
+    */
+  val fdViolations: QueryDef = {
+    val fds = Seq(
+      ("p_partkey -> p_brand", "p_partkey", "p_brand"),
+      ("p_name -> p_brand", "p_name", "p_brand"),
+      ("p_retailprice -> p_size", "p_retailprice", "p_size"),
+      ("p_type -> p_size", "p_type", "p_size"))
+    QueryDef(
+      "fd_violations",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val legs = fds.map { case (label, det, dep) =>
+          part.groupBy(col(det).as("det"), col(dep).as("dep"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("det"))
+            .agg(count(lit(1)).as("ndep"), max(col("c")).as("mx"),
+              sum(col("c")).as("nr"))
+            .agg(lit(label).as("fd"),
+              count(lit(1)).as("n_groups"),
+              sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating"),
+              sum(col("nr")).as("n_rows"),
+              (sum(col("nr")) - sum(col("mx"))).as("del_rows"))
+        }
+        legs.reduce(_.unionAll(_))
+          .select(col("fd"), col("n_groups"), col("n_violating"),
+            col("n_rows"), col("del_rows"),
+            Text.hround(col("del_rows").cast("double") /
+              col("n_rows").cast("double"), 6).as("g3_err6"))
+          .orderBy(col("fd"))
+      },
+      Some {
+        val legs = fds.map { case (label, det, dep) =>
+          s"""SELECT '$label' AS fd,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating,
+                CAST(sum(nr) AS BIGINT) AS n_rows,
+                CAST(sum(nr) - sum(mx) AS BIGINT) AS del_rows,
+                ${Text.sqlHround(
+            "CAST(sum(nr) - sum(mx) AS DOUBLE) / CAST(sum(nr) AS DOUBLE)",
+            6)} AS g3_err6
+              FROM (SELECT $det AS det, count(*) AS ndep,
+                      max(c) AS mx, sum(c) AS nr
+                    FROM (SELECT $det, $dep, count(*) AS c
+                          FROM part GROUP BY 1, 2)
+                    GROUP BY 1)"""
+        }
+        legs.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY fd")
+      },
+      doc = "functional-dependency audit: per-FD violating groups + exact g3 AFD error over part")
+  }
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
     hllIntersection, incrementalAggMaintain,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
-    tableChecksum, trimmedMean)
+    tableChecksum, trimmedMean, fdViolations)
 }
