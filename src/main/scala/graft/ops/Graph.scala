@@ -1143,8 +1143,110 @@ object Graph {
     },
     doc = s"HITS hubs/authorities: $HitsIters integer-exact mutual-reinforcement rounds with window-max normalization")
 
+  /** Personalized PageRank — [[pagerank]] with the teleport mass pinned
+    * to a SEED SET (ASIA's five nations) instead of spread uniformly:
+    * the relevance ranking a recommender/fraud neighborhood query wants
+    * ("importance AS SEEN FROM these nodes"). Same integer fixed-point
+    * discipline and pinned edge list as pagerank; the two deltas are
+    * (a) the restart term Scale·15% ÷ |S| lands only on seeds — |S| is
+    * carried as a column (window count over the 5-row seed frame, never
+    * a driver-side scalar), and (b) r0 starts all mass on the seeds, so
+    * every iterate is a proper PPR approximation with exact integer
+    * arithmetic (DIV floor on non-negative operands in both engines).
+    * Nations unreachable in 3 hops report rank 0 — kept by the left
+    * join, and the seeds-vs-distant contrast is the de-vacuation check.
+    */
+  val pprSeeded: QueryDef = QueryDef(
+    "ppr_seeded",
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val edges = e0.withColumn("wout",
+          sum(col("w")).over(Window.partitionBy(col("src"))))
+        .transform(Pin.tagged)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val seeds = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast("long").as("node"))
+        .withColumn("ns", count(lit(1)).over(wAll))
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+      // per-node restart mass: Scale*15/100 DIV |S| on seeds, 0 elsewhere
+      val restart = nodes.select(col("node"))
+        .join(seeds, Seq("node"), "left")
+        .select(col("node"), coalesce(
+          expr(s"${Scale * 15 / 100} DIV ns"), lit(0L)).as("rst"))
+        .transform(Pin.tagged)
+
+      def step(r: DataFrame): DataFrame = {
+        val contrib = edges
+          .join(r, col("node") === col("src"))
+          .select(col("dst").as("node"), expr("(pr * w) DIV wout").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+        restart
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (col("rst") +
+              expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+      }
+
+      val r0 = restart.select(col("node"),
+        expr(s"(rst * 100) DIV 15").as("pr")) // all mass on seeds: Scale/|S|
+      val rN = (1 to Iters).foldLeft(r0)((r, _) => step(r))
+      rN.join(nodes, Seq("node"))
+        .select(col("n_name"), col("pr"))
+        .orderBy(col("pr").desc, col("n_name"))
+    },
+    Some {
+      val iterCtes = (1 to Iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+                    CAST(sum((r.pr * e.w) // e.wout) AS BIGINT) AS sc
+             FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+         r$i AS (SELECT t.node,
+                    CAST(t.rst + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS pr
+             FROM rs t LEFT JOIN c$i c USING (node))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      e AS (SELECT src, dst, w,
+                   CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wout
+            FROM e0),
+      n AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name, n_regionkey
+            FROM nation),
+      sd AS (SELECT node, CAST(count(*) OVER () AS BIGINT) AS ns
+             FROM n JOIN region r ON n.n_regionkey = r.r_regionkey
+             WHERE r.r_name = 'ASIA'),
+      rs AS (SELECT n.node,
+               CAST(coalesce(${Scale * 15 / 100} // sd.ns, 0) AS BIGINT) AS rst
+             FROM n LEFT JOIN sd USING (node)),
+      r0 AS (SELECT node, CAST((rst * 100) // 15 AS BIGINT) AS pr FROM rs),
+      $iterCtes
+      SELECT n.n_name, r.pr
+      FROM r$Iters r JOIN n USING (node)
+      ORDER BY pr DESC, n_name
+      """
+    },
+    doc = s"personalized PageRank from the ASIA seed set: $Iters integer-exact iterations, seed-pinned teleport")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
     nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
     randomWalkLen4, labelPropagation, randomWalkNode2vec, adamicAdar,
-    hitsScores)
+    hitsScores, pprSeeded)
 }
