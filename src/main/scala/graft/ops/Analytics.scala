@@ -2317,6 +2317,113 @@ object Analytics {
     """),
     doc = "two-sample KS test: exact-integer ECDF sup-gap on the distinct-value frame")
 
+  /** Holt's linear (double-exponential) smoothing per nation over the
+    * monthly revenue series — the trend-aware sibling of `ewma_smooth`
+    * (level only) and `trend_seasonal_decompose` (fixed season):
+    * l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, init l_1 = x_1,
+    * b_1 = x_2 − x_1; report the final level/trend and the 3-step-ahead
+    * forecast l_T + 3·b_T. The recursion is inherently sequential, so it
+    * runs as ONE codegen'd `aggregate` fold per nation over the
+    * (ym-sorted) bounded monthly series — a per-group array never longer
+    * than the calendar, after the fact table has already collapsed to
+    * the |nation|×|month| aggregate (the only corpus-sized work). Parity
+    * is the deterministic-IEEE-chain argument: both engines execute the
+    * IDENTICAL float expression tree in the identical sequential order
+    * on identical inputs (exact-decimal month sums cast to double), so
+    * every intermediate is bit-equal; the DuckDB side replays the
+    * recurrence as a recursive CTE stepping the month index — an
+    * independent implementation of the same machine (the cep_funnel
+    * oracle discipline). Smoothing constants are e-notation literals in
+    * both engines (3e-1 …) — plain 0.3 parses as DECIMAL in both SQL
+    * dialects and drags the whole chain into decimal math.
+    */
+  val holtLinear: QueryDef = QueryDef(
+    "holt_linear",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("int").as("ym"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(8,2)"))
+          .cast("double").as("x"))
+      rev.groupBy(col("n_name"))
+        .agg(sort_array(collect_list(struct(col("ym"), col("x")))).as("ser"))
+        .filter(size(col("ser")) >= 2)
+        .select(col("n_name"), size(col("ser")).as("n_months"),
+          expr("""aggregate(ser,
+            named_struct('t', 0, 'l', CAST(0 AS DOUBLE),
+                         'b', CAST(0 AS DOUBLE), 'x1', CAST(0 AS DOUBLE)),
+            (acc, e) -> CASE
+              WHEN acc.t = 0 THEN
+                named_struct('t', 1, 'l', e.x, 'b', CAST(0 AS DOUBLE),
+                             'x1', e.x)
+              WHEN acc.t = 1 THEN
+                named_struct('t', 2,
+                  'l', 3e-1 * e.x + 7e-1 * (acc.l + (e.x - acc.x1)),
+                  'b', 2e-1 * ((3e-1 * e.x + 7e-1 * (acc.l + (e.x - acc.x1)))
+                         - acc.l) + 8e-1 * (e.x - acc.x1),
+                  'x1', acc.x1)
+              ELSE
+                named_struct('t', acc.t + 1,
+                  'l', 3e-1 * e.x + 7e-1 * (acc.l + acc.b),
+                  'b', 2e-1 * ((3e-1 * e.x + 7e-1 * (acc.l + acc.b)) - acc.l)
+                         + 8e-1 * acc.b,
+                  'x1', acc.x1)
+            END)""").as("st"))
+        .select(col("n_name"), col("n_months"),
+          Text.hround(col("st.l"), 2).as("level2"),
+          Text.hround(col("st.b"), 2).as("trend2"),
+          Text.hround(col("st.l") + lit(3.0) * col("st.b"), 2).as("fcast3_2"))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT n.n_name, CAST(year(o.o_orderdate) * 100 +
+                 month(o.o_orderdate) AS INTEGER) AS ym,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1.0 - l.l_discount AS DECIMAL(8,2)))
+                 AS DOUBLE) AS x
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      ser AS (SELECT n_name, x,
+                CAST(row_number() OVER (PARTITION BY n_name ORDER BY ym)
+                  AS INTEGER) AS t
+              FROM rev),
+      nm AS (SELECT n_name, CAST(count(*) AS INTEGER) AS n_months
+             FROM ser GROUP BY 1 HAVING count(*) >= 2),
+      rec AS (
+        WITH RECURSIVE h(n_name, t, l, b) AS (
+          SELECT s1.n_name, 2,
+                 3e-1 * s2.x + 7e-1 * (s1.x + (s2.x - s1.x)),
+                 2e-1 * ((3e-1 * s2.x + 7e-1 * (s1.x + (s2.x - s1.x)))
+                   - s1.x) + 8e-1 * (s2.x - s1.x)
+          FROM ser s1 JOIN ser s2
+            ON s2.n_name = s1.n_name AND s1.t = 1 AND s2.t = 2
+          UNION ALL
+          SELECT h.n_name, h.t + 1,
+                 3e-1 * s.x + 7e-1 * (h.l + h.b),
+                 2e-1 * ((3e-1 * s.x + 7e-1 * (h.l + h.b)) - h.l)
+                   + 8e-1 * h.b
+          FROM h JOIN ser s ON s.n_name = h.n_name AND s.t = h.t + 1)
+        SELECT * FROM h)
+      SELECT nm.n_name, nm.n_months,
+             ${Text.sqlHround("r.l", 2)} AS level2,
+             ${Text.sqlHround("r.b", 2)} AS trend2,
+             ${Text.sqlHround("r.l + 3.0e0 * r.b", 2)} AS fcast3_2
+      FROM nm JOIN rec r ON r.n_name = nm.n_name AND r.t = nm.n_months
+      ORDER BY nm.n_name
+    """),
+    doc = "Holt linear trend smoothing per nation: sequential fold, recursive-CTE oracle, 3-step forecast")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -2326,5 +2433,6 @@ object Analytics {
       chiSquareResiduals, forecastAccuracy, funnelWindow,
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
-      kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample)
+      kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample,
+      holtLinear)
 }
