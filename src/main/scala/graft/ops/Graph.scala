@@ -770,38 +770,43 @@ object Graph {
     * discipline). Output: per-community size, min member and member-id
     * checksum.
     */
-  val labelPropagation: QueryDef = QueryDef(
-    "label_propagation",
-    (s, d) => {
-      val e = Pin.tagged(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2))
-      def adopt(edgesWithLab: DataFrame, to: String): DataFrame =
-        edgesWithLab
-          .groupBy(col(to), col("lab"))
-          .agg(sum(col("w")).as("cnt"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col(to))
-              .orderBy(col("cnt").desc, col("lab").asc)))
-          .filter(col("rn") === 1)
-          .select(col(to), col("lab"))
-      val c0 = e.select(col("c")).distinct().withColumn("lab", col("c"))
-      val p1 = adopt(e.join(c0, Seq("c")), "p")
-      val c1 = adopt(e.join(p1, Seq("p")), "c")
-      val p2 = adopt(e.join(c1, Seq("c")), "p")
-      val c2 = adopt(e.join(p2, Seq("p")), "c")
-      c2.groupBy(col("lab"))
-        .agg(count(lit(1)).as("n_members"), min(col("c")).as("member_min"),
-          sum(col("c")).as("member_sum"))
-        .orderBy(col("lab"))
-    },
-    Some("""
-      WITH e AS (SELECT c, p, w FROM (
+  /** Repeat-trade bipartite edge list + the 2-round LPA label frames —
+    * the shared machinery of [[labelPropagation]] and its
+    * [[communityConductance]] evaluation (same data, same pinned shape:
+    * the sanctioned deliberate-sharing class). Returns (e, c2, p2):
+    * weighted edges and the final customer/part label assignments.
+    */
+  private def lpaLabels(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = Pin.tagged(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2))
+    def adopt(edgesWithLab: DataFrame, to: String): DataFrame =
+      edgesWithLab
+        .groupBy(col(to), col("lab"))
+        .agg(sum(col("w")).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(to))
+            .orderBy(col("cnt").desc, col("lab").asc)))
+        .filter(col("rn") === 1)
+        .select(col(to), col("lab"))
+    val c0 = e.select(col("c")).distinct().withColumn("lab", col("c"))
+    val p1 = adopt(e.join(c0, Seq("c")), "p")
+    val c1 = adopt(e.join(p1, Seq("p")), "c")
+    val p2 = adopt(e.join(c1, Seq("c")), "p")
+    val c2 = adopt(e.join(p2, Seq("p")), "c")
+    (e, c2, p2)
+  }
+
+  /** Oracle mirror of [[lpaLabels]], shared by the LPA query and its
+    * conductance evaluation.
+    */
+  private val sqlLpaCtes: String = """e AS (SELECT c, p, w FROM (
              SELECT o.o_custkey AS c, l.l_partkey AS p, count(*) AS w
              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              GROUP BY 1, 2) WHERE w >= 2),
@@ -821,13 +826,96 @@ object Graph {
       c2 AS (SELECT c, lab FROM (
         SELECT e.c, x.lab, row_number() OVER (PARTITION BY e.c
           ORDER BY sum(e.w) DESC, x.lab ASC) AS rn
-        FROM e JOIN p2 x USING (p) GROUP BY e.c, x.lab) WHERE rn = 1)
+        FROM e JOIN p2 x USING (p) GROUP BY e.c, x.lab) WHERE rn = 1)"""
+
+  val labelPropagation: QueryDef = QueryDef(
+    "label_propagation",
+    (s, d) => {
+      val (_, c2, _) = lpaLabels(s, d)
+      c2.groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_members"), min(col("c")).as("member_min"),
+          sum(col("c")).as("member_sum"))
+        .orderBy(col("lab"))
+    },
+    Some(s"""
+      WITH $sqlLpaCtes
       SELECT lab, count(*) AS n_members,
              CAST(min(c) AS BIGINT) AS member_min,
              CAST(sum(c) AS BIGINT) AS member_sum
       FROM c2 GROUP BY 1 ORDER BY 1
     """),
     doc = "deterministic weighted label propagation (2 alternating rounds, repeat-trade graph)")
+
+  /** Partition-quality evaluation for [[labelPropagation]] — the
+    * round-11 in-plan-learner rule applied to community detection:
+    * oracle parity on the LABELS cannot see a degenerate clustering
+    * (both engines replay the same propagation), so this registers the
+    * metric that can. Reports the weighted boundary fraction
+    * Σw(cross-community edges) / Σw — the volume-weighted mean
+    * conductance of the partition — for the LPA labels AND for a
+    * 32-bucket hash partition of the same graph (the null baseline). A
+    * healthy LPA sits far below the baseline (sf0.001: 0.21 vs ~0.97;
+    * at sf0.1 the w≥2 graph shatters into pure components and LPA
+    * reaches exactly 0 — a real finding, and the CONTRAST row keeps the
+    * gate discriminating at every SF per the round-4 rule). A broken
+    * propagation drifts toward the baseline row. Both legs are single
+    * aggregates over the shared pinned edge list; exact integer sums,
+    * one hround'd ratio.
+    */
+  val communityConductance: QueryDef = QueryDef(
+    "community_conductance",
+    (s, d) => {
+      val (e, c2, p2) = lpaLabels(s, d)
+      val lpa = e
+        .join(c2.select(col("c"), col("lab").as("lc")), Seq("c"))
+        .join(p2.select(col("p"), col("lab").as("lp")), Seq("p"))
+        .agg(lit("lpa").as("method"),
+          countDistinct(col("lc")).as("n_comm"),
+          sum(when(col("lc") =!= col("lp"), col("w")).otherwise(0L))
+            .as("cut_w"),
+          sum(col("w")).as("tot_w"))
+      val hsh = e
+        .select(col("w"),
+          (Text.h32(concat(lit("c"), col("c").cast("string"))) % 32).as("lc"),
+          (Text.h32(concat(lit("p"), col("p").cast("string"))) % 32).as("lp"))
+        .agg(lit("hash32").as("method"),
+          countDistinct(col("lc")).as("n_comm"),
+          sum(when(col("lc") =!= col("lp"), col("w")).otherwise(0L))
+            .as("cut_w"),
+          sum(col("w")).as("tot_w"))
+      lpa.unionAll(hsh)
+        .select(col("method"), col("n_comm"), col("cut_w"), col("tot_w"),
+          Text.hround(col("cut_w").cast("double") /
+            col("tot_w").cast("double"), 4).as("phi4"))
+        .orderBy(col("method"))
+    },
+    Some(s"""
+      WITH $sqlLpaCtes,
+      e2 AS (SELECT e.w, cc.lab AS lc, pp.lab AS lp
+             FROM e JOIN c2 cc USING (c) JOIN p2 pp USING (p)),
+      lpa AS (SELECT 'lpa' AS method,
+                CAST(count(DISTINCT lc) AS BIGINT) AS n_comm,
+                CAST(sum(CASE WHEN lc <> lp THEN w ELSE 0 END) AS BIGINT)
+                  AS cut_w,
+                CAST(sum(w) AS BIGINT) AS tot_w
+              FROM e2),
+      eh AS (SELECT w,
+               ${Text.sqlH32("'c' || CAST(c AS VARCHAR)")} % 32 AS lc,
+               ${Text.sqlH32("'p' || CAST(p AS VARCHAR)")} % 32 AS lp
+             FROM e),
+      hsh AS (SELECT 'hash32' AS method,
+                CAST(count(DISTINCT lc) AS BIGINT) AS n_comm,
+                CAST(sum(CASE WHEN lc <> lp THEN w ELSE 0 END) AS BIGINT)
+                  AS cut_w,
+                CAST(sum(w) AS BIGINT) AS tot_w
+              FROM eh),
+      u AS (SELECT * FROM lpa UNION ALL SELECT * FROM hsh)
+      SELECT method, n_comm, cut_w, tot_w,
+             ${Text.sqlHround(
+        "CAST(cut_w AS DOUBLE) / CAST(tot_w AS DOUBLE)", 4)} AS phi4
+      FROM u ORDER BY method
+    """),
+    doc = "LPA partition quality: weighted boundary fraction vs 32-bucket hash-partition null baseline")
 
   /** SECOND-ORDER (node2vec p/q-biased) random walk — the bias the
     * first-order walkers ([[randomWalkPairs]]/[[randomWalkLen4]]) can't
@@ -1248,5 +1336,5 @@ object Graph {
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
     nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
     randomWalkLen4, labelPropagation, randomWalkNode2vec, adamicAdar,
-    hitsScores, pprSeeded)
+    hitsScores, pprSeeded, communityConductance)
 }
