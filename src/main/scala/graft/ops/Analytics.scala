@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Num, QueryDef, Tables, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2338,52 +2339,63 @@ object Analytics {
     * both engines (3e-1 …) — plain 0.3 parses as DECIMAL in both SQL
     * dialects and drags the whole chain into decimal math.
     */
-  val holtLinear: QueryDef = QueryDef(
-    "holt_linear",
-    (s, d) => {
-      val rev = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"),
-          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-            .cast("int").as("ym"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1.0) - col("l_discount")).cast("decimal(8,2)"))
-          .cast("double").as("x"))
-      rev.groupBy(col("n_name"))
-        .agg(sort_array(collect_list(struct(col("ym"), col("x")))).as("ser"))
-        .filter(size(col("ser")) >= 2)
-        .select(col("n_name"), size(col("ser")).as("n_months"),
-          expr("""aggregate(ser,
-            named_struct('t', 0, 'l', CAST(0 AS DOUBLE),
-                         'b', CAST(0 AS DOUBLE), 'x1', CAST(0 AS DOUBLE)),
-            (acc, e) -> CASE
-              WHEN acc.t = 0 THEN
-                named_struct('t', 1, 'l', e.x, 'b', CAST(0 AS DOUBLE),
-                             'x1', e.x)
-              WHEN acc.t = 1 THEN
-                named_struct('t', 2,
-                  'l', 3e-1 * e.x + 7e-1 * (acc.l + (e.x - acc.x1)),
-                  'b', 2e-1 * ((3e-1 * e.x + 7e-1 * (acc.l + (e.x - acc.x1)))
-                         - acc.l) + 8e-1 * (e.x - acc.x1),
-                  'x1', acc.x1)
-              ELSE
-                named_struct('t', acc.t + 1,
-                  'l', 3e-1 * e.x + 7e-1 * (acc.l + acc.b),
-                  'b', 2e-1 * ((3e-1 * e.x + 7e-1 * (acc.l + acc.b)) - acc.l)
-                         + 8e-1 * acc.b,
-                  'x1', acc.x1)
-            END)""").as("st"))
-        .select(col("n_name"), col("n_months"),
-          Text.hround(col("st.l"), 2).as("level2"),
-          Text.hround(col("st.b"), 2).as("trend2"),
-          Text.hround(col("st.l") + lit(3.0) * col("st.b"), 2).as("fcast3_2"))
-        .orderBy(col("n_name"))
-    },
-    Some(s"""
-      WITH rev AS (
+  /** Shared Holt fold: per nation, the final (t, l, b, x1, sae, sape, n)
+    * state of the sequential recurrence over the ym-sorted monthly
+    * revenue series — consumed by [[holtLinear]] (level/trend/forecast)
+    * and [[holtBacktest]] (the rolling 1-step error accumulators sae =
+    * Σ|l+b − x| and sape = Σ|err|/x, counted from t = 3 where the
+    * forecast uses no lookahead). One frame, two registered views.
+    */
+  private def holtFoldFrame(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("ym"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(8,2)"))
+        .cast("double").as("x"))
+    rev.groupBy(col("n_name"))
+      .agg(sort_array(collect_list(struct(col("ym"), col("x")))).as("ser"))
+      .filter(size(col("ser")) >= 2)
+      .select(col("n_name"), size(col("ser")).as("n_months"),
+        expr("""aggregate(ser,
+          named_struct('t', 0, 'l', CAST(0 AS DOUBLE),
+                       'b', CAST(0 AS DOUBLE), 'x1', CAST(0 AS DOUBLE),
+                       'sae', CAST(0 AS DOUBLE), 'sape', CAST(0 AS DOUBLE),
+                       'n', 0),
+          (acc, e) -> CASE
+            WHEN acc.t = 0 THEN
+              named_struct('t', 1, 'l', e.x, 'b', CAST(0 AS DOUBLE),
+                           'x1', e.x, 'sae', CAST(0 AS DOUBLE),
+                           'sape', CAST(0 AS DOUBLE), 'n', 0)
+            WHEN acc.t = 1 THEN
+              named_struct('t', 2,
+                'l', 3e-1 * e.x + 7e-1 * (acc.l + (e.x - acc.x1)),
+                'b', 2e-1 * ((3e-1 * e.x + 7e-1 * (acc.l + (e.x - acc.x1)))
+                       - acc.l) + 8e-1 * (e.x - acc.x1),
+                'x1', acc.x1, 'sae', CAST(0 AS DOUBLE),
+                'sape', CAST(0 AS DOUBLE), 'n', 0)
+            ELSE
+              named_struct('t', acc.t + 1,
+                'l', 3e-1 * e.x + 7e-1 * (acc.l + acc.b),
+                'b', 2e-1 * ((3e-1 * e.x + 7e-1 * (acc.l + acc.b)) - acc.l)
+                       + 8e-1 * acc.b,
+                'x1', acc.x1,
+                'sae', acc.sae + abs((acc.l + acc.b) - e.x),
+                'sape', acc.sape + abs((acc.l + acc.b) - e.x) / e.x,
+                'n', acc.n + 1)
+          END)""").as("st"))
+  }
+
+  /** Oracle mirror of [[holtFoldFrame]]: the Holt recurrence WITH the
+    * backtest error accumulators, as a recursive CTE stepping the month
+    * index — shared by both Holt oracles.
+    */
+  private val sqlHoltCtes: String = """rev AS (
         SELECT n.n_name, CAST(year(o.o_orderdate) * 100 +
                  month(o.o_orderdate) AS INTEGER) AS ym,
                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
@@ -2401,20 +2413,36 @@ object Analytics {
       nm AS (SELECT n_name, CAST(count(*) AS INTEGER) AS n_months
              FROM ser GROUP BY 1 HAVING count(*) >= 2),
       rec AS (
-        WITH RECURSIVE h(n_name, t, l, b) AS (
+        WITH RECURSIVE h(n_name, t, l, b, sae, sape, n) AS (
           SELECT s1.n_name, 2,
                  3e-1 * s2.x + 7e-1 * (s1.x + (s2.x - s1.x)),
                  2e-1 * ((3e-1 * s2.x + 7e-1 * (s1.x + (s2.x - s1.x)))
-                   - s1.x) + 8e-1 * (s2.x - s1.x)
+                   - s1.x) + 8e-1 * (s2.x - s1.x),
+                 CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS INTEGER)
           FROM ser s1 JOIN ser s2
             ON s2.n_name = s1.n_name AND s1.t = 1 AND s2.t = 2
           UNION ALL
           SELECT h.n_name, h.t + 1,
                  3e-1 * s.x + 7e-1 * (h.l + h.b),
                  2e-1 * ((3e-1 * s.x + 7e-1 * (h.l + h.b)) - h.l)
-                   + 8e-1 * h.b
+                   + 8e-1 * h.b,
+                 h.sae + abs((h.l + h.b) - s.x),
+                 h.sape + abs((h.l + h.b) - s.x) / s.x,
+                 h.n + 1
           FROM h JOIN ser s ON s.n_name = h.n_name AND s.t = h.t + 1)
-        SELECT * FROM h)
+        SELECT * FROM h)"""
+
+  val holtLinear: QueryDef = QueryDef(
+    "holt_linear",
+    (s, d) =>
+      holtFoldFrame(s, d)
+        .select(col("n_name"), col("n_months"),
+          Text.hround(col("st.l"), 2).as("level2"),
+          Text.hround(col("st.b"), 2).as("trend2"),
+          Text.hround(col("st.l") + lit(3.0) * col("st.b"), 2).as("fcast3_2"))
+        .orderBy(col("n_name")),
+    Some(s"""
+      WITH $sqlHoltCtes
       SELECT nm.n_name, nm.n_months,
              ${Text.sqlHround("r.l", 2)} AS level2,
              ${Text.sqlHround("r.b", 2)} AS trend2,
@@ -2423,6 +2451,40 @@ object Analytics {
       ORDER BY nm.n_name
     """),
     doc = "Holt linear trend smoothing per nation: sequential fold, recursive-CTE oracle, 3-step forecast")
+
+  /** Rolling-origin 1-step backtest for [[holtLinear]] — the forecasting
+    * analog of the in-plan-learner evaluation rule (score_calibration,
+    * community_conductance): parity on the smoother's output cannot
+    * reveal a useless model, the error against held-out next months can.
+    * At every t ≥ 3 the PRIOR state's one-step forecast l+b (no
+    * lookahead — b₁ uses x₂, so t = 2 is excluded) is scored against the
+    * arriving actual; MAE and MAPE accumulate INSIDE the same sequential
+    * fold (identical IEEE chain in both engines, the holt_linear parity
+    * argument extended to the error terms). Also reports the naive
+    * random-walk baseline ratio implicitly via mape — a smoother worse
+    * than ~20-30 % MAPE on this series is a red flag.
+    */
+  val holtBacktest: QueryDef = QueryDef(
+    "holt_backtest",
+    (s, d) =>
+      holtFoldFrame(s, d)
+        .filter(col("st.n") > 0)
+        .select(col("n_name"), col("st.n").as("n_eval"),
+          Text.hround(col("st.sae") / col("st.n").cast("double"), 2)
+            .as("mae2"),
+          Text.hround(col("st.sape") / col("st.n").cast("double"), 4)
+            .as("mape4"))
+        .orderBy(col("n_name")),
+    Some(s"""
+      WITH $sqlHoltCtes
+      SELECT nm.n_name, r.n AS n_eval,
+             ${Text.sqlHround("r.sae / CAST(r.n AS DOUBLE)", 2)} AS mae2,
+             ${Text.sqlHround("r.sape / CAST(r.n AS DOUBLE)", 4)} AS mape4
+      FROM nm JOIN rec r ON r.n_name = nm.n_name AND r.t = nm.n_months
+      WHERE r.n > 0
+      ORDER BY nm.n_name
+    """),
+    doc = "Holt smoother rolling 1-step backtest: in-fold MAE/MAPE per nation")
 
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
@@ -2434,5 +2496,5 @@ object Analytics {
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
       kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample,
-      holtLinear)
+      holtLinear, holtBacktest)
 }
