@@ -2567,6 +2567,83 @@ object Extended {
     """),
     doc = "stratified k-per-group sample by hash rank (order/partition independent)")
 
+  /** Neyman-optimal stratified allocation + the sample it selects — the
+    * variance-minimizing sibling of [[stratifiedSample]]'s equal-k: for a
+    * fixed budget n, allocate n_h ∝ N_h·σ_h (strata that are bigger OR
+    * noisier get more draws — Neyman 1934), then draw each stratum's n_h
+    * deterministically by hash rank. Parity discipline: σ_h comes from
+    * exact decimal moment sums cast to double (identical operands →
+    * identical IEEE doubles), the weights N_h·σ_h are then floor-
+    * quantized to 1e6-unit BIGINTs so the cross-strata total is an exact
+    * integer sum (the zipf_fit addition-order rule), and the allocation
+    * is pure integer math: n_h = (500·w6_h) DIV ΣW6. The per-stratum
+    * weight total rides an unpartitioned window over the 5-row stats
+    * frame (bounded domain). Selection is the stratified_sample hash-rank
+    * window — reproducible, order-independent, no rand(). At 100 TB the
+    * stats pass is one map-side-combined aggregate and the rank window
+    * partitions by stratum — no global sort anywhere.
+    */
+  val neymanAllocation: QueryDef = QueryDef(
+    "neyman_allocation",
+    (s, d) => {
+      val dec = "decimal(18,2)"
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val stats = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("value").cast(dec)).cast("double").as("sv"),
+          sum(col("value").cast(dec) * col("value").cast(dec))
+            .cast("double").as("sv2"))
+        .select(col("event_type"), col("nh"),
+          sqrt((col("sv2") - col("sv") * col("sv") / col("nh").cast("double"))
+            / (col("nh").cast("double") - lit(1.0))).as("sigma"))
+        .select(col("event_type"), col("nh"),
+          floor(col("nh").cast("double") * col("sigma") * lit(1e6) + lit(0.5))
+            .cast("long").as("w6"))
+        .withColumn("tw6", sum(col("w6")).over(wAll))
+        .select(col("event_type"), col("nh"),
+          expr("(500 * w6) DIV tw6").as("alloc"))
+      val rnk = Window.partitionBy(col("event_type"))
+        .orderBy(expr(sqlSparkH32("CAST(event_id AS STRING)")).asc,
+          col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(rnk))
+        .join(broadcast(stats), Seq("event_type"))
+        .filter(col("rn") <= col("alloc"))
+        .select(col("event_type"), col("alloc"),
+          col("rn").cast("int").as("rn"), col("event_id"))
+        .orderBy(col("event_type"), col("rn"))
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+               CAST(sum(CAST(value AS DECIMAL(18,2)) *
+                        CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv2
+        FROM events GROUP BY 1),
+      wgt AS (SELECT event_type, nh,
+                CAST(floor(CAST(nh AS DOUBLE) *
+                  sqrt((sv2 - sv * sv / CAST(nh AS DOUBLE))
+                       / (CAST(nh AS DOUBLE) - 1.0e0)) * 1e6 + 0.5)
+                  AS BIGINT) AS w6
+              FROM st),
+      alloc AS (SELECT event_type, nh,
+                  CAST((500 * w6) // (CAST(sum(w6) OVER () AS BIGINT))
+                    AS BIGINT) AS alloc
+                FROM wgt),
+      rnk AS (SELECT event_type, event_id,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY ${Text.sqlH32("CAST(event_id AS VARCHAR)")} ASC,
+                           event_id ASC) AS rn
+              FROM events)
+      SELECT r.event_type, a.alloc, CAST(r.rn AS INTEGER) AS rn, r.event_id
+      FROM rnk r JOIN alloc a USING (event_type)
+      WHERE r.rn <= a.alloc
+      ORDER BY r.event_type, rn
+    """),
+    doc = "Neyman-optimal stratified allocation (n_h ∝ N_h·σ_h, exact fixed-point) + hash-rank draw")
+
   /** Distributed uniform k-sample — the reservoir-sampling equivalent that
     * actually scales. Ordering by a uniform per-row hash and taking the
     * global bottom-k compiles to TakeOrderedAndProject: each partition
@@ -5320,7 +5397,7 @@ object Extended {
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,
     curationPipeline, curationFunnel, trainTestSplit, leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, temperatureMix,
-    weightedSampleK,
+    weightedSampleK, neymanAllocation,
     docChunks, tfidf,
     bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,
