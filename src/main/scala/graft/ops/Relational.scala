@@ -1860,6 +1860,72 @@ object Relational {
     """),
     doc = "TPC-DS-Q51-shaped cumulative booked-vs-shipped comparison (full outer join + dual windows)")
 
+  /** TPC-DS-Q36-shaped hierarchy report: revenue by ROLLUP(region,
+    * nation) with `grouping()`-derived hierarchy level and a
+    * rank-within-parent window — the lochierarchy pattern (rank nations
+    * inside their region, regions inside the grand total, partitioned by
+    * the grouping level and the CASE-gated parent key). Exercises the
+    * raw-SQL GROUPING/ROLLUP surface that `rollup_agg`/`grouping_sets_agg`
+    * cover only via the DataFrame API. Ranks compare exact decimal sums
+    * (no float enters the ordering); the displayed revenue is bround(2).
+    * One rollup aggregate (Spark expands in a single Expand+Agg, no
+    * extra fact scans) + one window over the ≤ 31-row rollup result.
+    */
+  val sqlRollupShare: QueryDef = QueryDef(
+    "sql_rollup_share",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      s.sql("""
+        WITH agg AS (
+          SELECT r.r_name AS region, n.n_name AS nation,
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS rev,
+                 grouping(r.r_name) + grouping(n.n_name) AS lh
+          FROM lineitem_v l
+          JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+          JOIN customer_v c ON o.o_custkey = c.c_custkey
+          JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+          JOIN region_v r ON n.n_regionkey = r.r_regionkey
+          GROUP BY ROLLUP(r.r_name, n.n_name))
+        SELECT coalesce(region, 'ALL') AS region,
+               coalesce(nation, 'ALL') AS nation,
+               CAST(lh AS INTEGER) AS lh,
+               rank() OVER (PARTITION BY lh,
+                 CASE WHEN lh = 0 THEN region END
+                 ORDER BY rev DESC) AS rank_in_parent,
+               bround(CAST(rev AS DOUBLE), 2) AS rev2
+        FROM agg
+        ORDER BY lh DESC, region, nation
+      """)
+    },
+    Some("""
+      WITH agg AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS rev,
+               grouping(r.r_name) + grouping(n.n_name) AS lh
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name))
+      SELECT coalesce(region, 'ALL') AS region,
+             coalesce(nation, 'ALL') AS nation,
+             CAST(lh AS INTEGER) AS lh,
+             CAST(rank() OVER (PARTITION BY lh,
+               CASE WHEN lh = 0 THEN region END
+               ORDER BY rev DESC) AS INTEGER) AS rank_in_parent,
+             round_even(CAST(rev AS DOUBLE), 2) AS rev2
+      FROM agg
+      ORDER BY lh DESC, region, nation
+    """),
+    doc = "TPC-DS-Q36-shaped ROLLUP hierarchy with grouping() level + rank-within-parent window")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
@@ -1872,5 +1938,5 @@ object Relational {
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
       sqlMarketShare, sqlProductProfit, sqlShipmodePriority,
       sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff, sqlYoyGrowth,
-      sqlBacklogCompare)
+      sqlBacklogCompare, sqlRollupShare)
 }
