@@ -899,7 +899,15 @@ class EventStreamSpec extends SparkSpec {
       EvT(1L, ts(20), 4L, "view"), EvT(1L, ts(25), 5L, "click"))
     val b3 = Seq(EvT(1L, ts(90), 6L, "purchase"), // 70 min > window: reset, no match
       EvT(1L, ts(95), 7L, "view"), EvT(1L, ts(96), 8L, "click"),
-      EvT(1L, ts(100), 9L, "purchase")) // match 2
+      EvT(1L, ts(100), 9L, "purchase"), // match 2
+      // boundary pair: the window predicate is STRICTLY ts − start > T,
+      // so a purchase at exactly start + T still matches (user 3) and
+      // one microsecond-equivalent later (1 min granularity here) does
+      // not (user 4)
+      EvT(3L, ts(200), 20L, "view"), EvT(3L, ts(201), 21L, "click"),
+      EvT(3L, ts(260), 22L, "purchase"), // exactly start + 60 min: match
+      EvT(4L, ts(200), 30L, "view"), EvT(4L, ts(201), 31L, "click"),
+      EvT(4L, ts(261), 32L, "purchase")) // start + 61 min: timeout, no match
     try {
       // b1 is fed OUT of event order: the (ts, event_id) intra-batch sort
       // must still see view before click
@@ -909,7 +917,8 @@ class EventStreamSpec extends SparkSpec {
       val got = spark.table("cep_out").as[CepMatch].collect().toSet
       assert(got === Set(
         CepMatch(1L, 1, us(1), us(10)),
-        CepMatch(1L, 2, us(95), us(100))), s"stream emissions wrong: $got")
+        CepMatch(1L, 2, us(95), us(100)),
+        CepMatch(3L, 1, us(200), us(260))), s"stream emissions wrong: $got")
       // batch-twin parity: the fold over the same rows reports the same
       // end-of-stream summary the stream's final state implies
       val twin = EventStream.cepFunnelFold(
@@ -917,7 +926,8 @@ class EventStreamSpec extends SparkSpec {
           .select(col("user_id"), (col("ts").cast("long") * 1000000L).as("tsu"),
             col("event_id"), col("event_type")), winUs)
         .as[(Long, Int, Long)].collect().toSet
-      assert(twin === Set((1L, 2, us(100))), s"batch twin wrong: $twin")
+      assert(twin === Set((1L, 2, us(100)), (3L, 1, us(260))),
+        s"batch twin wrong: $twin")
     } finally {
       q.stop()
       prev match {
