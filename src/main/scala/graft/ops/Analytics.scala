@@ -2486,6 +2486,90 @@ object Analytics {
     """),
     doc = "Holt smoother rolling 1-step backtest: in-fold MAE/MAPE per nation")
 
+  /** Time-to-convert distribution: for every view event, the delay to the
+    * user's NEXT purchase (forward as-of semantics via a min-over-
+    * FOLLOWING-frame window — no self-join), kept when within 7 days;
+    * then the EXACT per-cohort median and p90 of the delay in whole
+    * minutes. Complements `funnel_window` (which counts conversions —
+    * this measures how long they take, the number an SLA or attribution
+    * model consumes). Exactness discipline: delays are integer
+    * microseconds floored to minutes (DIV — identical in both engines),
+    * and the quantiles are rank selections over the per-cohort
+    * value-count frame (the grouped_median_exact machinery: cum_less <
+    * k ≤ cum_less + cnt), never an interpolating percentile. Scale: one
+    * user-partitioned window over the event stream, then aggregates on
+    * the (cohort, minute) value-count frame.
+    */
+  val timeToConvert: QueryDef = QueryDef(
+    "time_to_convert",
+    (s, d) => {
+      val SevenDaysUs = 604800000000L
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val delays = ev
+        .withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("tsu"))).over(wNext))
+        .filter(col("event_type") === "view" && col("next_p").isNotNull &&
+          col("next_p") - col("tsu") <= SevenDaysUs)
+        .select((col("user_id") % 4).as("cohort"),
+          expr("(next_p - tsu) DIV 60000000").as("delay_min"))
+      val vc = delays.groupBy(col("cohort"), col("delay_min"))
+        .agg(count(lit(1)).as("cnt"))
+      val wLess = Window.partitionBy(col("cohort")).orderBy(col("delay_min"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("cohort"))
+      vc
+        .withColumn("cum_less", coalesce(sum(col("cnt")).over(wLess), lit(0L)))
+        .withColumn("nt", sum(col("cnt")).over(wAll))
+        .withColumn("kmed", expr("(nt + 1) DIV 2"))
+        .withColumn("k90", expr("(9 * nt + 9) DIV 10"))
+        .groupBy(col("cohort"))
+        .agg(max(col("nt")).as("n_conv"),
+          min(when(col("cum_less") < col("kmed") &&
+            col("kmed") <= col("cum_less") + col("cnt"), col("delay_min")))
+            .as("median_min"),
+          min(when(col("cum_less") < col("k90") &&
+            col("k90") <= col("cum_less") + col("cnt"), col("delay_min")))
+            .as("p90_min"))
+        .orderBy(col("cohort"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+                  FROM events WHERE event_type IN ('view', 'purchase')),
+      nx AS (SELECT user_id, tsu, event_type,
+               min(CASE WHEN event_type = 'purchase' THEN tsu END)
+                 OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+             FROM ev),
+      dl AS (SELECT user_id % 4 AS cohort,
+               CAST((next_p - tsu) // 60000000 AS BIGINT) AS delay_min
+             FROM nx
+             WHERE event_type = 'view' AND next_p IS NOT NULL
+               AND next_p - tsu <= 604800000000),
+      vc AS (SELECT cohort, delay_min, count(*) AS cnt FROM dl GROUP BY 1, 2),
+      c AS (SELECT cohort, delay_min, cnt,
+              coalesce(CAST(sum(cnt) OVER (PARTITION BY cohort
+                ORDER BY delay_min
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cum_less,
+              CAST(sum(cnt) OVER (PARTITION BY cohort) AS BIGINT) AS nt
+            FROM vc)
+      SELECT cohort, CAST(max(nt) AS BIGINT) AS n_conv,
+             CAST(min(CASE WHEN cum_less < (nt + 1) // 2
+                            AND (nt + 1) // 2 <= cum_less + cnt
+                           THEN delay_min END) AS BIGINT) AS median_min,
+             CAST(min(CASE WHEN cum_less < (9 * nt + 9) // 10
+                            AND (9 * nt + 9) // 10 <= cum_less + cnt
+                           THEN delay_min END) AS BIGINT) AS p90_min
+      FROM c GROUP BY 1 ORDER BY cohort
+    """),
+    doc = "view→next-purchase delay: exact per-cohort median/p90 minutes via rank selection")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -2496,5 +2580,5 @@ object Analytics {
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
       kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample,
-      holtLinear, holtBacktest)
+      holtLinear, holtBacktest, timeToConvert)
 }
