@@ -3327,6 +3327,87 @@ object Extended {
     """),
     doc = "corpus-unigram cross-entropy per doc (micro-bit integer sums)")
 
+  /** In-plan autoregressive GREEDY DECODE from the per-source bigram LM —
+    * the generation-side sanity check of the LM family (perplexity
+    * measures how well the model fits held text; a greedy rollout shows
+    * what the model actually SAYS — degenerate loops, mode collapse, and
+    * per-source style differences are visible in one glance, the check
+    * an n-gram-model pipeline runs before shipping the counts). Per
+    * source: seed = argmax unigram (ties by token asc), then 10 steps of
+    * cur → argmax_b c(cur, b). The argmax transition table is computed
+    * ONCE (row_number over the bigram counts, Pin.tagged — ten step
+    * joins consume it; |sources|·|vocab| rows, broadcast-sized here,
+    * plain equi-join at open-vocabulary scale) and each step is a LEFT
+    * join on (source, cur) — a token with no successor self-loops
+    * (coalesce to cur), keeping the rollout total. Everything is exact
+    * integer counts + deterministic tie-breaks; no floats anywhere.
+    */
+  val bigramGreedyDecode: QueryDef = QueryDef(
+    "bigram_greedy_decode",
+    (s, d) => {
+      val ws = docWords(s, d).select(col("source"), col("w"))
+      val big = ws.select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("bg"))
+        .select(col("source"), col("bg.a").as("a"), col("bg.b").as("b"))
+      val best = Pin.tagged(
+        big.groupBy(col("source"), col("a"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source"), col("a"))
+              .orderBy(col("c").desc, col("b").asc)))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("a").as("cur"), col("b").as("nxt")))
+      val seed = ws.select(col("source"), explode(col("w")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("t").asc)))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("t").as("seed"))
+      val s0 = seed.select(col("source"), col("seed"),
+        col("seed").as("cur"), col("seed").as("gen"))
+      val sN = (1 to 10).foldLeft(s0) { (st, _) =>
+        st.join(best, Seq("source", "cur"), "left")
+          .select(col("source"), col("seed"),
+            coalesce(col("nxt"), col("cur")).as("cur"),
+            concat(col("gen"), lit(" "),
+              coalesce(col("nxt"), col("cur"))).as("gen"))
+      }
+      sN.select(col("source"), col("seed"), col("gen"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val steps = (1 to 10).map { i =>
+        s"""d$i AS (SELECT d.source, d.seed,
+                coalesce(b.nxt, d.cur) AS cur,
+                d.gen || ' ' || coalesce(b.nxt, d.cur) AS gen
+              FROM d${i - 1} d LEFT JOIN best b
+                ON b.source = d.source AND b.cur = d.cur)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ws AS ($sqlDocWords3),
+      big AS (SELECT source, w[i] AS a, w[i + 1] AS b
+              FROM (SELECT source, w,
+                      unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM ws)),
+      best AS (SELECT source, a AS cur, b AS nxt FROM (
+        SELECT source, a, b, row_number() OVER (PARTITION BY source, a
+          ORDER BY count(*) DESC, b ASC) AS rn
+        FROM big GROUP BY source, a, b) WHERE rn = 1),
+      uni AS (SELECT source, t, count(*) AS c
+              FROM (SELECT source, unnest(w) AS t FROM ws) GROUP BY 1, 2),
+      seed AS (SELECT source, t AS seed FROM (
+        SELECT source, t, row_number() OVER (PARTITION BY source
+          ORDER BY c DESC, t ASC) AS rn FROM uni) WHERE rn = 1),
+      d0 AS (SELECT source, seed, seed AS cur, seed AS gen FROM seed),
+      $steps
+      SELECT source, seed, gen FROM d10 ORDER BY source
+      """
+    },
+    doc = "greedy 10-step autoregressive rollout from the per-source bigram LM (exact-integer argmax chain)")
+
   /** Bigram language-model perplexity with add-one smoothing — the
     * stronger LM-quality signal next to perplexity_unigram (repetitive
     * or machine-generated text scores much lower bigram surprise than
@@ -5402,6 +5483,7 @@ object Extended {
     bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,
     perplexityUnigram, perplexityBigram, perplexityInterp, collocationPmi,
+    bigramGreedyDecode,
     quantizeEmbeddings,
     boilerplateFrac, heavyHitters,
     bpePairMerges, bpeMergeRounds, bpeEncode, zipfFit, sortedNeighborhoodEr,
