@@ -2644,6 +2644,69 @@ object Extended {
     """),
     doc = "Neyman-optimal stratified allocation (n_h ∝ N_h·σ_h, exact fixed-point) + hash-rank draw")
 
+  /** Temporal feature/label split — the leakage-safe LABELING primitive
+    * beside [[leakageSafeSplit]]'s cluster-aware row split: pick a cut
+    * instant (stream max − 7 days, a one-row broadcast scalar), build
+    * per-user features STRICTLY from before the cut (event count,
+    * purchase count, exact decimal spend, recency days) and the label
+    * STRICTLY from after it (lapsed = no purchase in the final window) —
+    * the temporal discipline that keeps a churn/LTV training set free of
+    * future leakage, all in ONE conditional-aggregation pass (no
+    * anti join, no second scan). Label selectivity is the round-8 rule:
+    * "no events after cut" is vacuous on these fixtures (every user
+    * stays active), so the label correlates on the selective event type
+    * (purchases): 1/9/55 lapsed users at the three SFs. Exactness:
+    * integer-microsecond cut arithmetic, decimal spend sums, DIV day
+    * floors.
+    */
+  val temporalLabelSplit: QueryDef = QueryDef(
+    "temporal_label_split",
+    (s, d) => {
+      val WinUs = 7L * 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_type"), col("value"))
+      val mx = ev.agg(max(col("tsu")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("cut", col("mx") - lit(WinUs))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("tsu") < col("cut"), 1L).otherwise(0L)).as("n_before"),
+          sum(when(col("tsu") < col("cut") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("buys_before"),
+          bround(sum(when(col("tsu") < col("cut"),
+            col("value").cast("decimal(18,2)"))).cast("double"), 2)
+            .as("val_before2"),
+          expr("(max(cut) - max(CASE WHEN tsu < cut THEN tsu END))" +
+            " DIV 86400000000").as("recency_d"),
+          (sum(when(col("tsu") >= col("cut") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)) === 0L)
+            .as("lapsed"))
+        .filter(col("n_before") > 0)
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type, value
+                  FROM events),
+      m AS (SELECT max(tsu) - 7 * 86400000000 AS cut FROM ev),
+      u AS (SELECT user_id,
+              CAST(sum(CASE WHEN tsu < cut THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_before,
+              CAST(sum(CASE WHEN tsu < cut AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS buys_before,
+              round_even(CAST(sum(CASE WHEN tsu < cut
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+                AS val_before2,
+              CAST((max(cut) - max(CASE WHEN tsu < cut THEN tsu END))
+                   // 86400000000 AS BIGINT) AS recency_d,
+              (sum(CASE WHEN tsu >= cut AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) = 0) AS lapsed
+            FROM ev CROSS JOIN m GROUP BY 1)
+      SELECT * FROM u WHERE n_before > 0 ORDER BY user_id
+    """),
+    doc = "leakage-safe temporal feature/label split: pre-cut features, post-cut lapsed-purchaser label, one pass")
+
   /** Distributed uniform k-sample — the reservoir-sampling equivalent that
     * actually scales. Ordering by a uniform per-row hash and taking the
     * global bottom-k compiles to TakeOrderedAndProject: each partition
@@ -5478,7 +5541,7 @@ object Extended {
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,
     curationPipeline, curationFunnel, trainTestSplit, leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, temperatureMix,
-    weightedSampleK, neymanAllocation,
+    weightedSampleK, neymanAllocation, temporalLabelSplit,
     docChunks, tfidf,
     bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,

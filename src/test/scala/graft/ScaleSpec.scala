@@ -84,6 +84,9 @@ class ScaleSpec extends SparkSpec {
     // market_basket_lift crosses its ONE-ROW basket-total frame with the
     // bounded brand-pair aggregate — the same scalar-subquery shape.
     val intended = Set("embed_cosine_topk", "embed_ann_ivf", "tfidf",
+      // temporal_label_split broadcast-crosses the one-row stream-max
+      // frame that anchors the feature/label cut instant
+      "temporal_label_split",
       "ann_recall", "ann_ndcg", "ann_recall20", "domain_mix_sample",
       "funnel_conversion", "bm25_topk",
       "month_spine_fill", "perplexity_unigram", "hll_partition_union",
