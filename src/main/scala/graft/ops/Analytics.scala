@@ -2160,6 +2160,53 @@ object Analytics {
     """),
     doc = "Warner randomized-response local-DP release with debiased estimator")
 
+  /** Laplace-mechanism DP histogram (ε = 1, sensitivity 1) over the
+    * event-type counts — the CENTRAL-DP release beside
+    * [[dpRandomizedResponse]]'s local mechanism. Noise is DETERMINISTIC
+    * seeded Laplace (the only kind an exact oracle can check): a 20-bit
+    * uniform from the corpus-shared h32 of the salted group key, mapped
+    * through the inverse Laplace CDF −sgn(u−½)·ln(1−2|u−½|). Both
+    * engines evaluate the IDENTICAL float expression on identical
+    * operands (the holt_linear IEEE-chain argument); the true count
+    * rides along as the test artifact that certifies the debias (a real
+    * release would drop it). One map-side-combined aggregate; noise is
+    * a per-GROUP expression, never per-row work.
+    */
+  val dpLaplaceHistogram: QueryDef = QueryDef(
+    "dp_laplace_histogram",
+    (s, d) => {
+      val u = (Text.h32(concat(lit("lap-"), col("event_type"))) % 1048576L
+        + lit(0.5)) / lit(1048576.0)
+      val v = u - lit(0.5)
+      val sgn = when(v < 0, lit(-1.0)).otherwise(lit(1.0))
+      val lap = lit(-1.0) * sgn * log(lit(1.0) - lit(2.0) * abs(v))
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("event_type"), col("n_true"),
+          Text.hround(lap, 4).as("noise4"),
+          Text.hround(col("n_true").cast("double") + lap, 4).as("noisy4"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+                 FROM events GROUP BY 1),
+      n AS (SELECT event_type, n_true,
+              (${Text.sqlH32("'lap-' || event_type")} % 1048576 + 0.5e0)
+                / 1048576e0 - 0.5e0 AS v
+            FROM c)
+      SELECT event_type, n_true,
+             ${Text.sqlHround(
+        "-1e0 * (CASE WHEN v < 0 THEN -1e0 ELSE 1e0 END) " +
+          "* ln(1e0 - 2e0 * abs(v))", 4)} AS noise4,
+             ${Text.sqlHround(
+        "CAST(n_true AS DOUBLE) + -1e0 * " +
+          "(CASE WHEN v < 0 THEN -1e0 ELSE 1e0 END) " +
+          "* ln(1e0 - 2e0 * abs(v))", 4)} AS noisy4
+      FROM n ORDER BY event_type
+    """),
+    doc = "Laplace-mechanism DP histogram (ε=1) with seeded inverse-CDF noise, exact-parity")
+
   /** Population Stability Index per event type — THE ml-ops drift gate
     * (is this week's value distribution still the one the model saw?):
     * decile edges fitted on the REFERENCE half (first half of the time
@@ -2580,5 +2627,5 @@ object Analytics {
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
       kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample,
-      holtLinear, holtBacktest, timeToConvert)
+      holtLinear, holtBacktest, timeToConvert, dpLaplaceHistogram)
 }
