@@ -993,11 +993,62 @@ object Aggregates {
       doc = "functional-dependency audit: per-FD violating groups + exact g3 AFD error over part")
   }
 
+  /** Exact WEIGHTED median — `grouped_median_exact` generalized to
+    * weighted rank selection (the statistic behind "typical traded
+    * price": each price counts by the QUANTITY transacted at it, not by
+    * its row count — a few huge orders shouldn't look like a few small
+    * ones). Same no-row-sort machinery: collapse to the per-group
+    * value-WEIGHT frame, then pick the value where the cumulative weight
+    * first covers half the total, k = (W+1) div 2 — all exact integer
+    * arithmetic (quantities are integral in the fixtures and cast to
+    * BIGINT; a fractional-weight corpus would fixed-point-quantize per
+    * the zipf rule). One map-side-combined aggregate + one
+    * group-partitioned window over the value-cardinality frame.
+    */
+  val weightedMedianGroup: QueryDef = QueryDef(
+    "weighted_median_group",
+    (s, d) => {
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      val wLess = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      vc
+        .withColumn("cum_less", coalesce(sum(col("wt")).over(wLess), lit(0L)))
+        .withColumn("tw", sum(col("wt")).over(wAll))
+        .withColumn("k", expr("(tw + 1) DIV 2"))
+        .filter(col("cum_less") < col("k") &&
+          col("k") <= col("cum_less") + col("wt"))
+        .select(col("l_returnflag"), col("tw").as("total_qty"),
+          col("l_extendedprice").as("wmedian_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH vc AS (SELECT l_returnflag, l_extendedprice,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+                  FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, l_extendedprice, wt,
+              coalesce(CAST(sum(wt) OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cum_less,
+              CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+            FROM vc)
+      SELECT l_returnflag, tw AS total_qty,
+             l_extendedprice AS wmedian_price
+      FROM c
+      WHERE cum_less < (tw + 1) // 2 AND (tw + 1) // 2 <= cum_less + wt
+      ORDER BY l_returnflag
+    """),
+    doc = "exact quantity-weighted median price per group (weighted rank selection, no row sort)")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
     hllIntersection, incrementalAggMaintain,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
-    tableChecksum, trimmedMean, fdViolations)
+    tableChecksum, trimmedMean, fdViolations, weightedMedianGroup)
 }
