@@ -529,8 +529,60 @@ object Climate {
     """),
     doc = "custom DataSourceV2 chunked grid source round-trip (skip + prune, oracle-gated)")
 
+  /** Malformed-input quarantine at the SOURCE boundary — the PERMISSIVE
+    * CSV contract every real ingest needs (SNK3/X5 taken to the parser
+    * level): three deliberately corrupt lines (bad types, wrong arity)
+    * are appended into the CSV directory next to the good part files,
+    * and the re-read runs PERMISSIVE with `columnNameOfCorruptRecord`,
+    * so broken lines land in the quarantine column instead of failing
+    * the job or silently nulling — the aggregate proves the good rows
+    * survive bit-exact (decimal balance sum vs the parquet oracle) and
+    * exactly the 3 planted rows quarantine. At 100 TB this is the
+    * pattern that keeps one torn file from killing a 6-hour ingest.
+    */
+  val csvCorruptQuarantine: QueryDef = QueryDef(
+    "csv_corrupt_quarantine",
+    (s, d) => {
+      val out = sinkDir(d, "graft_badcsv")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .write.mode("overwrite").csv(out)
+      import s.implicits._
+      Seq("notanint,Torn Row,12.5",
+        "42,Wrong Arity,1.0,extra,fields",
+        "7,Bad Balance,notadouble")
+        .toDS().write.mode("append").text(out)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+        // every failable column is REFERENCED: CSV column pruning only
+        // parses required columns, and an unparsed column's type errors
+        // never reach the corrupt-record column (probed: with only
+        // s_acctbal referenced, a bad s_suppkey row sailed through as
+        // "good") — the key_sum term forces the full-width parse that
+        // makes the quarantine contract total
+        .agg(
+          sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("_bad").isNull, col("s_suppkey"))).as("key_sum"),
+          sum(when(col("_bad").isNull, length(col("s_name"))))
+            .as("name_chars"),
+          Num.sum2(when(col("_bad").isNull, col("s_acctbal"))).as("sum_bal"))
+    },
+    Some(s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_good,
+             CAST(3 AS BIGINT) AS n_bad,
+             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+             CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
+             ${Num.sqlSum2("s_acctbal")} AS sum_bal
+      FROM supplier
+    """),
+    doc = "PERMISSIVE CSV quarantine: planted corrupt lines isolated, good rows bit-exact")
+
   val all: Seq[QueryDef] =
     Seq(monthly, annual, rollup, splitByState, jsonRoundtrip, orcRoundtrip,
       parquetPartitioned, compactSmallFiles, schemaEvolution, schemaSniff,
-      xmlRoundtrip, gridSourceRoundtrip)
+      xmlRoundtrip, gridSourceRoundtrip, csvCorruptQuarantine)
 }

@@ -246,6 +246,7 @@ class ScaleSpec extends SparkSpec {
     // the two sink round-trips (they write files, then read them back),
     // and dup_clusters (iterate-to-convergence is driver-coordinated).
     val eager = Set("box_range_filter", "split_partitioned_write",
+      "csv_corrupt_quarantine",
       "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
