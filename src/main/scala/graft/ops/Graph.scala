@@ -1333,8 +1333,121 @@ object Graph {
     },
     doc = s"personalized PageRank from the ASIA seed set: $Iters integer-exact iterations, seed-pinned teleport")
 
+  /** Per-node ECCENTRICITY + graph diameter/radius on the STRONG trade
+    * backbone — the all-pairs metric [[shortestPathBfs]]'s single-source
+    * hop count doesn't give. The full nation trade graph is complete at
+    * sf ≥ 0.01 (every ecc = 1, a vacuous gate), so the metric runs on
+    * the top-15 % edges by weight — the threshold is the k-th largest
+    * weight SELECTED IN-PLAN (k = max(1, 3·|E| div 20); rank selection
+    * over the ≤ |V|² edge frame, value-based so weight ties are
+    * engine-identical) — which keeps the backbone connected with varied
+    * eccentricities at all three SFs (probed: 2-3 / 2-3 / 1-2). APSP by
+    * 4 min-plus relaxation rounds (one hop per round ≥ the probed
+    * diameter 3), each a join+groupBy-min over the ≤ |V|²-row distance
+    * frame — bounded work after the one fact-sized edge aggregation.
+    * Unreachable pairs are simply absent, so ecc is over the reachable
+    * set (the surviving backbone is connected at every fixture SF).
+    */
+  val graphEccentricity: QueryDef = QueryDef(
+    "graph_eccentricity",
+    (s, d) => {
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val kept = e
+        .withColumn("ne", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(Window
+          .orderBy(col("w").desc, col("a"), col("b"))))
+        .withColumn("k", greatest(lit(1L), expr("(3 * ne) DIV 20")))
+        .withColumn("thr",
+          max(when(col("rn") === col("k"), col("w"))).over(wAll))
+        .filter(col("w") >= col("thr"))
+        .select(col("a"), col("b"))
+      val sym = kept
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .transform(Pin.tagged)
+
+      def relax(dist: DataFrame): DataFrame =
+        dist.unionAll(
+          dist.select(col("u"), col("v").as("m"), col("d"))
+            .join(sym.select(col("u").as("m"), col("v").as("v2")), Seq("m"))
+            .filter(col("u") =!= col("v2"))
+            .select(col("u"), col("v2").as("v"), (col("d") + 1).as("d")))
+          .groupBy(col("u"), col("v")).agg(min(col("d")).as("d"))
+
+      val d1 = sym.select(col("u"), col("v"), lit(1).as("d"))
+      val dN = (1 to 3).foldLeft(d1)((dd, _) => relax(dd))
+      dN.groupBy(col("u")).agg(max(col("d")).as("ecc"))
+        .withColumn("diameter", max(col("ecc")).over(wAll))
+        .withColumn("radius", min(col("ecc")).over(wAll))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("u"), col("n_name"))),
+          Seq("u"))
+        .select(col("n_name"), col("ecc"), col("diameter"), col("radius"))
+        .orderBy(col("ecc").desc, col("n_name"))
+    },
+    Some {
+      val rounds = (2 to 4).map { i =>
+        s"""d$i AS (SELECT u, v, CAST(min(d) AS INTEGER) AS d FROM (
+               SELECT u, v, d FROM d${i - 1}
+               UNION ALL
+               SELECT a.u, b.v, a.d + 1
+               FROM d${i - 1} a JOIN sym b ON b.u = a.v WHERE a.u <> b.v)
+             GROUP BY 1, 2)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+               greatest(c.c_nationkey, s.s_nationkey) AS b,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+      -- MATERIALIZED + one-row threshold cross join: as an inlined CTE
+      -- with a scalar subquery, DuckDB re-planned the whole fact join
+      -- per edge row (the sql_recursive_spine re-scan class) and the
+      -- sf0.1 oracle ran minutes instead of seconds
+      r AS MATERIALIZED (SELECT a, b, w,
+              CAST(count(*) OVER () AS BIGINT) AS ne,
+              row_number() OVER (ORDER BY w DESC, a, b) AS rn
+            FROM e),
+      thr AS (SELECT w AS thr FROM r
+              WHERE rn = greatest(1, (3 * ne) // 20)),
+      kept AS (SELECT a, b FROM r, thr WHERE r.w >= thr.thr),
+      sym AS (SELECT a AS u, b AS v FROM kept
+              UNION ALL SELECT b, a FROM kept),
+      d1 AS (SELECT u, v, CAST(1 AS INTEGER) AS d FROM sym),
+      $rounds,
+      ec AS (SELECT u, CAST(max(d) AS INTEGER) AS ecc FROM d4 GROUP BY 1)
+      SELECT n.n_name, ec.ecc,
+             CAST(max(ecc) OVER () AS INTEGER) AS diameter,
+             CAST(min(ecc) OVER () AS INTEGER) AS radius
+      FROM ec JOIN nation n ON n.n_nationkey = ec.u
+      ORDER BY ecc DESC, n_name
+      """
+    },
+    doc = "eccentricity/diameter/radius of the top-15% trade backbone (in-plan threshold, 4 min-plus rounds)")
+
   val all: Seq[QueryDef] = Seq(pagerank, triangleCount, shortestPathBfs,
     nodeJaccard, graphAssortativity, kcorePeel, randomWalkPairs,
     randomWalkLen4, labelPropagation, randomWalkNode2vec, adamicAdar,
-    hitsScores, pprSeeded, communityConductance)
+    hitsScores, pprSeeded, communityConductance, graphEccentricity)
 }
