@@ -1009,8 +1009,12 @@ object Aggregates {
     "weighted_median_group",
     (s, d) => {
       val vc = Tables.lineitem(s, d)
+        // floor BEFORE the long cast: Spark cast(double AS LONG) truncates
+        // while DuckDB CAST rounds (round-9 class). Fixture quantities are
+        // integral today, but the explicit floor on BOTH sides keeps the
+        // parity independent of that convention.
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+        .agg(sum(floor(col("l_quantity"))).as("wt"))
       val wLess = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1027,7 +1031,7 @@ object Aggregates {
     },
     Some("""
       WITH vc AS (SELECT l_returnflag, l_extendedprice,
-                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+                    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS wt
                   FROM lineitem GROUP BY 1, 2),
       c AS (SELECT l_returnflag, l_extendedprice, wt,
               coalesce(CAST(sum(wt) OVER (PARTITION BY l_returnflag

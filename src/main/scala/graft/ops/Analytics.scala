@@ -2433,7 +2433,9 @@ object Analytics {
                        + 8e-1 * acc.b,
                 'x1', acc.x1,
                 'sae', acc.sae + abs((acc.l + acc.b) - e.x),
-                'sape', acc.sape + abs((acc.l + acc.b) - e.x) / e.x,
+                'sape', acc.sape + CASE WHEN e.x <> 0e0
+                  THEN abs((acc.l + acc.b) - e.x) / e.x
+                  ELSE CAST(0 AS DOUBLE) END,
                 'n', acc.n + 1)
           END)""").as("st"))
   }
@@ -2474,7 +2476,9 @@ object Analytics {
                  2e-1 * ((3e-1 * s.x + 7e-1 * (h.l + h.b)) - h.l)
                    + 8e-1 * h.b,
                  h.sae + abs((h.l + h.b) - s.x),
-                 h.sape + abs((h.l + h.b) - s.x) / s.x,
+                 h.sape + CASE WHEN s.x <> 0e0
+                   THEN abs((h.l + h.b) - s.x) / s.x
+                   ELSE CAST(0 AS DOUBLE) END,
                  h.n + 1
           FROM h JOIN ser s ON s.n_name = h.n_name AND s.t = h.t + 1)
         SELECT * FROM h)"""

@@ -1326,8 +1326,16 @@ object EventStream {
         timers: TimerValues): Iterator[CepMatch] = {
       var s = if (st.exists()) st.get() else CepSt(0, 0L, 0)
       val out = Seq.newBuilder[CepMatch]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val tsu = e.ts.getTime * 1000L
+      // Full-microsecond event time (epochSecond*1e6 + nano/1e3), matching
+      // the batch twin's unix_micros(ts): getTime*1000 would floor to ms
+      // and could land a sub-millisecond event on the opposite side of the
+      // strict window-timeout boundary vs cep_funnel_match.
+      def usOf(t: java.sql.Timestamp): Long = {
+        val i = t.toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+        val tsu = usOf(e.ts)
         if (s.stage > 0 && tsu - s.start > windowUs)
           s = CepSt(0, 0L, s.cnt)
         s = (s.stage, e.event_type) match {
