@@ -1048,11 +1048,83 @@ object Aggregates {
     """),
     doc = "exact quantity-weighted median price per group (weighted rank selection, no row sort)")
 
+  /** Mergeable rank-sketch quantiles with a CERTIFIED error bound — the
+    * sketch family's missing percentile-at-scale leg: `hist_quantiles`
+    * bounds error by bin width over a KNOWN value range, while
+    * [[graft.functions.KllSketch]] (deterministic KLL compactor
+    * hierarchy, k = 1024) certifies a rank bound `err` accumulated
+    * per-compaction that holds for ANY merge tree — see its scaladoc for
+    * the derivation. The query is the audit harness (the cms_freq_bound
+    * tolerance-contract pattern): pass 1 sketches value per event_type
+    * (one map-side-combined aggregate; the shuffle carries ~1k-item
+    * buffers, never the value column); the ≤ ~1k-row summaries expand to
+    * (value, weight) rows and a per-type cumulative-weight window selects
+    * each target rank's estimate; pass 2 re-scans events against the
+    * broadcast tiny estimate table to compute EXACT ≤/< ranks and emits
+    * the tie-safe certified booleans
+    *   ok_lo: count(≤ v) ≥ ⌈p·n⌉ − err,  ok_hi: count(< v) ≤ ⌈p·n⌉ − 1 + err
+    * plus a tightness gate err·40 ≤ n (certified ε ≤ 2.5%; measured
+    * ~0.9% at n = 2·10^5 — a schedule regression fails loudly instead of
+    * silently certifying a vacuous bound). The oracle recomputes the
+    * exact per-type counts and asserts literal TRUEs, so a bound
+    * violation or a drifted n hash-fails. At 100 TB the certification
+    * pass is the audit's cost, not the sketch's — production consumers
+    * read the summary alone.
+    */
+  val kllQuantiles: QueryDef = QueryDef(
+    "kll_quantiles",
+    (s, d) => {
+      val kll = udaf(new graft.functions.KllSketch(1024, 256),
+        Encoders.scalaDouble)
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val sk = ev.groupBy(col("event_type")).agg(kll(col("value")).as("sk"))
+      val items = sk.select(col("event_type"), col("sk.err").as("err"),
+          col("sk.n").as("n"),
+          posexplode(arrays_zip(col("sk.vs"), col("sk.ws"))))
+        .select(col("event_type"), col("err"), col("n"), col("pos"),
+          col("col.vs").as("v"), col("col.ws").as("w"))
+      val cum = items.withColumn("cum", sum(col("w")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"), col("pos"))))
+      // one row per (type, p): the first summary entry whose cumulative
+      // weight reaches the target rank (cum strictly increases, w > 0)
+      val est = cum
+        .withColumn("p_bp", explode(array(lit(5000), lit(9500), lit(9900))))
+        .withColumn("target", greatest(lit(1L),
+          ceil(col("p_bp").cast("double") / lit(10000.0) * col("n"))
+            .cast("long")))
+        .filter(col("cum") >= col("target") &&
+          col("cum") - col("w") < col("target"))
+        .select(col("event_type"), col("p_bp"), col("target"), col("v"),
+          col("err"), col("n"))
+      ev.join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"), col("p_bp"), col("target"), col("v"),
+          col("err"), col("n"))
+        .agg(
+          sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("rank_le"),
+          sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("rank_lt"))
+        .select(col("event_type"), col("p_bp"), col("n"),
+          (col("rank_le") >= col("target") - col("err")).as("ok_lo"),
+          (col("rank_lt") <= col("target") - 1 + col("err")).as("ok_hi"),
+          (col("err") * 40 <= col("n")).as("tight_ok"))
+        .orderBy(col("event_type"), col("p_bp"))
+    },
+    Some("""
+      WITH tq AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+      p AS (SELECT CAST(unnest([5000, 9500, 9900]) AS INTEGER) AS p_bp)
+      SELECT event_type, p_bp, n,
+             TRUE AS ok_lo, TRUE AS ok_hi, TRUE AS tight_ok
+      FROM tq CROSS JOIN p
+      ORDER BY event_type, p_bp
+    """),
+    doc = "KLL rank-sketch p50/p95/p99 per event type, certified vs exact ranks")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
     unpivotQ, profileTable, groupingSetsAgg, stringAgg, hllUnion,
     hllIntersection, incrementalAggMaintain,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
-    tableChecksum, trimmedMean, fdViolations, weightedMedianGroup)
+    tableChecksum, trimmedMean, fdViolations, weightedMedianGroup,
+    kllQuantiles)
 }

@@ -273,6 +273,17 @@ object Joins {
     * the plain join), which is the point: salting is a physical rewrite.
     * (AQE skew-join handles sort-merge cases automatically; explicit
     * salting is the portable form that also covers hash joins.)
+    *
+    * When to use which at 100 TB: AQE's runtime split (ScaleSpec's
+    * "AQE splits a skewed join partition" test proves it fires, skew=true
+    * on the join node) is the default — zero code, reacts to the skew
+    * actually observed. Reach for explicit salting when (a) the join is
+    * a shuffled HASH join or an aggregation upstream of the join (AQE
+    * skew-split only rewrites sort-merge join reads), (b) the skew is
+    * known and stable so the 8x dim blow-up is cheaper than the runtime
+    * detection round-trip, or (c) the hot key's VALUES still exceed one
+    * task's memory after AQE's byte-based split (salting also spreads the
+    * build side).
     */
   val saltedSkewJoin: QueryDef = QueryDef(
     "salted_skew_join",

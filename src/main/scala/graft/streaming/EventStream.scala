@@ -672,6 +672,59 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class KllQ(user_id: Long, n: Long, p50: Double, p95: Double,
+      err: Long, maxw: Long)
+
+  /** Streaming KLL rank sketch — [[HistQuantileProcessor]]'s
+    * range-free successor and the streaming twin of the batch
+    * `kll_quantiles` query: one [[graft.functions.KllBuf]] per key in
+    * typed ValueState, folded with the SAME deterministic compactor the
+    * batch Aggregator uses, so state is O(k·log(n/k)) per key with NO
+    * known-value-range assumption (the histogram's fixed [lo, hi)
+    * clamp), and every emission carries the per-run certified rank
+    * bound `err` — the spec checks the estimates against exact batch
+    * quantiles under exactly the KllSketch selection contract, not a
+    * bin-width heuristic. TimeMode.None: no TTL, so AvailableNow /
+    * processAllAvailable terminate normally (the round-11
+    * ProcessingTime trap does not apply).
+    */
+  class KllQuantileProcessor(k: Int, floor: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, KllQ] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import graft.functions.{KllBuf, KllSketch}
+    @transient private var st: ValueState[KllBuf] = _
+    private val sk = new KllSketch(k, floor)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KllBuf]("kll",
+        org.apache.spark.sql.Encoders.product[KllBuf], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[KllQ] = {
+      var buf = if (st.exists()) st.get() else sk.zero
+      rows.foreach(e => buf = sk.reduce(buf, e.value))
+      st.update(buf)
+      val s = sk.finish(buf)
+      Iterator.single(KllQ(key, s.n,
+        KllSketch.quantile(s, 0.5), KllSketch.quantile(s, 0.95),
+        s.err, s.maxw))
+    }
+  }
+
+  /** Streaming wiring: one KLL buffer per user_id; each micro-batch
+    * emits that key's current certified p50/p95 estimate.
+    */
+  def kllQuantileState(ds: Dataset[Ev], k: Int = 1024,
+      floor: Int = 256): Dataset[KllQ] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.user_id)
+      .transformWithState(new KllQuantileProcessor(k, floor),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming wiring: shard terms by hash, keep one MG sketch per shard.
     * The candidate union across shards' LATEST rows is the streaming
     * pass-1 output; a periodic exact recount of those ≤ k·shards terms

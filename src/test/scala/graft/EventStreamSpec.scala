@@ -516,6 +516,57 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("kllQuantileState: certified rank bound holds across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rnd = new scala.util.Random(23)
+    // two keys with different distributions and enough rows that the
+    // k=64 sketch actually compacts (err > 0) — otherwise the bound
+    // check is vacuous exactness
+    val vals1 = Seq.fill(900)(rnd.nextDouble() * 100)
+    val vals2 = Seq.fill(900)(500 + rnd.nextGaussian() * 50)
+    val evs = vals1.zipWithIndex.map { case (v, i) => Ev(1L, ts(i), v) } ++
+      vals2.zipWithIndex.map { case (v, i) => Ev(2L, ts(i), v) }
+    val mem = MemoryStream[Ev]
+    val q = EventStream.kllQuantileState(mem.toDS(), k = 64, floor = 16)
+      .writeStream.format("memory").queryName("kllq_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(600).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val outs = spark.table("kllq_out").as[EventStream.KllQ].collect()
+      Seq(1L -> vals1, 2L -> vals2).foreach { case (key, vs) =>
+        val fin = outs.filter(_.user_id == key).maxBy(_.n)
+        assert(fin.n === vs.size, s"key $key lost rows: $fin")
+        assert(fin.err > 0, s"key $key never compacted — vacuous bound check")
+        // the KllSketch tie-safe selection contract vs exact batch ranks
+        Seq(0.5 -> fin.p50, 0.95 -> fin.p95).foreach { case (p, est) =>
+          val target = math.ceil(p * vs.size).toLong.max(1L)
+          val rankLe = vs.count(_ <= est).toLong
+          val rankLt = vs.count(_ < est).toLong
+          assert(rankLe >= target - fin.err,
+            s"key $key p=$p: rankLe=$rankLe target=$target err=${fin.err}")
+          assert(rankLt <= target - 1 + fin.err,
+            s"key $key p=$p: rankLt=$rankLt target=$target err=${fin.err}")
+        }
+      }
+      // distributions must actually differ (non-vacuity)
+      val f1 = outs.filter(_.user_id == 1L).maxBy(_.n)
+      val f2 = outs.filter(_.user_id == 2L).maxBy(_.n)
+      assert(f2.p50 - f1.p50 > 100, "keys indistinguishable — vacuous data")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState + TTL: per-entry expiry across micro-batches (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
