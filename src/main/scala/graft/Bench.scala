@@ -41,7 +41,15 @@ object Bench {
       }
   }
 
-  private[graft] def allNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+  /** Full registry in name order; SPARK_GRAFT_ONLY=q1,q2 restricts to a
+    * subset (the sf1 scale probe times ~20 heavy queries per SF without
+    * paying a full-registry pass — see SCALING.md).
+    */
+  private[graft] def allNames: Seq[String] = {
+    val base = SparkEntry.queries.keys.toSeq.sorted
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSet).fold(base)(want => base.filter(want))
+  }
 
   /** Round-robin slice over NAME order: shards see similar mixes of
     * cheap/expensive queries, and family members (dedup_*, embed_*)

@@ -1,0 +1,118 @@
+package graft.tools
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture upsampler for the sf1 scale probe (SCALING.md): replicate the
+  * fact tables `factor`× with shifted key spaces so the measured scaling
+  * exponent reflects PLAN growth, not data-shape artifacts:
+  *
+  *  - documents: replica texts are WORD-SHUFFLED (deterministic per-word
+  *    hash sort key seeded by the replica index), so a clone is NOT a
+  *    near-dup of its source or of other clones — naive cloning would
+  *    put every doc in a `factor`-clone near-dup clique and the LSH/
+  *    PPJoin candidate count would grow quadratically in `factor` purely
+  *    from data shape, inflating every dedup exponent. Shuffling keeps
+  *    vocabulary, word-frequency and length distributions while driving
+  *    cross-replica 3-gram shingle overlap to ~chance, so near-dup pair
+  *    density stays ~constant per row (pairs grow ~linearly).
+  *  - embeddings: replica vectors are dimension-ROTATED by the replica
+  *    index — an isometry, so each replica reproduces the original's
+  *    pairwise-cosine structure exactly (neighbor counts scale linearly)
+  *    while cross-replica dots are scrambled.
+  *  - lineitem/orders: order keys shift by replica·(max+1); part/supplier/
+  *    customer keys stay (dims fixed — the fact-side 10× is what the
+  *    probe measures; growing dims too would change broadcast viability,
+  *    a different experiment).
+  *  - events: event_id AND user_id shift — 10× users with the same
+  *    per-user history length, so window state per key is constant and
+  *    the probe measures key-count scaling (the dimension that grows at
+  *    100 TB).
+  *  - dims (region/nation/customer/supplier/part): copied as-is.
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <outDir> <factor>
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-genscale")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String, parts: Int): Unit = {
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genscale] $name written")
+    }
+
+    // dims: straight copies
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(Tables.table(spark, src, t), t, 1)
+    }
+
+    def replicate(df: DataFrame, build: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => build(df, i)).reduce(_.unionAll(_))
+
+    // orders/lineitem: shift the order-key space per replica
+    val orders = Tables.orders(spark, src)
+    val keyBase = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    write(replicate(orders, (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * keyBase))),
+      "orders", 8)
+    write(replicate(Tables.lineitem(spark, src), (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyBase))),
+      "lineitem", 16)
+
+    // events: new users per replica, same per-user history shape
+    val events = Tables.events(spark, src)
+    val evBase = events.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userBase = events.agg(max(col("user_id"))).head().getLong(0) + 1
+    write(replicate(events, (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * evBase))
+        .withColumn("user_id", col("user_id") + lit(i * userBase))),
+      "events", 8)
+
+    // documents: word-shuffle replicas (replica 0 = originals verbatim)
+    val docs = Tables.documents(spark, src)
+    val docBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    write(replicate(docs, (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(i * docBase))
+        .withColumn("text", concat_ws(" ",
+          transform(
+            array_sort(transform(split(col("text"), " "),
+              (w, p) => struct(
+                xxhash64(w, p, lit(i)).as("k"), w.as("w")))),
+            s0 => s0.getField("w"))))
+        .withColumn("n_chars", length(col("text")))),
+      "documents", 8)
+
+    // embeddings: rotate dimensions by the replica index (isometry)
+    val emb = Tables.embeddings(spark, src)
+    val vecBase = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    write(replicate(emb, (d, i) => {
+      val r = i % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecBase))
+        .withColumn("embedding", rotated)
+    }), "embeddings", 8)
+
+    spark.stop()
+    println(s"[genscale] done: $out (factor $factor)")
+  }
+}
