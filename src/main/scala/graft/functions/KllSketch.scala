@@ -227,4 +227,46 @@ object KllSketch {
     }
     if (s.vs.isEmpty) Double.NaN else s.vs(s.vs.length - 1)
   }
+
+  /** Rebuild a compactor buffer from a finished summary: weights are
+    * powers of two by construction, so level = log2(weight) recovers the
+    * hierarchy exactly and a re-imported summary keeps participating in
+    * compaction with the correct per-item weights. `par` restarts at 0 —
+    * parity only steers WHICH alternate half survives, never the
+    * certificate.
+    */
+  def bufOf(s: KllSummary): KllBuf = {
+    val hs = new Array[Int](s.vs.length)
+    var i = 0
+    while (i < hs.length) {
+      hs(i) = 63 - java.lang.Long.numberOfLeadingZeros(s.ws(i))
+      i += 1
+    }
+    KllBuf(s.vs.clone(), hs, s.vs.length, s.n, s.err, 0L)
+  }
+}
+
+/** Second-stage re-aggregation of FINISHED summaries — what makes the
+  * sketch a true mergeable summary in the Agarwal et al. (PODS 2012)
+  * sense at the API level, not just inside one aggregation: per-shard /
+  * per-day sketches can be materialized (a KllSummary is a plain struct
+  * of array/long columns, parquet-storable like the dedup bucket store),
+  * then combined later by this Aggregator without touching raw data —
+  * the incremental-percentile-maintenance pattern `kll_grouped_merge`
+  * registers and certifies. The certificate composes: a merged buffer's
+  * `err` is the SUM of the partials' errs plus any new compactions, and
+  * the rank guarantee holds because each partial's guarantee holds for
+  * its sub-stream and compaction error is additive across any tree.
+  */
+final class KllMerge(k: Int = 1024, floor: Int = 256)
+    extends Aggregator[KllSummary, KllBuf, KllSummary] {
+  private val sk = new KllSketch(k, floor)
+  override def zero: KllBuf = sk.zero
+  override def reduce(b: KllBuf, s: KllSummary): KllBuf =
+    sk.merge(b, KllSketch.bufOf(s))
+  override def merge(a: KllBuf, b: KllBuf): KllBuf = sk.merge(a, b)
+  override def finish(b: KllBuf): KllSummary = sk.finish(b)
+  override def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+  override def outputEncoder: Encoder[KllSummary] =
+    Encoders.product[KllSummary]
 }

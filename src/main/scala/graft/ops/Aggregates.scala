@@ -1071,6 +1071,46 @@ object Aggregates {
     * pass is the audit's cost, not the sketch's — production consumers
     * read the summary alone.
     */
+  /** Shared KLL certification tail (kll_quantiles / kll_grouped_merge):
+    * expand the ≤ ~1k-row summaries to (value, weight), select each
+    * target rank's estimate under a per-type cumulative-weight window,
+    * then ONE exact re-scan of `ev` against the broadcast estimate table
+    * emits the tie-safe certified booleans plus the err·40 ≤ n tightness
+    * gate. `sk` must have columns (event_type, sk: KllSummary struct).
+    */
+  private def kllCertified(
+      ev: org.apache.spark.sql.DataFrame,
+      sk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val items = sk.select(col("event_type"), col("sk.err").as("err"),
+        col("sk.n").as("n"),
+        posexplode(arrays_zip(col("sk.vs"), col("sk.ws"))))
+      .select(col("event_type"), col("err"), col("n"), col("pos"),
+        col("col.vs").as("v"), col("col.ws").as("w"))
+    val cum = items.withColumn("cum", sum(col("w")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("v"), col("pos"))))
+    // one row per (type, p): the first summary entry whose cumulative
+    // weight reaches the target rank (cum strictly increases, w > 0)
+    val est = cum
+      .withColumn("p_bp", explode(array(lit(5000), lit(9500), lit(9900))))
+      .withColumn("target", greatest(lit(1L),
+        ceil(col("p_bp").cast("double") / lit(10000.0) * col("n"))
+          .cast("long")))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("w") < col("target"))
+      .select(col("event_type"), col("p_bp"), col("target"), col("v"),
+        col("err"), col("n"))
+    ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"), col("p_bp"), col("target"), col("v"),
+        col("err"), col("n"))
+      .agg(
+        sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("rank_lt"))
+      .select(col("event_type"), col("p_bp"), col("n"),
+        (col("rank_le") >= col("target") - col("err")).as("ok_lo"),
+        (col("rank_lt") <= col("target") - 1 + col("err")).as("ok_hi"),
+        (col("err") * 40 <= col("n")).as("tight_ok"))
+  }
+
   val kllQuantiles: QueryDef = QueryDef(
     "kll_quantiles",
     (s, d) => {
@@ -1078,35 +1118,7 @@ object Aggregates {
         Encoders.scalaDouble)
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
       val sk = ev.groupBy(col("event_type")).agg(kll(col("value")).as("sk"))
-      val items = sk.select(col("event_type"), col("sk.err").as("err"),
-          col("sk.n").as("n"),
-          posexplode(arrays_zip(col("sk.vs"), col("sk.ws"))))
-        .select(col("event_type"), col("err"), col("n"), col("pos"),
-          col("col.vs").as("v"), col("col.ws").as("w"))
-      val cum = items.withColumn("cum", sum(col("w")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("v"), col("pos"))))
-      // one row per (type, p): the first summary entry whose cumulative
-      // weight reaches the target rank (cum strictly increases, w > 0)
-      val est = cum
-        .withColumn("p_bp", explode(array(lit(5000), lit(9500), lit(9900))))
-        .withColumn("target", greatest(lit(1L),
-          ceil(col("p_bp").cast("double") / lit(10000.0) * col("n"))
-            .cast("long")))
-        .filter(col("cum") >= col("target") &&
-          col("cum") - col("w") < col("target"))
-        .select(col("event_type"), col("p_bp"), col("target"), col("v"),
-          col("err"), col("n"))
-      ev.join(broadcast(est), Seq("event_type"))
-        .groupBy(col("event_type"), col("p_bp"), col("target"), col("v"),
-          col("err"), col("n"))
-        .agg(
-          sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("rank_le"),
-          sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("rank_lt"))
-        .select(col("event_type"), col("p_bp"), col("n"),
-          (col("rank_le") >= col("target") - col("err")).as("ok_lo"),
-          (col("rank_lt") <= col("target") - 1 + col("err")).as("ok_hi"),
-          (col("err") * 40 <= col("n")).as("tight_ok"))
-        .orderBy(col("event_type"), col("p_bp"))
+      kllCertified(ev, sk).orderBy(col("event_type"), col("p_bp"))
     },
     Some("""
       WITH tq AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
@@ -1119,6 +1131,121 @@ object Aggregates {
     """),
     doc = "KLL rank-sketch p50/p95/p99 per event type, certified vs exact ranks")
 
+  /** Incremental percentile maintenance — the second-stage MERGE leg that
+    * makes the KLL family a true mergeable summary at the API level (the
+    * mv_incremental_merge pattern applied to rank sketches): stage 1
+    * builds one sketch per (event_type, user-shard) — in production these
+    * are the per-partition/per-day sketches persisted next to the data,
+    * like the dedup bucket store — and stage 2 combines the FINISHED
+    * summaries per type with [[graft.functions.KllMerge]], never touching
+    * raw values again. The merged sketch is certified against exact ranks
+    * by the same tie-safe contract as `kll_quantiles` (the certificate
+    * composes: partial errs are additive, and any new merge compactions
+    * add their own 2^h terms to the carried bound), and `n_parts`
+    * cross-checks that all 8 shard summaries actually arrived. At 100 TB
+    * this is the query pattern that answers "p95 over the last 90 days"
+    * from 90 stored sketches instead of 90 days of raw scans.
+    */
+  val kllGroupedMerge: QueryDef = QueryDef(
+    "kll_grouped_merge",
+    (s, d) => {
+      val kll = udaf(new graft.functions.KllSketch(1024, 256),
+        Encoders.scalaDouble)
+      val kllMerge = udaf(new graft.functions.KllMerge(1024, 256),
+        Encoders.product[graft.functions.KllSummary])
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("value"))
+      val parts = ev
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"))
+        .agg(kll(col("value")).as("sk"))
+      // product-encoded udaf input arrives as one column PER FIELD
+      val merged = parts.groupBy(col("event_type"))
+        .agg(kllMerge(col("sk.vs"), col("sk.ws"), col("sk.err"),
+          col("sk.maxw"), col("sk.n")).as("sk"),
+          count(lit(1)).as("n_parts"))
+      kllCertified(ev.select(col("event_type"), col("value")),
+          merged.select(col("event_type"), col("sk")))
+        .join(broadcast(merged.select(col("event_type"), col("n_parts"))),
+          Seq("event_type"))
+        .select(col("event_type"), col("p_bp"), col("n"), col("n_parts"),
+          col("ok_lo"), col("ok_hi"), col("tight_ok"))
+        .orderBy(col("event_type"), col("p_bp"))
+    },
+    Some("""
+      WITH tq AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(DISTINCT user_id % 8) AS BIGINT) AS n_parts
+                  FROM events GROUP BY 1),
+      p AS (SELECT CAST(unnest([5000, 9500, 9900]) AS INTEGER) AS p_bp)
+      SELECT event_type, p_bp, n, n_parts,
+             TRUE AS ok_lo, TRUE AS ok_hi, TRUE AS tight_ok
+      FROM tq CROSS JOIN p
+      ORDER BY event_type, p_bp
+    """),
+    doc = "two-stage KLL: per-shard sketches merged per type, certified vs exact ranks")
+
+  /** Join-size estimation from sketches — the planner-side question
+    * ("how big would this join be?") answered WITHOUT running the join
+    * (Alon-Gibbons-Matias-Szegedy / Cormode-Muthukrishnan inner-product
+    * estimation): the CMS inner product Σ_j cellsA[r][j]·cellsB[r][j],
+    * minimized over the depth rows, upper-bounds the true join
+    * cardinality Σ_k cA(k)·cB(k) from above DETERMINISTICALLY (every
+    * cell overcounts, products preserve ≥), with expected overshoot
+    * n_A·n_B/width. Here: the events self-join on user_id (the classic
+    * skew-sizing question — Σ c(u)² decides whether a user-keyed
+    * self-join is feasible), estimated from ONE 4×16384 sketch built in
+    * one corpus pass. Because CMS counters are exact sums (merge-order
+    * independent, no randomness at fixed seeds), the estimate is a pure
+    * function of the data — so unlike cms_freq_bound's boolean-only
+    * contract, the DuckDB oracle recomputes the IDENTICAL estimate from
+    * the same md5-derived bucket hashes (an independent formulation:
+    * bucket groupBys vs the Aggregator) and the driver hash-checks est,
+    * exact, the deterministic lower-bound boolean, AND the rounded
+    * overshoot ratio. At 100 TB the sketch is one map-side-combined pass
+    * + a 0.5 MB buffer; the exact side here is the audit, not the
+    * production path.
+    */
+  val cmsJoinSize: QueryDef = QueryDef(
+    "cms_join_size",
+    (s, d) => {
+      val D = 4; val W = 16384
+      val ev = Tables.events(s, d)
+        .select(col("user_id").cast("string").as("item"))
+      val cms = udaf(new graft.functions.CountMin(D, W), Encoders.STRING)
+      val sk = ev.agg(cms(col("item")).as("cells"))
+      def dotRow(r: Int) = expr(
+        s"""aggregate(sequence(0, ${W - 1}), CAST(0 AS BIGINT),
+             (acc, j) -> acc +
+               element_at(cells, $r * $W + j + 1) *
+               element_at(cells, $r * $W + j + 1))""")
+      val exact = ev.groupBy(col("item")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("n_exact"))
+      sk.select(least((0 until D).map(dotRow): _*).as("est"))
+        .crossJoin(broadcast(exact))
+        .select(col("est"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("ok_lower"),
+          Text.hround(col("est").cast("double") / col("n_exact"), 4)
+            .as("est_rel4"))
+    },
+    Some(s"""
+      WITH h AS (SELECT ${Text.sqlH32("CAST(user_id AS VARCHAR)")} AS h
+                 FROM events),
+      ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS n_exact
+             FROM (SELECT count(*) AS c FROM events GROUP BY user_id)),
+      ${(0 until 4).map(r =>
+        s"""d$r AS (SELECT CAST(sum(c * c) AS BIGINT) AS d FROM (
+              SELECT ((${graft.functions.CountMin.A(r)} * h +
+                       ${graft.functions.CountMin.B(r)}) % ${Text.P}) % 16384
+                       AS s0, count(*) AS c
+              FROM h GROUP BY 1))""").mkString(",\n")}
+      SELECT least(d0.d, d1.d, d2.d, d3.d) AS est, ex.n_exact AS n_exact,
+             least(d0.d, d1.d, d2.d, d3.d) >= ex.n_exact AS ok_lower,
+             ${Text.sqlHround(
+        "CAST(least(d0.d, d1.d, d2.d, d3.d) AS DOUBLE) / ex.n_exact", 4)}
+               AS est_rel4
+      FROM d0, d1, d2, d3, ex
+    """),
+    doc = "CMS inner-product join-size estimate (events user_id self-join), exact-parity oracle")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
@@ -1126,5 +1253,5 @@ object Aggregates {
     hllIntersection, incrementalAggMaintain,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
     tableChecksum, trimmedMean, fdViolations, weightedMedianGroup,
-    kllQuantiles)
+    kllQuantiles, kllGroupedMerge, cmsJoinSize)
 }

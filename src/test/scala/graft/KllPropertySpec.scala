@@ -124,6 +124,21 @@ class KllPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KllMerge: finished summaries re-imported via bufOf keep the certificate") {
+    val sk = new KllSketch(K)
+    val mg = new graft.functions.KllMerge(K)
+    streams(60000).foreach { case (name, xs) =>
+      // 8 shard summaries (each its own full sketch), merged as SUMMARIES
+      val summaries = xs.grouped(xs.length / 8 + 1).toSeq
+        .map(chunk => sk.finish(chunk.foldLeft(sk.zero)(sk.reduce)))
+      val merged = mg.finish(summaries.foldLeft(mg.zero)(mg.reduce))
+      check(s"merge/$name", xs, merged)
+      // the merged err composes additively: at least the partials' sum
+      assert(merged.err >= summaries.map(_.err).max,
+        s"merge/$name: err ${merged.err} lost partial certificates")
+    }
+  }
+
   test("small inputs are exact (no compaction below capacity)") {
     val sk = new KllSketch(K)
     val xs = lcg(64)

@@ -107,6 +107,9 @@ class ScaleSpec extends SparkSpec {
       // bpe_merge_rounds broadcasts each round's one-row winning pair
       // into the next round's merge fold — the same unrolled shape.
       "kcore_peel", "kcenter_coreset", "bpe_merge_rounds", "bpe_encode",
+      // cms_join_size broadcast-crosses two one-row frames (the sketch
+      // cells and the exact self-join count) — KB-scale builds.
+      "cms_join_size",
       // perplexity_interp rides its one-row bigram-total frame exactly
       // like perplexity_unigram/bigram.
       "perplexity_interp",
