@@ -1245,6 +1245,50 @@ object Extended {
   private[ops] def embBands(vs: DataFrame): DataFrame =
     bandedCodes(EmbBits, EmbBands)(vs)
 
+  // ---- adaptive near-dup bit-width (the sf10 probe fix) ------------------
+  //
+  // The round-13 scale probe measured the documented fixed-code-space
+  // hazard for real: at 200k vectors the 8-bit buckets hold ~780 vectors
+  // each — inside the 1000 skew cap — so the in-bucket pair expansion is
+  // ~C(780,2)·256·4 ≈ 3·10^8 candidates and semantic_dedup/
+  // curation_pipeline went 42×/75× for 10× rows. Bit-width must grow
+  // ~log2(N/targetBucket); the widening below does it IN-PLAN while
+  // keeping every fixture-scale output bit-identical: the 8 base bits
+  // keep today's odd coordinates, and up to 8 EXTENSION bits come from
+  // the even coordinates (4 bands × 8 ext bits = the remaining 32 of the
+  // 64-dim exact-sign budget), enabled only when the corpus count crosses
+  // the ladder. Recall at wide codes drops (per-bit collision ~0.86 for
+  // true near-dups → a production corpus also grows BANDS, which cost
+  // linearly); past the 16-bit dim budget, bucket population grows
+  // linearly again — the honest ceiling of exact-coordinate-sign codes,
+  // recorded in SCALING.md.
+
+  /** Extension sign bits 8..15 for band `b`: even coordinates (the 8-bit
+    * base uses the odd ones), disjoint across the 4 near-dup bands.
+    */
+  private def embExtCoord(b: Int, j: Int): Int = 2 + (b * 8 + j) * 2
+
+  private def embExtExpr(v: String, b: Int): String =
+    (0 until 8)
+      .map(j => s"IF(element_at($v, ${embExtCoord(b, j)}) >= 0, ${1 << j}, 0)")
+      .mkString(" + ")
+
+  private def sqlEmbExt(v: String, b: Int): String =
+    (0 until 8)
+      .map(j => s"CASE WHEN $v[${embExtCoord(b, j)}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+
+  /** Integer CASE ladder for the adaptive bit count: smallest b in
+    * [8, 16] with 2^b ≥ N/8 (target ≤ 8 vectors per bucket). A ladder of
+    * exact integer comparisons, NOT ceil(log2(...)): a 1-ulp libm
+    * disagreement at a power-of-two boundary would flip the bucket
+    * layout cross-engine. N ≤ 2048 → 8 bits, i.e. every fixture SF
+    * (≤ 2000 vectors) uses the historical code unchanged.
+    */
+  private def nbLadder(n: String): String =
+    (8 to 15).map(b => s"WHEN $n <= ${8L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 16 END")
+
   /** ANN tuning (AnnBits × AnnBands) — see the parameter scaladoc. */
   private[ops] def annBands(vs: DataFrame): DataFrame =
     bandedCodes(AnnBits, AnnBands)(vs)
@@ -1252,10 +1296,27 @@ object Extended {
   /** Candidate pairs (d1 < d2) sharing ANY band code — the same
     * groupBy(bucket) + in-bucket pair expansion + 2..1000 skew cap shape
     * as the MinHash `lshCandidates` (one shuffle on the band code, never a
-    * self-join, no fixed O(1) bucket domain).
+    * self-join), with the bucket code ADAPTIVELY widened from 8 to up to
+    * 16 bits as the corpus count crosses the [[nbLadder]] thresholds (the
+    * one-row count frame broadcast-crosses in — the scalar-subquery
+    * shape), so expected bucket population stays ≤ ~8 up to 500k vectors
+    * and candidate volume stays ~linear instead of N²·bands/2^bits.
+    * pmod(ext, 1 << (nb−8)) keeps the low nb−8 extension bits; at
+    * nb = 8 the modulus is 1 and the code equals the historical 8-bit
+    * one — every fixture-scale output is bit-identical.
     */
   private def embCandidates(vs: DataFrame): DataFrame = {
-    embBands(vs)
+    val nb = vs.agg(count(lit(1)).as("nv"))
+      .select(expr(nbLadder("nv")).as("nb"))
+    val bandStructs = (0 until EmbBands)
+      .map(b => s"struct($b AS band, ${embCodeExpr(EmbBits)("v", b)} AS code8, " +
+        s"${embExtExpr("v", b)} AS ext)")
+      .mkString(", ")
+    vs.crossJoin(broadcast(nb))
+      .select(col("vec_id"), col("nb"),
+        explode(expr(s"array($bandStructs)")).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        expr("bs.code8 + pmod(bs.ext, shiftleft(1, nb - 8)) * 256").as("code"))
       .groupBy(col("band"), col("code"))
       .agg(expr("array_sort(collect_list(vec_id))").as("ds"))
       .filter(size(col("ds")).between(2, 1000))
@@ -1288,7 +1349,18 @@ object Extended {
       .mkString(" UNION ALL ")
 
   private def sqlEmbCandidates: String = {
-    s"""ebands AS ($sqlEmbBands),
+    val raw = (0 until EmbBands)
+      .map(b => s"SELECT vec_id, $b AS band, " +
+        s"${sqlEmbCode(EmbBits)("v", b)} AS code8, " +
+        s"${sqlEmbExt("v", b)} AS ext FROM vsrc")
+      .mkString(" UNION ALL ")
+    // nbv: the adaptive-bit-count one-row frame (nbLadder's exact twin);
+    // at every fixture SF nb = 8 and code ≡ the historical 8-bit code
+    s"""nbv AS (SELECT ${nbLadder("count(*)")} AS nb FROM vsrc),
+       ebands AS (
+         SELECT vec_id, band,
+                code8 + (ext % (1 << (nb - 8))) * 256 AS code
+         FROM ($raw), nbv),
        epairs AS (
          SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
          FROM ebands a
@@ -1565,8 +1637,11 @@ object Extended {
     * cosine >= 0.2 (the fixture's max inter-vector cosine is ~0.45, so the
     * threshold is calibrated to exercise the operator). Candidates come
     * from the capped groupBy+pair-expand (embCandidates) — never a bucket
-    * self-join, and the bucket domain grows with EmbBits, so the
-    * per-bucket O(N²/buckets) blowup of a fixed code space can't happen.
+    * self-join — and since round 13 the bucket code widens ADAPTIVELY
+    * with the corpus count (see embCandidates/nbLadder: the sf10 probe
+    * measured the fixed-8-bit blowup at 42×/75× for 10× rows before the
+    * fix), so the per-bucket O(N²/buckets) hazard of a fixed code space
+    * is bounded in-plan, not just documented.
     */
   val embedNearDup: QueryDef = QueryDef(
     "embed_near_dup",

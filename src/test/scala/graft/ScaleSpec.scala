@@ -110,6 +110,11 @@ class ScaleSpec extends SparkSpec {
       // cms_join_size broadcast-crosses two one-row frames (the sketch
       // cells and the exact self-join count) — KB-scale builds.
       "cms_join_size",
+      // the embCandidates adaptive-bit-width fix (round 13) broadcast-
+      // crosses a one-row corpus-count frame into every consumer of the
+      // embedding near-dup banding — the scalar-subquery shape.
+      "embed_near_dup", "paraphrase_pairs", "semantic_dedup",
+      "curation_pipeline", "curation_funnel",
       // perplexity_interp rides its one-row bigram-total frame exactly
       // like perplexity_unigram/bigram.
       "perplexity_interp",
