@@ -3679,6 +3679,86 @@ object Extended {
     """),
     doc = "Jelinek-Mercer interpolated bigram perplexity (lambda=0.7, micro-bit integer sums)")
 
+  /** Interpolated Kneser-Ney bigram perplexity — the smoothing that
+    * replaced Jelinek-Mercer in every serious n-gram LM (Kneser & Ney
+    * 1995; Chen & Goodman 1999): absolute discounting D = 0.75 on the
+    * bigram count, with the stolen mass D·T(w1)/n_p redistributed by the
+    * CONTINUATION probability P_cont(w2) = N1+(·,w2)/N1+(·,·) — "how
+    * many contexts does w2 complete" rather than "how often does w2
+    * occur", the distinction that fixes high-frequency-but-bound words
+    * ("francisco" follows only "san"). Scored on the corpus's seen
+    * bigrams (the perplexity_interp evaluation convention):
+    *
+    *   P = (n_b − D)/n_p + (D·T(w1)/n_p) · (ct(w2)/n_types)
+    *
+    * Every operand is an exact 64-bit integer (bigram counts, prefix
+    * totals, distinct-successor/predecessor fan-outs, the one-row
+    * bigram-type count riding as a broadcast scalar); the float
+    * expression is written with the IDENTICAL operation tree in both
+    * engines, then floor-quantized to integer micro-bits so per-doc
+    * sums are exact and order-independent (the perplexity family
+    * discipline). Scale shape: the corpus bigram expansion aggregates
+    * ONCE into bv; T/ct/n_types all re-aggregate bv's post-shuffle
+    * output (ReusedExchange), and the per-doc score is one groupBy.
+    */
+  val perplexityKneserNey: QueryDef = QueryDef(
+    "perplexity_kneser_ney",
+    (s, d) => {
+      val ws = docWords(s, d)
+      val bi = ws.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+            .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bv = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_b"))
+      val pv = bv.groupBy(col("w1")).agg(sum(col("n_b")).as("n_p"),
+        count(lit(1)).as("t1"))
+      val cv = bv.groupBy(col("w2")).agg(count(lit(1)).as("ct"))
+      val tv = bv.agg(count(lit(1)).as("n_types"))
+      bi.join(bv, Seq("w1", "w2")).join(pv, Seq("w1")).join(cv, Seq("w2"))
+        .crossJoin(broadcast(tv))
+        .select(col("doc_id"), expr(
+          """CAST(floor(-log2(
+               (CAST(n_b AS DOUBLE) - 0.75e0) / CAST(n_p AS DOUBLE)
+               + (0.75e0 * CAST(t1 AS DOUBLE) / CAST(n_p AS DOUBLE))
+                 * (CAST(ct AS DOUBLE) / CAST(n_types AS DOUBLE)))
+               * 1000000e0 + 0.5e0) AS BIGINT)""").as("ubits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ubits")).as("su"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Text.hround(
+            col("su").cast("double") / col("n_bigrams").cast("double") / lit(1e6),
+            4).as("bits"))
+        .withColumn("ppl", Text.hround(pow(lit(2.0), col("bits")), 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS ($sqlDocWords3),
+      bi AS (SELECT doc_id, unnest(w[1:len(w) - 1]) AS w1,
+                    unnest(w[2:len(w)]) AS w2 FROM ws),
+      bv AS (SELECT w1, w2, count(*) AS n_b FROM bi GROUP BY 1, 2),
+      pv AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS n_p,
+                    CAST(count(*) AS BIGINT) AS t1 FROM bv GROUP BY 1),
+      cv AS (SELECT w2, CAST(count(*) AS BIGINT) AS ct FROM bv GROUP BY 1),
+      tv AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bv),
+      sc AS (SELECT doc_id,
+               CAST(floor(-log2(
+                 (CAST(n_b AS DOUBLE) - 0.75e0) / CAST(n_p AS DOUBLE)
+                 + (0.75e0 * CAST(t1 AS DOUBLE) / CAST(n_p AS DOUBLE))
+                   * (CAST(ct AS DOUBLE) / CAST(n_types AS DOUBLE)))
+                 * 1000000e0 + 0.5e0) AS BIGINT) AS ubits
+             FROM bi JOIN bv USING (w1, w2) JOIN pv USING (w1)
+                     JOIN cv USING (w2), tv),
+      pd AS (SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(ubits) AS DOUBLE) AS su FROM sc GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             ${Text.sqlHround("su / CAST(n_bigrams AS DOUBLE) / 1e6", 4)} AS bits,
+             ${Text.sqlHround(
+        "pow(2e0, " + Text.sqlHround("su / CAST(n_bigrams AS DOUBLE) / 1e6", 4) + ")", 2)} AS ppl
+      FROM pd ORDER BY doc_id
+    """),
+    doc = "interpolated Kneser-Ney bigram perplexity (D=0.75, continuation counts, micro-bit sums)")
+
   /** Collocation mining by pointwise mutual information — the corpus-
     * linguistics signal for multi-word expressions ("new york"-style
     * pairs whose co-occurrence beats chance): PMI(w1,w2) =
@@ -5635,7 +5715,8 @@ object Extended {
     docChunks, tfidf,
     bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
     packSequences,
-    perplexityUnigram, perplexityBigram, perplexityInterp, collocationPmi,
+    perplexityUnigram, perplexityBigram, perplexityInterp,
+    perplexityKneserNey, collocationPmi,
     bigramGreedyDecode,
     quantizeEmbeddings,
     boilerplateFrac, heavyHitters,

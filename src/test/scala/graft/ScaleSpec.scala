@@ -115,9 +115,9 @@ class ScaleSpec extends SparkSpec {
       // embedding near-dup banding — the scalar-subquery shape.
       "embed_near_dup", "paraphrase_pairs", "semantic_dedup",
       "curation_pipeline", "curation_funnel",
-      // perplexity_interp rides its one-row bigram-total frame exactly
-      // like perplexity_unigram/bigram.
-      "perplexity_interp",
+      // perplexity_interp/kneser_ney ride their one-row bigram-total /
+      // bigram-type frames exactly like perplexity_unigram/bigram.
+      "perplexity_interp", "perplexity_kneser_ney",
       // psi_value_drift broadcasts its one-row time-midpoint frame;
       // lsh_recall_eval and er_recall_eval broadcast their one-row
       // candidate-count frames.
