@@ -240,7 +240,7 @@ object Clustering {
     "knn_classify",
     (s, d) => {
       val all = base(s, d)
-      val q = all.filter(col("vec_id") % 100 === 0)
+      val q = all.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("q_id"), col("label").as("true_label"),
           col("v").as("qv"), col("nrm").as("qn"))
       val train = all.filter(col("vec_id") % 100 =!= 0)
@@ -265,7 +265,7 @@ object Clustering {
     Some(s"""
       WITH n AS ($sqlBase),
       q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv, nrm AS qn
-            FROM n WHERE vec_id % 100 = 0),
+            FROM n WHERE vec_id % 100 = 0 AND vec_id <= 20000),
       tr AS (SELECT * FROM n WHERE vec_id % 100 <> 0),
       cand AS (SELECT q.q_id, q.true_label, tr.vec_id, tr.label,
                  ${Text.sqlHround("list_dot_product(q.qv, tr.v) / (q.qn * tr.nrm)", 6)} AS cos6
@@ -302,7 +302,7 @@ object Clustering {
     (s, d) => {
       val all = base(s, d)
       val bands = Extended.annBands(all.select(col("vec_id"), col("v")))
-      val qb = bands.filter(col("vec_id") % 100 === 0)
+      val qb = bands.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("q_id"), col("band"), col("code"))
       val cand = bands.filter(col("vec_id") % 100 =!= 0)
         .join(broadcast(qb), Seq("band", "code"))
@@ -332,7 +332,7 @@ object Clustering {
       WITH vsrc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       ebands AS (${Extended.sqlAnnBands}),
       n AS ($sqlBase),
-      qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0),
+      qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0 AND vec_id <= 20000),
       cand AS (
         SELECT DISTINCT q.q_id, e.vec_id
         FROM qb q JOIN ebands e
@@ -599,7 +599,7 @@ object Clustering {
     "pq_recall",
     (s, d) => {
       val (sv, cN, codes) = pqTrained(s, d)
-      val qs = base(s, d).filter(col("vec_id") % 100 === 0)
+      val qs = base(s, d).filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val truth = base(s, d).select(col("vec_id").as("x"), col("v"))
         .crossJoin(broadcast(qs))
@@ -611,7 +611,7 @@ object Clustering {
             .orderBy(col("d6"), col("x"))))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("x"))
-      val dt = sv.filter(col("vec_id") % 100 === 0)
+      val dt = sv.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
         .join(broadcast(cN), Seq("m"))
         .select(col("qid"), col("m"), col("cid"), expr(
@@ -636,7 +636,7 @@ object Clustering {
     },
     Some(s"""
       WITH $sqlPqCodesCtes,
-      q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id % 100 = 0 AND vec_id <= 20000),
       tr AS (SELECT qid, x FROM (
         SELECT q.qid, x.vec_id AS x,
                row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -650,7 +650,7 @@ object Clustering {
                  + list_dot_product(c.c, c.c)) * 1000000e0 + 0.5e0)
                  AS BIGINT) AS dtq
              FROM sv s JOIN c$PqIters c ON c.m = s.m
-             WHERE s.vec_id % 100 = 0),
+             WHERE s.vec_id % 100 = 0 AND vec_id <= 20000),
       adc AS (SELECT qid, vec_id AS x FROM (
         SELECT dt.qid, af.vec_id,
                row_number() OVER (PARTITION BY dt.qid

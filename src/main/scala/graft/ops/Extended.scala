@@ -1145,7 +1145,7 @@ object Extended {
   private[graft] def cosineTopKAt(s: SparkSession, d: String,
       k: Int): DataFrame = {
       val all = vecs(s, d)
-      val q = all.filter(col("vec_id") % 100 === 0)
+      val q = all.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val cand = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .withColumn("cos6",
@@ -1160,7 +1160,7 @@ object Extended {
 
   private[ops] def sqlCosineTopKAt(k: Int): String = s"""
       WITH n AS ($sqlVecs),
-      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0 AND vec_id <= 20000),
       cand AS (
         SELECT q.q_id, n.vec_id AS nn_id,
                ${Text.sqlHround("list_dot_product(q.qv, n.v) / (q.qn * n.nrm)", 6)} AS cos6
@@ -1395,7 +1395,7 @@ object Extended {
       k: Int): DataFrame = {
       val all = vecs(s, d)
       val bands = annBands(all)
-      val qb = bands.filter(col("vec_id") % 100 === 0)
+      val qb = bands.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("q_id"), col("band"), col("code"))
       val cand = bands.join(broadcast(qb), Seq("band", "code"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -1417,7 +1417,7 @@ object Extended {
   private def sqlAnnLshTopK(k: Int): String = s"""
       WITH vsrc AS ($sqlVecs),
       ebands AS ($sqlAnnBands),
-      qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0),
+      qb AS (SELECT vec_id AS q_id, band, code FROM ebands WHERE vec_id % 100 = 0 AND vec_id <= 20000),
       cand AS (
         SELECT DISTINCT q.q_id, e.vec_id AS nn_id
         FROM qb q JOIN ebands e
@@ -1480,7 +1480,7 @@ object Extended {
       val all = vecs(s, d)
       val bands = bandedCodes(MpBits, MpBands)(all)
       val flipList = (Seq(0) ++ (0 until MpBits).map(1 << _)).mkString(", ")
-      val qb = bands.filter(col("vec_id") % 100 === 0)
+      val qb = bands.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("q_id"), col("band"),
           explode(expr(s"transform(array($flipList), f -> code ^ f)")).as("code"))
       val cand = bands.join(broadcast(qb), Seq("band", "code"))
@@ -1506,7 +1506,7 @@ object Extended {
       qb AS (
         SELECT vec_id AS q_id, band, xor(code, f.f) AS code
         FROM ebands, (SELECT unnest([${(Seq(0) ++ (0 until MpBits).map(1 << _)).mkString(", ")}]) AS f) f
-        WHERE vec_id % 100 = 0),
+        WHERE vec_id % 100 = 0 AND vec_id <= 20000),
       cand AS (
         SELECT DISTINCT q.q_id, e.vec_id AS nn_id
         FROM qb q JOIN ebands e
@@ -1570,7 +1570,7 @@ object Extended {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cl"))
       // queries probe their nprobe=6 nearest centroids
-      val probes = lists.filter(col("vec_id") % 100 === 0)
+      val probes = lists.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
         .crossJoin(broadcast(cvec.select(col("label").as("cl"), col("cv"), col("cnrm"))))
         .withColumn("cos6",
@@ -1616,7 +1616,7 @@ object Extended {
                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
                    ${Text.sqlHround("list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm)", 6)} DESC,
                    c.label ASC) AS rn
-          FROM assign a, cvn c WHERE a.vec_id % 100 = 0) WHERE rn <= 6),
+          FROM assign a, cvn c WHERE a.vec_id % 100 = 0 AND vec_id <= 20000) WHERE rn <= 6),
       cand AS (
         SELECT p.q_id, l.vec_id AS nn_id,
                ${Text.sqlHround("list_dot_product(p.qv, l.v) / (p.qn * l.nrm)", 6)} AS cos6
@@ -4559,7 +4559,7 @@ object Extended {
     * go/no-go metric for shipping quantized vectors to the ANN index
     * (`quantize_embeddings` reports element error; THIS reports what
     * actually matters, neighbor-set preservation). Same intended-tiny
-    * broadcast NLJ as `embed_cosine_topk` (query side vec_id % 100 = 0),
+    * broadcast NLJ as `embed_cosine_topk` (query side vec_id % 100 = 0 AND vec_id <= 20000),
     * same per-q_id recall join as `ann_recall`; the dequantized vector
     * floor(x·127/mx + 0.5)·mx/127 is an IEEE chain on identical
     * operands, so ranks — and the recall — match the oracle exactly.
@@ -4576,7 +4576,7 @@ object Extended {
           "transform(v, x -> floor(x * 127e0 / mx + 0.5e0) * mx / 127e0)"))
         .withColumn("nrm2", sqrt(expr("graft_dot(v2, v2)")))
         .select(col("vec_id"), col("v2"), col("nrm2"))
-      val qd = dq.filter(col("vec_id") % 100 === 0)
+      val qd = dq.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000)
         .select(col("vec_id").as("q_id"), col("v2").as("qv"),
           col("nrm2").as("qn"))
       val w = Window.partitionBy(col("q_id"))
@@ -4607,7 +4607,7 @@ object Extended {
              WHERE mx > 0),
       nd AS (SELECT vec_id, v2, sqrt(list_dot_product(v2, v2)) AS nrm2 FROM dq),
       qd AS (SELECT vec_id AS q_id, v2 AS qv, nrm2 AS qn FROM nd
-             WHERE vec_id % 100 = 0),
+             WHERE vec_id % 100 = 0 AND vec_id <= 20000),
       cand AS (SELECT qd.q_id, nd.vec_id AS nn_id,
                  ${Text.sqlHround(
       "list_dot_product(qd.qv, nd.v2) / (qd.qn * nd.nrm2)", 6)} AS cos6
