@@ -8,15 +8,25 @@ import org.apache.spark.sql.functions._
   * fact tables `factor`× with shifted key spaces so the measured scaling
   * exponent reflects PLAN growth, not data-shape artifacts:
   *
-  *  - documents: replica texts are WORD-SHUFFLED (deterministic per-word
-  *    hash sort key seeded by the replica index), so a clone is NOT a
-  *    near-dup of its source or of other clones — naive cloning would
-  *    put every doc in a `factor`-clone near-dup clique and the LSH/
-  *    PPJoin candidate count would grow quadratically in `factor` purely
-  *    from data shape, inflating every dedup exponent. Shuffling keeps
-  *    vocabulary, word-frequency and length distributions while driving
-  *    cross-replica 3-gram shingle overlap to ~chance, so near-dup pair
-  *    density stays ~constant per row (pairs grow ~linearly).
+  *  - documents: replica texts go through a per-replica VOCABULARY
+  *    ISOMORPHISM — every word gets the replica index appended
+  *    (`w` → `w_3` in replica 3), an injective per-type rename. Word
+  *    order, token counts, and Zipf shape are untouched, and every
+  *    within-replica shingle set maps bijectively, so each replica
+  *    reproduces the base corpus's exact-dup AND near-dup pair
+  *    structure bit-for-bit (pairs grow exactly ×factor) while
+  *    cross-replica token overlap is exactly zero — naive cloning
+  *    would put every doc in a `factor`-clone near-dup clique and grow
+  *    pair counts quadratically in `factor` purely from data shape.
+  *    Crucially (vs the earlier word-shuffle design, which kept ONE
+  *    shared vocabulary), the vocabulary grows ×factor with the
+  *    corpus, the way real corpora grow (Heaps' law): the shingle
+  *    document-frequency tail keeps its base-corpus shape, so
+  *    df-driven machinery — PPJoin's rare-token prefix filter, tfidf —
+  *    retains its discrimination. Under the shuffle design "rare"
+  *    tokens stopped being rare at factor 100 and the exact
+  *    prefix-filter join went quadratic on data shape alone
+  *    (SCALING.md), a generator artifact, not a plan property.
   *  - embeddings: replica vectors are dimension-ROTATED by the replica
   *    index — an isometry, so each replica reproduces the original's
   *    pairwise-cosine structure exactly (neighbor counts scale linearly)
@@ -81,7 +91,7 @@ object GenScale {
         .withColumn("user_id", col("user_id") + lit(i * userBase))),
       "events", 8)
 
-    // documents: word-shuffle replicas (replica 0 = originals verbatim)
+    // documents: per-replica vocabulary isomorphism (replica 0 verbatim)
     val docs = Tables.documents(spark, src)
     val docBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     write(replicate(docs, (d, i) =>
@@ -89,11 +99,8 @@ object GenScale {
       else d
         .withColumn("doc_id", col("doc_id") + lit(i * docBase))
         .withColumn("text", concat_ws(" ",
-          transform(
-            array_sort(transform(split(col("text"), " "),
-              (w, p) => struct(
-                xxhash64(w, p, lit(i)).as("k"), w.as("w")))),
-            s0 => s0.getField("w"))))
+          transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$i")))))
         .withColumn("n_chars", length(col("text")))),
       "documents", 8)
 
