@@ -1246,6 +1246,101 @@ object Aggregates {
     """),
     doc = "CMS inner-product join-size estimate (events user_id self-join), exact-parity oracle")
 
+  /** KMV ("k minimum values" / theta-sketch, Bar-Yossef et al. 2002;
+    * Beyer et al. SIGMOD'07 unbiased estimator) distinct-set ALGEBRA:
+    * union AND intersection cardinalities estimated from one bottom-k
+    * sketch of the combined key universe carrying per-set membership
+    * flags. Complements `hll_intersection`, whose inclusion-exclusion
+    * degrades ABSOLUTELY with set size — KMV intersects natively: among
+    * the k smallest hashes, the fraction belonging to both sets is an
+    * unbiased sample of the union, so est∩ = ρ·(k−1)/θ with relative
+    * (not union-absolute) error ~1/√k even for small overlaps. Sets:
+    * customers with an URGENT/HIGH order vs customers with a LOW order
+    * (each ~86% of customers — a ~75%-of-union overlap regime distinct
+    * from hll_intersection's 90%).
+    *
+    * Engine discipline: the hash is the cross-engine md5-prefix
+    * [[Text.h32]]; bottom-k is ORDER BY (h, key) LIMIT k — the key
+    * tie-break makes the sketch deterministic under the (negligible but
+    * nonzero) 32-bit collision chance, so both engines hold the SAME k
+    * rows and the DuckDB oracle recomputes the whole estimator
+    * independently (exact-parity, not a literal-TRUE gate). When the
+    * universe has fewer than k members the sketch is not full and the
+    * estimate is the exact count (the standard KMV small-set branch) —
+    * exercised at sf0.001. The certified contract is
+    * |est∩ − exact∩| ≤ 10% of the exact union, genuine on BOTH sides.
+    * Scale: one hash-agg for flags, one TakeOrdered(k) — no shuffle
+    * carries more than the distinct keys; the sketch itself is
+    * mergeable (bottom-k of bottom-k unions), the property that makes
+    * it the 100 TB pre-aggregation for set overlap across shards.
+    * The one-row sketch×exacts crossJoin is the intended
+    * scalar-subquery shape (ScaleSpec `intended`).
+    */
+  val kmvSetOps: QueryDef = QueryDef(
+    "kmv_set_ops",
+    (s, d) => {
+      val K = 512
+      val f = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("ina"),
+          max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0))
+            .as("inb"))
+        .filter(col("ina") === 1 || col("inb") === 1)
+      val u = f.withColumn("h", Text.h32(col("o_custkey").cast("string")))
+      val t = u.orderBy(col("h"), col("o_custkey")).limit(K)
+      val sk = t.agg(count(lit(1)).as("m"), max(col("h")).as("theta"),
+        sum(col("ina") * col("inb")).as("ni"))
+      val ex = u.agg(sum(col("ina")).cast("long").as("exact_a"),
+        sum(col("inb")).cast("long").as("exact_b"),
+        sum(col("ina") * col("inb")).cast("long").as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+      sk.crossJoin(broadcast(ex))
+        .withColumn("raw",
+          lit((K - 1).toDouble) * lit(4294967296.0) / col("theta").cast("double"))
+        .select(col("exact_a"), col("exact_b"), col("exact_inter"),
+          col("exact_union"),
+          when(col("m") < K, col("m").cast("double"))
+            .otherwise(Text.hround(col("raw"), 3)).as("est_union"),
+          when(col("m") < K, col("ni").cast("double"))
+            .otherwise(Text.hround(
+              col("ni").cast("double") * col("raw") / lit(K.toDouble), 3))
+            .as("est_inter"))
+        .withColumn("within_10pct_of_union",
+          abs(col("est_inter") - col("exact_inter").cast("double"))
+            <= col("exact_union") * lit(0.1))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT o_custkey,
+               max(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN 1 ELSE 0 END) AS inb
+        FROM orders GROUP BY o_custkey),
+      u AS (SELECT o_custkey, ina, inb,
+                   ${Text.sqlH32("CAST(o_custkey AS VARCHAR)")} AS h
+            FROM f WHERE ina = 1 OR inb = 1),
+      t AS (SELECT * FROM u ORDER BY h, o_custkey LIMIT 512),
+      sk AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS theta,
+                    CAST(sum(ina * inb) AS BIGINT) AS ni FROM t),
+      ex AS (SELECT CAST(sum(ina) AS BIGINT) AS exact_a,
+                    CAST(sum(inb) AS BIGINT) AS exact_b,
+                    CAST(sum(ina * inb) AS BIGINT) AS exact_inter,
+                    CAST(count(*) AS BIGINT) AS exact_union FROM u),
+      r AS (SELECT *, 511e0 * 4294967296e0 / theta AS raw FROM sk, ex),
+      e AS (SELECT exact_a, exact_b, exact_inter, exact_union,
+              CASE WHEN m < 512 THEN CAST(m AS DOUBLE)
+                   ELSE ${Text.sqlHround("raw", 3)} END AS est_union,
+              CASE WHEN m < 512 THEN CAST(ni AS DOUBLE)
+                   ELSE ${Text.sqlHround("CAST(ni AS DOUBLE) * raw / 512e0", 3)}
+                   END AS est_inter
+            FROM r)
+      SELECT *, abs(est_inter - CAST(exact_inter AS DOUBLE))
+                  <= exact_union * 0.1e0 AS within_10pct_of_union
+      FROM e
+    """),
+    doc = "KMV/theta bottom-k sketch set algebra: native union+intersection estimates, exact-parity oracle")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
@@ -1253,5 +1348,5 @@ object Aggregates {
     hllIntersection, incrementalAggMaintain,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
     tableChecksum, trimmedMean, fdViolations, weightedMedianGroup,
-    kllQuantiles, kllGroupedMerge, cmsJoinSize)
+    kllQuantiles, kllGroupedMerge, cmsJoinSize, kmvSetOps)
 }

@@ -1440,6 +1440,54 @@ object Extended {
     Some(sqlAnnLshTopK(5)),
     doc = "ANN: multi-table sign-LSH (bands x 2^bits buckets) equi-join + top-5 rank")
 
+  /** Contrastive-training hard-negative mining — the third leg of the
+    * training-pairs family (`contrastive_pairs` mines positives,
+    * `paraphrase_pairs` mines aligned pairs; THIS mines the negatives a
+    * triplet/InfoNCE loss actually needs). For each query in the fixed
+    * ANN batch, the LSH candidates ranked 2..6 by cosine: near the
+    * query — they collide in at least one band, so they are the
+    * confusable region of the space — but NOT its nearest neighbor
+    * (rank 1, the presumed positive/duplicate, excluded by rank the way
+    * production miners exclude the labeled positive). Each negative
+    * carries `margin6` = pos_cos6 − cos6, the triplet-loss margin to
+    * the positive, and `semi_hard` flags the margin ≤ 0.1 band — the
+    * "semi-hard" regime (Schroff et al., FaceNet CVPR'15) where
+    * negatives are close enough to the positive to produce gradient but
+    * not closer than it (rank ≥ 2 guarantees cos6 ≤ pos_cos6, so
+    * margin6 ≥ 0 by construction and the flag is a one-sided band).
+    * Margin arithmetic is a subtraction of two identically-hround'd
+    * doubles re-hround'd — identical operands in both engines, so the
+    * 0.1e0 boundary comparison cannot diverge. Scale: the candidate
+    * join is the same banded equi-join as `embed_ann_lsh` (bucketed,
+    * broadcast query batch); the rank-1 positive frame is ≤ |batch|
+    * rows, broadcast back by q_id.
+    */
+  val hardNegativeMine: QueryDef = QueryDef(
+    "hard_negative_mine",
+    (s, d) => {
+      val top = annLshTopK(s, d, 6)
+      val pos = top.filter(col("rn") === 1)
+        .select(col("q_id"), col("cos6").as("pos_cos6"))
+      top.filter(col("rn") >= 2)
+        .join(broadcast(pos), Seq("q_id"))
+        .withColumn("margin6", Text.hround(col("pos_cos6") - col("cos6"), 6))
+        .select(col("q_id"), col("nn_id").as("neg_id"), col("cos6"),
+          col("rn").as("neg_rank"), col("margin6"),
+          (col("margin6") <= lit(0.1)).as("semi_hard"))
+        .orderBy(col("q_id"), col("neg_rank"))
+    },
+    Some(s"""
+      WITH t AS (${sqlAnnLshTopK(6)}),
+      p AS (SELECT q_id, cos6 AS pos_cos6 FROM t WHERE rn = 1)
+      SELECT t.q_id, t.nn_id AS neg_id, t.cos6,
+             t.rn AS neg_rank,
+             ${Text.sqlHround("p.pos_cos6 - t.cos6", 6)} AS margin6,
+             ${Text.sqlHround("p.pos_cos6 - t.cos6", 6)} <= 0.1e0 AS semi_hard
+      FROM t JOIN p USING (q_id) WHERE t.rn >= 2
+      ORDER BY t.q_id, neg_rank
+    """),
+    doc = "contrastive hard-negative mining: band-colliding candidates ranked 2..6 w/ semi-hard margin flag")
+
   /** The corpus-sized-query-set plan the annLsh scaladoc promises: every
     * vector is a query (all-kNN), so the query bands are N·bands rows and
     * the broadcast cutover applies — both sides of the (band, code)
@@ -5705,7 +5753,8 @@ object Extended {
     simhashNearDup, simhashWideNearDup, ngramJaccard, minhashCalibration,
     editDistancePairs,
     docEntropy,
-    cosineTopK, annLsh, annIvf, annMultiprobe, embedNearDup, paraphrasePairs,
+    cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
+    embedNearDup, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,

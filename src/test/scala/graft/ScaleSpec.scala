@@ -108,8 +108,10 @@ class ScaleSpec extends SparkSpec {
       // into the next round's merge fold — the same unrolled shape.
       "kcore_peel", "kcenter_coreset", "bpe_merge_rounds", "bpe_encode",
       // cms_join_size broadcast-crosses two one-row frames (the sketch
-      // cells and the exact self-join count) — KB-scale builds.
-      "cms_join_size",
+      // cells and the exact self-join count) — KB-scale builds; and
+      // kmv_set_ops crosses its one-row bottom-k sketch aggregate with
+      // the one-row exact-counts frame (same scalar-subquery shape).
+      "cms_join_size", "kmv_set_ops",
       // the embCandidates adaptive-bit-width fix (round 13) broadcast-
       // crosses a one-row corpus-count frame into every consumer of the
       // embedding near-dup banding — the scalar-subquery shape.
