@@ -1341,6 +1341,94 @@ object Aggregates {
     """),
     doc = "KMV/theta bottom-k sketch set algebra: native union+intersection estimates, exact-parity oracle")
 
+  /** The MERGE leg of [[kmvSetOps]] — mechanical proof of the property
+    * that makes KMV the 100 TB set-cardinality pre-aggregate: the
+    * bottom-k of a UNION of per-shard bottom-k sketches equals the
+    * bottom-k of the raw union (every global bottom-k element is
+    * necessarily inside its own shard's bottom-k, so no shard sketch
+    * can drop one). The query builds 8 per-shard sketches (window
+    * rank ≤ k within shard — the map-side pre-aggregate), merges them
+    * (global bottom-k over n_shards·k rows — the reduce), builds the
+    * direct whole-data sketch independently, and emits BOTH estimates
+    * plus their (θ, fill) fingerprints: `merge ≡ rebuild` is then a
+    * hash-checked EQUALITY of estimates, the dedup_state_compact
+    * discipline, with the DuckDB oracle recomputing both paths
+    * independently. Small-universe branch (sketches not full) is
+    * exercised at sf0.001 where merge ≡ rebuild must hold exactly too.
+    * Scale: shard sketches shuffle k rows per shard regardless of
+    * shard size; the merge touches n_shards·k rows total — at 1000
+    * executors that is the tree-aggregate pattern for distinct counts
+    * with reconstructible (not just estimable) sketch state.
+    */
+  val kmvPartitionUnion: QueryDef = QueryDef(
+    "kmv_partition_union",
+    (s, d) => {
+      val K = 512
+      val u = Tables.orders(s, d).select(col("o_custkey")).distinct()
+        .withColumn("h", Text.h32(col("o_custkey").cast("string")))
+        .withColumn("shard", pmod(col("o_custkey"), lit(8)))
+      val wS = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("o_custkey"))
+      val perShard = u.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= K)
+      def sketch(df: org.apache.spark.sql.DataFrame, pre: String) =
+        df.orderBy(col("h"), col("o_custkey")).limit(K)
+          .agg(count(lit(1)).as(s"m_$pre"), max(col("h")).as(s"theta_$pre"))
+      def est(m: org.apache.spark.sql.Column,
+          theta: org.apache.spark.sql.Column) =
+        when(m < K, m.cast("double"))
+          .otherwise(Text.hround(
+            lit((K - 1).toDouble) * lit(4294967296.0) / theta.cast("double"), 3))
+      val ex = u.agg(count(lit(1)).as("exact_distinct"))
+      sketch(perShard, "merged").crossJoin(broadcast(sketch(u, "direct")))
+        .crossJoin(broadcast(ex))
+        .select(col("exact_distinct"),
+          col("m_merged"), col("m_direct"),
+          col("theta_merged"), col("theta_direct"),
+          est(col("m_merged"), col("theta_merged")).as("est_merged"),
+          est(col("m_direct"), col("theta_direct")).as("est_direct"))
+        .withColumn("merge_equals_rebuild",
+          col("est_merged") === col("est_direct") &&
+            col("theta_merged") === col("theta_direct") &&
+            col("m_merged") === col("m_direct"))
+        .withColumn("within_10pct",
+          abs(col("est_merged") - col("exact_distinct").cast("double"))
+            <= col("exact_distinct") * lit(0.1))
+    },
+    Some(s"""
+      WITH u AS (SELECT o_custkey,
+                   ${Text.sqlH32("CAST(o_custkey AS VARCHAR)")} AS h,
+                   o_custkey % 8 AS shard
+                 FROM (SELECT DISTINCT o_custkey FROM orders)),
+      ps AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY shard
+                           ORDER BY h, o_custkey) AS rn FROM u)
+             WHERE rn <= 512),
+      mg AS (SELECT CAST(count(*) AS BIGINT) AS m_merged,
+                    max(h) AS theta_merged
+             FROM (SELECT * FROM ps ORDER BY h, o_custkey LIMIT 512)),
+      dr AS (SELECT CAST(count(*) AS BIGINT) AS m_direct,
+                    max(h) AS theta_direct
+             FROM (SELECT * FROM u ORDER BY h, o_custkey LIMIT 512)),
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM u),
+      e AS (SELECT *,
+              CASE WHEN m_merged < 512 THEN CAST(m_merged AS DOUBLE)
+                   ELSE ${Text.sqlHround("511e0 * 4294967296e0 / theta_merged", 3)}
+                   END AS est_merged,
+              CASE WHEN m_direct < 512 THEN CAST(m_direct AS DOUBLE)
+                   ELSE ${Text.sqlHround("511e0 * 4294967296e0 / theta_direct", 3)}
+                   END AS est_direct
+            FROM mg, dr, ex)
+      SELECT exact_distinct, m_merged, m_direct, theta_merged, theta_direct,
+             est_merged, est_direct,
+             (est_merged = est_direct AND theta_merged = theta_direct
+              AND m_merged = m_direct) AS merge_equals_rebuild,
+             abs(est_merged - CAST(exact_distinct AS DOUBLE))
+               <= exact_distinct * 0.1e0 AS within_10pct
+      FROM e
+    """),
+    doc = "KMV mergeability proof: union of 8 per-shard bottom-k sketches == whole-data sketch, exact-parity oracle")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
@@ -1348,5 +1436,6 @@ object Aggregates {
     hllIntersection, incrementalAggMaintain,
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
     tableChecksum, trimmedMean, fdViolations, weightedMedianGroup,
-    kllQuantiles, kllGroupedMerge, cmsJoinSize, kmvSetOps)
+    kllQuantiles, kllGroupedMerge, cmsJoinSize, kmvSetOps,
+    kmvPartitionUnion)
 }

@@ -3461,6 +3461,64 @@ object Extended {
     """),
     doc = "sharded deterministic sequence packing into ~2048-token packs")
 
+  /** Distributed-training shard assignment: boustrophedon ("snake")
+    * dealing of token-count-sorted documents into 8 shards — the data
+    * layout step between curation and training, where per-shard token
+    * skew directly becomes step-time skew across data-parallel workers.
+    * Snake dealing (rank r → fold position r mod 2W) is the one-pass
+    * deterministic approximation of greedy LPT balancing: consecutive
+    * size-sorted docs alternate direction, so each shard receives one
+    * doc from every descending 2W-block and the token imbalance is
+    * bounded by one block's spread. Output is the per-shard audit (doc
+    * count, token sum, deviation from the mean shard) — the number a
+    * training job reads BEFORE burning accelerator time. The global
+    * row_number window is the same layout-time global ordering as
+    * `global_row_index`/`zorder_cluster`: a once-per-dataset write-path
+    * cost (production range-partitions the rank; the snake fold is then
+    * embarrassingly parallel), not a per-query one.
+    */
+  val shardBalance: QueryDef = QueryDef(
+    "shard_balance",
+    (s, d) => {
+      val W = 8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Text.words(col("text"))).cast("long").as("n_tok"))
+      val dealt = toks
+        .withColumn("pos",
+          pmod(row_number().over(
+            Window.orderBy(col("n_tok").desc, col("doc_id").asc)) - 1,
+            lit(2 * W)))
+        .withColumn("shard",
+          when(col("pos") < W, col("pos"))
+            .otherwise(lit(2 * W - 1) - col("pos")).cast("int"))
+      dealt.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+        .withColumn("rel_dev4",
+          Text.hround(
+            col("tok_sum") / avg(col("tok_sum")).over(Window.partitionBy()),
+            4))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id,
+                      CAST(len(${Text.sqlWords("text")}) AS BIGINT) AS n_tok
+                    FROM documents),
+      dealt AS (SELECT n_tok,
+                  (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 16
+                    AS pos
+                FROM toks),
+      g AS (SELECT CAST(CASE WHEN pos < 8 THEN pos ELSE 15 - pos END
+                        AS INTEGER) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS tok_sum
+            FROM dealt GROUP BY 1)
+      SELECT shard, n_docs, tok_sum,
+             ${Text.sqlHround("tok_sum / avg(tok_sum) OVER ()", 4)} AS rel_dev4
+      FROM g ORDER BY shard
+    """),
+    doc = "snake-dealt token-balanced shard assignment w/ per-shard skew audit")
+
   /** Per-document cross-entropy under the corpus unigram LM — the
     * CCNet-style "perplexity" quality signal a pipeline uses to rank
     * documents against a language model (here the corpus's own unigram
@@ -5763,7 +5821,7 @@ object Extended {
     weightedSampleK, neymanAllocation, temporalLabelSplit,
     docChunks, tfidf,
     bm25TopK, rrfFusion, decontaminate, semanticDecontaminate, repetitionScore,
-    packSequences,
+    packSequences, shardBalance,
     perplexityUnigram, perplexityBigram, perplexityInterp,
     perplexityKneserNey, collocationPmi,
     bigramGreedyDecode,

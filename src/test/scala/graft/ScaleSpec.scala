@@ -112,6 +112,9 @@ class ScaleSpec extends SparkSpec {
       // kmv_set_ops crosses its one-row bottom-k sketch aggregate with
       // the one-row exact-counts frame (same scalar-subquery shape).
       "cms_join_size", "kmv_set_ops",
+      // kmv_partition_union crosses three one-row frames (merged
+      // sketch, direct sketch, exact count) — KB-scale builds.
+      "kmv_partition_union",
       // the embCandidates adaptive-bit-width fix (round 13) broadcast-
       // crosses a one-row corpus-count frame into every consumer of the
       // embedding near-dup banding — the scalar-subquery shape.
