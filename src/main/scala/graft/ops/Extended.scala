@@ -2577,6 +2577,68 @@ object Extended {
     """),
     doc = "deterministic 80/20 split via id-hash bucketing (reproducible, never rand)")
 
+  /** Deterministic per-epoch training order + decorrelation audit. A
+    * training job must visit the corpus in a DIFFERENT pseudo-random
+    * order each epoch, reproducibly and without a shared-state shuffle:
+    * order by hash(doc_id, epoch) — one range-sort per epoch, restart-
+    * safe, and any worker can recompute any position. The query is the
+    * AUDIT for that scheme: per-doc ranks under the storage order and
+    * under epochs 0/1/2, reduced to Spearman rank correlations between
+    * consecutive orders. For a working shuffle every rho is ~0
+    * (|rho| ~ 1/sqrt(n)); rho ≈ 1 anywhere means an epoch replayed the
+    * previous order (the seed didn't move) and rho(storage, epoch0) ≈ 1
+    * means the "shuffle" never left storage order — the two silent
+    * failure modes this measures. All rank sums are exact BIGINTs
+    * (d² ≤ n², Σ ≤ n³ — bounded past sf10); the single DOUBLE division
+    * is the textbook 1 − 6Σd²/(n(n²−1)) with identical operand order in
+    * both engines. The per-epoch global sorts are the same layout-time
+    * cost class as `shard_balance` (production range-partitions by the
+    * hash; the rank is never materialized globally, only the rho audit).
+    */
+  val epochShuffle: QueryDef = QueryDef(
+    "epoch_shuffle",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"))
+      def h(e: Int) =
+        expr(s"${sqlSparkH32(s"CAST(doc_id AS STRING) || ':$e'")}")
+      val ranked = base
+        .withColumn("r_store", row_number().over(
+          Window.orderBy(col("doc_id"))).cast("long"))
+        .withColumn("r_e0", row_number().over(
+          Window.orderBy(h(0), col("doc_id"))).cast("long"))
+        .withColumn("r_e1", row_number().over(
+          Window.orderBy(h(1), col("doc_id"))).cast("long"))
+        .withColumn("r_e2", row_number().over(
+          Window.orderBy(h(2), col("doc_id"))).cast("long"))
+      def rho(a: String, b: String) = {
+        val s2 = sum((col(a) - col(b)) * (col(a) - col(b)))
+        Text.hround(lit(1.0) - lit(6.0) * s2.cast("double") /
+          (count(lit(1)) * (count(lit(1)) * count(lit(1)) - lit(1)))
+            .cast("double"), 6)
+      }
+      ranked.agg(count(lit(1)).as("n_docs"),
+        rho("r_store", "r_e0").as("rho_store_e0"),
+        rho("r_e0", "r_e1").as("rho_e0_e1"),
+        rho("r_e1", "r_e2").as("rho_e1_e2"))
+    },
+    Some(s"""
+      WITH r AS (SELECT
+          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r_store,
+          ${(0 to 2).map(e =>
+      s"""CAST(row_number() OVER (ORDER BY
+            ${Text.sqlH32(s"CAST(doc_id AS VARCHAR) || ':$e'")}, doc_id)
+            AS BIGINT) AS r_e$e""").mkString(",\n          ")}
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        ${Seq(("r_store", "r_e0", "rho_store_e0"), ("r_e0", "r_e1", "rho_e0_e1"),
+        ("r_e1", "r_e2", "rho_e1_e2")).map { case (a, b, nm) =>
+      Text.sqlHround(s"1e0 - 6e0 * CAST(sum(($a - $b) * ($a - $b)) AS DOUBLE)" +
+        s" / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)", 6) +
+        s" AS $nm" }.mkString(",\n        ")}
+      FROM r
+    """),
+    doc = "per-epoch hash-shuffle training order: Spearman decorrelation audit across epochs")
+
   /** Leakage-safe train/val/test split: assign splits BY NEAR-DUP
     * CLUSTER, not by document — the step that keeps held-out sets honest.
     * A doc-level hash split (train_test_split's shape) puts members of
@@ -5816,7 +5878,8 @@ object Extended {
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,
-    curationPipeline, curationFunnel, trainTestSplit, leakageSafeSplit, stratifiedSample,
+    curationPipeline, curationFunnel, trainTestSplit, epochShuffle,
+    leakageSafeSplit, stratifiedSample,
     uniformSampleK, reservoirSample, domainMixSample, temperatureMix,
     weightedSampleK, neymanAllocation, temporalLabelSplit,
     docChunks, tfidf,
