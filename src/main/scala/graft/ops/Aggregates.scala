@@ -1429,6 +1429,70 @@ object Aggregates {
     """),
     doc = "KMV mergeability proof: union of 8 per-shard bottom-k sketches == whole-data sketch, exact-parity oracle")
 
+  /** Grouped KMV distinct-count — the batch twin of the streaming
+    * `EventStream.kmvDistinctState` processor: per event type, the
+    * bottom-k (k=512) md5-prefix hash sketch of the user universe and
+    * its (k−1)/θ distinct estimate, next to the exact count and the
+    * certified ≤10%-of-exact contract (measured ≤1.8% at sf0.1, exact
+    * at the small-universe SFs where the sketch is not full). The
+    * streaming processor folds the SAME hashes ([[Text.h32]]'s jvmH32
+    * twin) into the same bottom-k set, so stream ≡ batch is exact
+    * equality of (m, θ, est) — EventStreamSpec asserts it across
+    * micro-batch partitions. Plan: one distinct + one per-type window
+    * rank ≤ k (k rows per type leave the shuffle regardless of type
+    * size) — the grouped-sketch shape `kll_grouped_merge` uses for
+    * ranks, here for cardinalities.
+    */
+  val kmvDistinctTypes: QueryDef = QueryDef(
+    "kmv_distinct_types",
+    (s, d) => {
+      val K = 512
+      val u = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h", Text.h32(col("user_id").cast("string")))
+      val wT = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("user_id"))
+      val sk = u.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= K)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("m"), max(col("h")).as("theta"))
+      val ex = u.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      sk.join(ex, Seq("event_type"))
+        .select(col("event_type"), col("m"), col("theta"),
+          col("exact_distinct"),
+          when(col("m") < K, col("m").cast("double"))
+            .otherwise(Text.hround(
+              lit((K - 1).toDouble) * lit(4294967296.0)
+                / col("theta").cast("double"), 3)).as("est_distinct"))
+        .withColumn("within_10pct",
+          abs(col("est_distinct") - col("exact_distinct").cast("double"))
+            <= col("exact_distinct") * lit(0.1))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      h AS (SELECT event_type, user_id,
+              ${Text.sqlH32("CAST(user_id AS VARCHAR)")} AS h FROM u),
+      t AS (SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY h, user_id) AS rn FROM h)
+            WHERE rn <= 512),
+      sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+                    max(h) AS theta FROM t GROUP BY 1),
+      ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+             FROM u GROUP BY 1),
+      e AS (SELECT sk.event_type, m, theta, exact_distinct,
+              CASE WHEN m < 512 THEN CAST(m AS DOUBLE)
+                   ELSE ${Text.sqlHround("511e0 * 4294967296e0 / theta", 3)}
+                   END AS est_distinct
+            FROM sk JOIN ex USING (event_type))
+      SELECT *, abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+                  <= exact_distinct * 0.1e0 AS within_10pct
+      FROM e ORDER BY event_type
+    """),
+    doc = "grouped KMV distinct estimate per event type, streaming-twin parity (kmvDistinctState)")
+
   val all: Seq[QueryDef] = Seq(
     countDistinctQ, approxDistinctQ, globalMinMax, summaryStats,
     summaryStatsApprox, unionAll, geoBounds, inputValidation, cubeAgg,
@@ -1437,5 +1501,5 @@ object Aggregates {
     cmsFreqBound, dqRuleSummary, mvIncrementalMerge, groupedMedianExact,
     tableChecksum, trimmedMean, fdViolations, weightedMedianGroup,
     kllQuantiles, kllGroupedMerge, cmsJoinSize, kmvSetOps,
-    kmvPartitionUnion)
+    kmvPartitionUnion, kmvDistinctTypes)
 }

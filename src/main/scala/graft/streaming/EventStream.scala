@@ -725,6 +725,62 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class KmvBuf(hs: Seq[Long])
+  final case class KmvEst(event_type: String, m: Long, theta: Long,
+      est_distinct: Double)
+
+  /** Streaming KMV distinct-count sketch — the streaming twin of the
+    * batch `kmv_distinct_types` query and the set-cardinality companion
+    * to [[KllQuantileProcessor]]: one bottom-k set of
+    * [[graft.core.Text.jvmH32]] hashes per event type in typed
+    * ValueState, so state is O(k) per key forever while exact distinct
+    * would grow with the user universe. The hash is the same md5-prefix
+    * the batch query's in-plan [[graft.core.Text.h32]] computes
+    * (bit-identical by the jvmH32 contract), and bottom-k union is
+    * order-insensitive, so after any micro-batch partition of the same
+    * rows the emitted (m, θ, estimate) triple EQUALS the batch twin's —
+    * exact stream/batch parity, not approximate agreement; the spec
+    * asserts it. Small-universe branch (m < k → exact count) falls out
+    * of the same formula. TimeMode.None: no TTL, AvailableNow /
+    * processAllAvailable terminate (round-11 ProcessingTime trap n/a).
+    */
+  class KmvDistinctProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TypedEv, KmvEst] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[KmvBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KmvBuf]("kmv",
+        org.apache.spark.sql.Encoders.product[KmvBuf], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[TypedEv],
+        timers: TimerValues): Iterator[KmvEst] = {
+      val prev = if (st.exists()) st.get().hs else Seq.empty[Long]
+      val incoming = rows.map(e => graft.core.Text.jvmH32(e.user_id.toString))
+      val merged = (prev.iterator ++ incoming).toVector
+        .distinct.sorted.take(k)
+      st.update(KmvBuf(merged))
+      val m = merged.size.toLong
+      val theta = if (merged.isEmpty) 0L else merged.last
+      val est = if (m < k) m.toDouble
+        else (k - 1).toDouble * 4294967296.0 / theta.toDouble
+      Iterator.single(KmvEst(key, m, theta, est))
+    }
+  }
+
+  /** Streaming wiring: one bottom-k KMV sketch per event type; each
+    * micro-batch emits that type's current distinct-user estimate.
+    */
+  def kmvDistinctState(ds: Dataset[TypedEv], k: Int = 512): Dataset[KmvEst] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.event_type)
+      .transformWithState(new KmvDistinctProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming wiring: shard terms by hash, keep one MG sketch per shard.
     * The candidate union across shards' LATEST rows is the streaming
     * pass-1 output; a periodic exact recount of those ≤ k·shards terms

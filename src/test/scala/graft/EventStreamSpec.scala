@@ -567,6 +567,61 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinctState: stream == batch KMV triple, both sketch branches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import EventStream.{KmvEst, TypedEv}
+    val k = 64
+    // "click": 500 distinct users (sketch full, estimator branch, with
+    // repeats to prove distinctness); "view": 20 users (exact branch)
+    val evs =
+      (1 to 500).map(u => TypedEv(u.toLong, ts(u), "click")) ++
+        (1 to 200).map(u => TypedEv(u.toLong, ts(600 + u), "click")) ++
+        (1 to 20).map(u => TypedEv(u.toLong, ts(900 + u), "view"))
+    val mem = MemoryStream[TypedEv]
+    val q = EventStream.kmvDistinctState(mem.toDS(), k = k)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // 3 micro-batches: bottom-k union must be partition-insensitive
+      evs.grouped(300).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val outs = spark.table("kmv_out").as[KmvEst].collect()
+      def expected(users: Range) = {
+        val hs = users.map(u => graft.core.Text.jvmH32(u.toString))
+          .distinct.sorted.take(k)
+        (hs.size.toLong, hs.last,
+          if (hs.size < k) hs.size.toDouble
+          else (k - 1).toDouble * 4294967296.0 / hs.last.toDouble)
+      }
+      Seq("click" -> (1 to 500), "view" -> (1 to 20)).foreach {
+        case (typ, users) =>
+          // LAST emission per type (memory sink preserves batch order;
+          // theta only shrinks as more of the universe arrives, so an
+          // earlier full-sketch emission has the same m but larger theta)
+          val fin = outs.filter(_.event_type == typ).last
+          val (em, eth, eest) = expected(users)
+          assert((fin.m, fin.theta, fin.est_distinct) === ((em, eth, eest)),
+            s"$typ stream != batch-formula triple: $fin")
+          if (typ == "click") {
+            assert(fin.m === k.toLong, "click sketch never filled — vacuous")
+            // sanity only (k=64 → 1σ ≈ 12.6%; this fixed universe draws
+            // ~2.8σ high, deterministically) — correctness is the exact
+            // triple equality above, not this anti-insanity band
+            assert(math.abs(fin.est_distinct - users.size) <= users.size * 0.5,
+              s"click estimate wild: ${fin.est_distinct}")
+          } else assert(fin.est_distinct === users.size.toDouble)
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState + TTL: per-entry expiry across micro-batches (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
