@@ -1276,10 +1276,16 @@ object Aggregates {
     * The one-row sketch×exacts crossJoin is the intended
     * scalar-subquery shape (ScaleSpec `intended`).
     */
+  /** Sketch size shared by the KMV family — interpolated into BOTH the
+    * Spark fns and the DuckDB oracle texts so a retune cannot drift the
+    * engines apart (the hardcoded-literal hazard flagged in review).
+    */
+  private val KmvK = 512
+
   val kmvSetOps: QueryDef = QueryDef(
     "kmv_set_ops",
     (s, d) => {
-      val K = 512
+      val K = KmvK
       val f = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(max(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
           .otherwise(0)).as("ina"),
@@ -1320,19 +1326,19 @@ object Aggregates {
       u AS (SELECT o_custkey, ina, inb,
                    ${Text.sqlH32("CAST(o_custkey AS VARCHAR)")} AS h
             FROM f WHERE ina = 1 OR inb = 1),
-      t AS (SELECT * FROM u ORDER BY h, o_custkey LIMIT 512),
+      t AS (SELECT * FROM u ORDER BY h, o_custkey LIMIT $KmvK),
       sk AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS theta,
                     CAST(sum(ina * inb) AS BIGINT) AS ni FROM t),
       ex AS (SELECT CAST(sum(ina) AS BIGINT) AS exact_a,
                     CAST(sum(inb) AS BIGINT) AS exact_b,
                     CAST(sum(ina * inb) AS BIGINT) AS exact_inter,
                     CAST(count(*) AS BIGINT) AS exact_union FROM u),
-      r AS (SELECT *, 511e0 * 4294967296e0 / theta AS raw FROM sk, ex),
+      r AS (SELECT *, ${KmvK - 1}e0 * 4294967296e0 / theta AS raw FROM sk, ex),
       e AS (SELECT exact_a, exact_b, exact_inter, exact_union,
-              CASE WHEN m < 512 THEN CAST(m AS DOUBLE)
+              CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
                    ELSE ${Text.sqlHround("raw", 3)} END AS est_union,
-              CASE WHEN m < 512 THEN CAST(ni AS DOUBLE)
-                   ELSE ${Text.sqlHround("CAST(ni AS DOUBLE) * raw / 512e0", 3)}
+              CASE WHEN m < $KmvK THEN CAST(ni AS DOUBLE)
+                   ELSE ${Text.sqlHround(s"CAST(ni AS DOUBLE) * raw / ${KmvK}e0", 3)}
                    END AS est_inter
             FROM r)
       SELECT *, abs(est_inter - CAST(exact_inter AS DOUBLE))
@@ -1363,7 +1369,7 @@ object Aggregates {
   val kmvPartitionUnion: QueryDef = QueryDef(
     "kmv_partition_union",
     (s, d) => {
-      val K = 512
+      val K = KmvK
       val u = Tables.orders(s, d).select(col("o_custkey")).distinct()
         .withColumn("h", Text.h32(col("o_custkey").cast("string")))
         .withColumn("shard", pmod(col("o_custkey"), lit(8)))
@@ -1403,20 +1409,20 @@ object Aggregates {
       ps AS (SELECT * FROM (
                SELECT *, row_number() OVER (PARTITION BY shard
                            ORDER BY h, o_custkey) AS rn FROM u)
-             WHERE rn <= 512),
+             WHERE rn <= $KmvK),
       mg AS (SELECT CAST(count(*) AS BIGINT) AS m_merged,
                     max(h) AS theta_merged
-             FROM (SELECT * FROM ps ORDER BY h, o_custkey LIMIT 512)),
+             FROM (SELECT * FROM ps ORDER BY h, o_custkey LIMIT $KmvK)),
       dr AS (SELECT CAST(count(*) AS BIGINT) AS m_direct,
                     max(h) AS theta_direct
-             FROM (SELECT * FROM u ORDER BY h, o_custkey LIMIT 512)),
+             FROM (SELECT * FROM u ORDER BY h, o_custkey LIMIT $KmvK)),
       ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM u),
       e AS (SELECT *,
-              CASE WHEN m_merged < 512 THEN CAST(m_merged AS DOUBLE)
-                   ELSE ${Text.sqlHround("511e0 * 4294967296e0 / theta_merged", 3)}
+              CASE WHEN m_merged < $KmvK THEN CAST(m_merged AS DOUBLE)
+                   ELSE ${Text.sqlHround(s"${KmvK - 1}e0 * 4294967296e0 / theta_merged", 3)}
                    END AS est_merged,
-              CASE WHEN m_direct < 512 THEN CAST(m_direct AS DOUBLE)
-                   ELSE ${Text.sqlHround("511e0 * 4294967296e0 / theta_direct", 3)}
+              CASE WHEN m_direct < $KmvK THEN CAST(m_direct AS DOUBLE)
+                   ELSE ${Text.sqlHround(s"${KmvK - 1}e0 * 4294967296e0 / theta_direct", 3)}
                    END AS est_direct
             FROM mg, dr, ex)
       SELECT exact_distinct, m_merged, m_direct, theta_merged, theta_direct,
@@ -1446,7 +1452,7 @@ object Aggregates {
   val kmvDistinctTypes: QueryDef = QueryDef(
     "kmv_distinct_types",
     (s, d) => {
-      val K = 512
+      val K = KmvK
       val u = Tables.events(s, d)
         .select(col("event_type"), col("user_id")).distinct()
         .withColumn("h", Text.h32(col("user_id").cast("string")))
@@ -1477,14 +1483,14 @@ object Aggregates {
       t AS (SELECT * FROM (
               SELECT *, row_number() OVER (PARTITION BY event_type
                           ORDER BY h, user_id) AS rn FROM h)
-            WHERE rn <= 512),
+            WHERE rn <= $KmvK),
       sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
                     max(h) AS theta FROM t GROUP BY 1),
       ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
              FROM u GROUP BY 1),
       e AS (SELECT sk.event_type, m, theta, exact_distinct,
-              CASE WHEN m < 512 THEN CAST(m AS DOUBLE)
-                   ELSE ${Text.sqlHround("511e0 * 4294967296e0 / theta", 3)}
+              CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+                   ELSE ${Text.sqlHround(s"${KmvK - 1}e0 * 4294967296e0 / theta", 3)}
                    END AS est_distinct
             FROM sk JOIN ex USING (event_type))
       SELECT *, abs(est_distinct - CAST(exact_distinct AS DOUBLE))

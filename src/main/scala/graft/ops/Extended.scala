@@ -1459,17 +1459,22 @@ object Extended {
     * doubles re-hround'd — identical operands in both engines, so the
     * 0.1e0 boundary comparison cannot diverge. Scale: the candidate
     * join is the same banded equi-join as `embed_ann_lsh` (bucketed,
-    * broadcast query batch); the rank-1 positive frame is ≤ |batch|
-    * rows, broadcast back by q_id.
+    * broadcast query batch); the rank-1 positive rides along as a
+    * window max over the already-ranked frame — one pass, no self-join
+    * re-instantiating the scored subtree (the oracle keeps its
+    * independent join formulation).
     */
   val hardNegativeMine: QueryDef = QueryDef(
     "hard_negative_mine",
     (s, d) => {
+      // pos_cos6 via one window over the already-ranked frame — NOT a
+      // self-join back onto annLshTopK, which would instantiate the
+      // scored/window subtree twice (the round-2 self-join gotcha)
       val top = annLshTopK(s, d, 6)
-      val pos = top.filter(col("rn") === 1)
-        .select(col("q_id"), col("cos6").as("pos_cos6"))
+        .withColumn("pos_cos6",
+          max(when(col("rn") === 1, col("cos6")))
+            .over(Window.partitionBy(col("q_id"))))
       top.filter(col("rn") >= 2)
-        .join(broadcast(pos), Seq("q_id"))
         .withColumn("margin6", Text.hround(col("pos_cos6") - col("cos6"), 6))
         .select(col("q_id"), col("nn_id").as("neg_id"), col("cos6"),
           col("rn").as("neg_rank"), col("margin6"),
@@ -2588,10 +2593,12 @@ object Extended {
     * (|rho| ~ 1/sqrt(n)); rho ≈ 1 anywhere means an epoch replayed the
     * previous order (the seed didn't move) and rho(storage, epoch0) ≈ 1
     * means the "shuffle" never left storage order — the two silent
-    * failure modes this measures. All rank sums are exact BIGINTs
-    * (d² ≤ n², Σ ≤ n³ — bounded past sf10); the single DOUBLE division
-    * is the textbook 1 − 6Σd²/(n(n²−1)) with identical operand order in
-    * both engines. The per-epoch global sorts are the same layout-time
+    * failure modes this measures. Σd² is an exact BIGINT (max n(n²−1)/3,
+    * inside 2^63 to n ≈ 3.0M docs — an audit at larger n samples the
+    * corpus first); the denominator n(n²−1) is computed as a DOUBLE
+    * product (exact below 2^53, same IEEE value cross-engine above,
+    * and never ANSI-overflows), and the single division is the textbook
+    * 1 − 6Σd²/(n(n²−1)) with identical operand order in both engines. The per-epoch global sorts are the same layout-time
     * cost class as `shard_balance` (production range-partitions by the
     * hash; the rank is never materialized globally, only the rho audit).
     */
@@ -2612,9 +2619,12 @@ object Extended {
           Window.orderBy(h(2), col("doc_id"))).cast("long"))
       def rho(a: String, b: String) = {
         val s2 = sum((col(a) - col(b)) * (col(a) - col(b)))
+        val n = count(lit(1)).cast("double")
+        // n³ as a DOUBLE product (exact below 2^53; same IEEE value in
+        // both engines above) — a BIGINT n·(n²−1) would ANSI-overflow at
+        // n ≥ 2,097,152 while the exact Σd² BIGINT is good to ~3.0M
         Text.hround(lit(1.0) - lit(6.0) * s2.cast("double") /
-          (count(lit(1)) * (count(lit(1)) * count(lit(1)) - lit(1)))
-            .cast("double"), 6)
+          (n * (n * n - lit(1.0))), 6)
       }
       ranked.agg(count(lit(1)).as("n_docs"),
         rho("r_store", "r_e0").as("rho_store_e0"),
@@ -2633,7 +2643,8 @@ object Extended {
         ${Seq(("r_store", "r_e0", "rho_store_e0"), ("r_e0", "r_e1", "rho_e0_e1"),
         ("r_e1", "r_e2", "rho_e1_e2")).map { case (a, b, nm) =>
       Text.sqlHround(s"1e0 - 6e0 * CAST(sum(($a - $b) * ($a - $b)) AS DOUBLE)" +
-        s" / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)", 6) +
+        " / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE)" +
+        " * CAST(count(*) AS DOUBLE) - 1e0))", 6) +
         s" AS $nm" }.mkString(",\n        ")}
       FROM r
     """),
@@ -3539,10 +3550,13 @@ object Extended {
     * cost (production range-partitions the rank; the snake fold is then
     * embarrassingly parallel), not a per-query one.
     */
+  /** Shard count shared by shard_balance's Spark fn and oracle text. */
+  private val ShardW = 8
+
   val shardBalance: QueryDef = QueryDef(
     "shard_balance",
     (s, d) => {
-      val W = 8
+      val W = ShardW
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           size(Text.words(col("text"))).cast("long").as("n_tok"))
@@ -3567,10 +3581,11 @@ object Extended {
                       CAST(len(${Text.sqlWords("text")}) AS BIGINT) AS n_tok
                     FROM documents),
       dealt AS (SELECT n_tok,
-                  (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 16
-                    AS pos
+                  (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+                    % ${2 * ShardW} AS pos
                 FROM toks),
-      g AS (SELECT CAST(CASE WHEN pos < 8 THEN pos ELSE 15 - pos END
+      g AS (SELECT CAST(CASE WHEN pos < $ShardW THEN pos
+                        ELSE ${2 * ShardW - 1} - pos END
                         AS INTEGER) AS shard,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_tok) AS BIGINT) AS tok_sum

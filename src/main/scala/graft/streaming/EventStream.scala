@@ -725,24 +725,31 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
-  final case class KmvBuf(hs: Seq[Long])
+  final case class KmvBuf(hs: Seq[Long], us: Seq[Long])
   final case class KmvEst(event_type: String, m: Long, theta: Long,
       est_distinct: Double)
 
   /** Streaming KMV distinct-count sketch — the streaming twin of the
     * batch `kmv_distinct_types` query and the set-cardinality companion
     * to [[KllQuantileProcessor]]: one bottom-k set of
-    * [[graft.core.Text.jvmH32]] hashes per event type in typed
-    * ValueState, so state is O(k) per key forever while exact distinct
-    * would grow with the user universe. The hash is the same md5-prefix
-    * the batch query's in-plan [[graft.core.Text.h32]] computes
-    * (bit-identical by the jvmH32 contract), and bottom-k union is
+    * ([[graft.core.Text.jvmH32]] hash, user) ROWS per event type in
+    * typed ValueState, so state is O(k) per key forever while exact
+    * distinct would grow with the user universe. The hash is the same
+    * md5-prefix the batch query's in-plan [[graft.core.Text.h32]]
+    * computes (bit-identical by the jvmH32 contract); keeping (h, user)
+    * rows — not distinct hash values — mirrors the batch window's row
+    * ranking, so two users colliding on h32 inside the bottom-k region
+    * fill two slots in BOTH engines (a value-dedup here would admit an
+    * extra larger hash and drift θ off the batch's). Bottom-k union is
     * order-insensitive, so after any micro-batch partition of the same
     * rows the emitted (m, θ, estimate) triple EQUALS the batch twin's —
     * exact stream/batch parity, not approximate agreement; the spec
-    * asserts it. Small-universe branch (m < k → exact count) falls out
-    * of the same formula. TimeMode.None: no TTL, AvailableNow /
-    * processAllAvailable terminate (round-11 ProcessingTime trap n/a).
+    * asserts it, including on a planted 32-bit collision pair. The
+    * sketch over-counts nothing: colliding users are genuinely distinct
+    * members of the sampled universe. Small-universe branch
+    * (m < k → exact count) falls out of the same formula.
+    * TimeMode.None: no TTL, AvailableNow / processAllAvailable
+    * terminate (round-11 ProcessingTime trap n/a).
     */
   class KmvDistinctProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -757,13 +764,21 @@ object EventStream {
     override def handleInputRows(
         key: String, rows: Iterator[TypedEv],
         timers: TimerValues): Iterator[KmvEst] = {
-      val prev = if (st.exists()) st.get().hs else Seq.empty[Long]
-      val incoming = rows.map(e => graft.core.Text.jvmH32(e.user_id.toString))
+      // bottom-k of (h, user) ROWS, not hash values: the batch twin's
+      // window ranks rows, so two distinct users sharing an h32 value in
+      // the bottom-k region occupy TWO slots there — value-dedup here
+      // would admit an extra (larger) hash and drift theta/estimate off
+      // the batch triple exactly when a collision lands in the sketch
+      val prev = if (st.exists()) {
+        val b = st.get(); b.hs.zip(b.us)
+      } else Seq.empty[(Long, Long)]
+      val incoming = rows.map(e =>
+        (graft.core.Text.jvmH32(e.user_id.toString), e.user_id))
       val merged = (prev.iterator ++ incoming).toVector
         .distinct.sorted.take(k)
-      st.update(KmvBuf(merged))
+      st.update(KmvBuf(merged.map(_._1), merged.map(_._2)))
       val m = merged.size.toLong
-      val theta = if (merged.isEmpty) 0L else merged.last
+      val theta = if (merged.isEmpty) 0L else merged.last._1
       val est = if (m < k) m.toDouble
         else (k - 1).toDouble * 4294967296.0 / theta.toDouble
       Iterator.single(KmvEst(key, m, theta, est))

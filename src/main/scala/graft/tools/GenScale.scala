@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fixture upsampler for the sf1 scale probe (SCALING.md): replicate the
@@ -9,15 +9,24 @@ import org.apache.spark.sql.functions._
   * exponent reflects PLAN growth, not data-shape artifacts:
   *
   *  - documents: replica texts go through a per-replica VOCABULARY
-  *    ISOMORPHISM — every word gets the replica index appended
-  *    (`w` → `w_3` in replica 3), an injective per-type rename. Word
-  *    order, token counts, and Zipf shape are untouched, and every
-  *    within-replica shingle set maps bijectively, so each replica
-  *    reproduces the base corpus's exact-dup AND near-dup pair
-  *    structure bit-for-bit (pairs grow exactly ×factor) while
-  *    cross-replica token overlap is exactly zero — naive cloning
-  *    would put every doc in a `factor`-clone near-dup clique and grow
-  *    pair counts quadratically in `factor` purely from data shape.
+  *    ISOMORPHISM — a length-preserving, lexicon-preserving letter
+  *    cipher (an injective per-type rename). Each replica i ≥ 1 gets a
+  *    deterministic random permutation of a–z; every word outside the
+  *    quality/lang lexicons (the stopword and language marker lists the
+  *    curation operators match literally) is `translate`d through it,
+  *    lexicon words pass unchanged, and the rare cipher image that
+  *    lands ON a lexicon word gets its first letter doubled (keeps the
+  *    map injective). Word order, token counts, word LENGTHS, digit
+  *    ratios, stopword hits, and Zipf shape are all untouched — so
+  *    lexicon-driven gates (gopher_rules' stop_ok, lang_id, the
+  *    quality composite) see replicas exactly as they see the base
+  *    corpus — and every within-replica shingle set maps bijectively,
+  *    so each replica reproduces the base corpus's exact-dup AND
+  *    near-dup pair structure bit-for-bit (pairs grow exactly ×factor)
+  *    while cross-replica overlap is limited to lexicon-only shingles
+  *    (far below any near-dup threshold) — naive cloning would put
+  *    every doc in a `factor`-clone near-dup clique and grow pair
+  *    counts quadratically in `factor` purely from data shape.
   *    Crucially (vs the earlier word-shuffle design, which kept ONE
   *    shared vocabulary), the vocabulary grows ×factor with the
   *    corpus, the way real corpora grow (Heaps' law): the shingle
@@ -26,7 +35,10 @@ import org.apache.spark.sql.functions._
   *    retains its discrimination. Under the shuffle design "rare"
   *    tokens stopped being rare at factor 100 and the exact
   *    prefix-filter join went quadratic on data shape alone
-  *    (SCALING.md), a generator artifact, not a plan property.
+  *    (SCALING.md), a generator artifact, not a plan property. (An
+  *    earlier suffix design `w → w_3` grew vocabulary too but zeroed
+  *    every lexicon hit and injected digits, shifting the quality-gate
+  *    mix on all replicas — the cipher fixes exactly that.)
   *  - embeddings: replica vectors are dimension-ROTATED by the replica
   *    index — an isometry, so each replica reproduces the original's
   *    pairwise-cosine structure exactly (neighbor counts scale linearly)
@@ -91,17 +103,35 @@ object GenScale {
         .withColumn("user_id", col("user_id") + lit(i * userBase))),
       "events", 8)
 
-    // documents: per-replica vocabulary isomorphism (replica 0 verbatim)
+    // documents: per-replica vocabulary isomorphism (replica 0 verbatim).
+    // Lexicon = the literal word lists the curation operators match
+    // (gopher stops + EnStop/EsStop/ZhStop in ops/Extended.scala) —
+    // preserved verbatim so quality/lang gates see replicas as base.
+    val lex = Seq("the", "a", "and", "to", "of", "in", "is", "be",
+      "el", "la", "de", "y", "en", "de5", "shi4", "zai4")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def perm(i: Int): String = {
+      val r = new scala.util.Random(0x9e3779b1L * i)
+      r.shuffle(alpha.toList).mkString
+    }
     val docs = Tables.documents(spark, src)
     val docBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     write(replicate(docs, (d, i) =>
       if (i == 0) d
-      else d
-        .withColumn("doc_id", col("doc_id") + lit(i * docBase))
-        .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), " "),
-            w => concat(w, lit(s"_$i")))))
-        .withColumn("n_chars", length(col("text")))),
+      else {
+        val cipher: Column => Column = w => {
+          val t = translate(w, alpha, perm(i))
+          // image collided onto a preserved lexicon word: double its
+          // first letter (injectivity kept; no lexicon word is another
+          // lexicon word plus its doubled first letter)
+          when(t.isin(lex: _*), concat(t, substring(t, 1, 1))).otherwise(t)
+        }
+        d.withColumn("doc_id", col("doc_id") + lit(i * docBase))
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "),
+              w => when(w.isin(lex: _*), w).otherwise(cipher(w)))))
+          .withColumn("n_chars", length(col("text")))
+      }),
       "documents", 8)
 
     // embeddings: rotate dimensions by the replica index (isometry)

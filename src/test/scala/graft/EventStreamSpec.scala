@@ -574,12 +574,22 @@ class EventStreamSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import EventStream.{KmvEst, TypedEv}
     val k = 64
+    // users 25302 and 82945 COLLIDE on jvmH32 (both hash to 2071346635,
+    // found by exhaustive search) — planted in the exact branch, where a
+    // hash-VALUE-dedup sketch (the bug class: batch ranks rows, not
+    // values) would report m = 21 instead of 22
+    val collA = 25302L; val collB = 82945L
+    assert(graft.core.Text.jvmH32(collA.toString)
+      === graft.core.Text.jvmH32(collB.toString), "collision pair stale")
+    val viewUsers: Seq[Long] = (1L to 20L) ++ Seq(collA, collB)
+    val clickUsers: Seq[Long] = (1L to 500L)
     // "click": 500 distinct users (sketch full, estimator branch, with
-    // repeats to prove distinctness); "view": 20 users (exact branch)
+    // repeats to prove distinctness); "view": 22 users (exact branch)
     val evs =
-      (1 to 500).map(u => TypedEv(u.toLong, ts(u), "click")) ++
+      clickUsers.map(u => TypedEv(u, ts(u), "click")) ++
         (1 to 200).map(u => TypedEv(u.toLong, ts(600 + u), "click")) ++
-        (1 to 20).map(u => TypedEv(u.toLong, ts(900 + u), "view"))
+        viewUsers.zipWithIndex.map { case (u, i) =>
+          TypedEv(u, ts(900 + i), "view") }
     val mem = MemoryStream[TypedEv]
     val q = EventStream.kmvDistinctState(mem.toDS(), k = k)
       .writeStream.format("memory").queryName("kmv_out")
@@ -588,14 +598,15 @@ class EventStreamSpec extends SparkSpec {
       // 3 micro-batches: bottom-k union must be partition-insensitive
       evs.grouped(300).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
       val outs = spark.table("kmv_out").as[KmvEst].collect()
-      def expected(users: Range) = {
-        val hs = users.map(u => graft.core.Text.jvmH32(u.toString))
+      def expected(users: Seq[Long]) = {
+        // the batch twin's semantics: bottom-k (h, user) ROWS
+        val rows = users.map(u => (graft.core.Text.jvmH32(u.toString), u))
           .distinct.sorted.take(k)
-        (hs.size.toLong, hs.last,
-          if (hs.size < k) hs.size.toDouble
-          else (k - 1).toDouble * 4294967296.0 / hs.last.toDouble)
+        (rows.size.toLong, rows.last._1,
+          if (rows.size < k) rows.size.toDouble
+          else (k - 1).toDouble * 4294967296.0 / rows.last._1.toDouble)
       }
-      Seq("click" -> (1 to 500), "view" -> (1 to 20)).foreach {
+      Seq("click" -> clickUsers, "view" -> viewUsers).foreach {
         case (typ, users) =>
           // LAST emission per type (memory sink preserves batch order;
           // theta only shrinks as more of the universe arrives, so an
@@ -611,7 +622,11 @@ class EventStreamSpec extends SparkSpec {
             // triple equality above, not this anti-insanity band
             assert(math.abs(fin.est_distinct - users.size) <= users.size * 0.5,
               s"click estimate wild: ${fin.est_distinct}")
-          } else assert(fin.est_distinct === users.size.toDouble)
+          } else {
+            // both colliding users hold a slot: 22, not 21
+            assert(fin.m === 22L, s"collision pair collapsed: $fin")
+            assert(fin.est_distinct === users.size.toDouble)
+          }
       }
     } finally {
       q.stop()

@@ -73,13 +73,15 @@ class KmvPropertySpec extends SparkSpec {
   test("streaming fold == plan bottom-k on the same rows in any batch split") {
     val rnd = new scala.util.Random(17)
     val k = 8
-    val hashes = (1 to 120).map(_ => rnd.nextInt(20).toLong)
-    // the processor's fold, applied over an arbitrary 3-way batch split
-    // (hash-only state, the KmvBuf shape — ties collapse to one value)
-    val folded = hashes.grouped(40).foldLeft(Vector.empty[Long]) {
+    // (h, user) ROW state, the KmvBuf shape: colliding hashes from
+    // distinct users are distinct rows and may BOTH occupy bottom-k slots
+    val rows = (1 to 120).map(u => (rnd.nextInt(20).toLong, u.toLong))
+    val folded = rows.grouped(40).foldLeft(Vector.empty[(Long, Long)]) {
       (prev, batch) => (prev.iterator ++ batch).toVector.distinct.sorted.take(k)
     }
-    val directHs = hashes.distinct.sorted.take(k).toVector
-    assert(folded === directHs, "batch-split fold diverged from direct bottom-k")
+    val direct = rows.distinct.sorted.take(k).toVector
+    assert(folded === direct, "batch-split fold diverged from direct bottom-k")
+    assert(direct.map(_._1).distinct.size < direct.size,
+      "no hash tie landed in the bottom-k — vacuous collision coverage")
   }
 }
