@@ -2308,28 +2308,40 @@ object Analytics {
     * Output: split sizes, D (6 dp) and the scaled statistic
     * D·sqrt(n_a·n_b/(n_a+n_b)) (6 dp; ≥ ~1.36 rejects at α=0.05).
     */
+  /** The even/odd-user purchase-value split both KS queries test. */
+  private[graft] def ksSplit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("grp"), col("value"))
+
+  /** Exact two-sample KS core: one row (n_a, n_b, dnum) with the
+    * integer sup-gap numerator max|fa·n_b − fb·n_a| over the
+    * distinct-value frame (shared by ks_two_sample and the sketch
+    * twin's certification leg).
+    */
+  private[graft] def ksExact(ev: DataFrame): DataFrame = {
+    val byV = ev.groupBy(col("value"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byV
+      .select(
+        sum(col("ca")).over(wCum).as("fa"),
+        sum(col("cb")).over(wCum).as("fb"),
+        sum(col("ca")).over(wAll).as("na"),
+        sum(col("cb")).over(wAll).as("nb"))
+      .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na")))
+          .as("dnum"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+  }
+
   val ksTwoSample: QueryDef = QueryDef(
     "ks_two_sample",
     (s, d) => {
-      val ev = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select((col("user_id") % 2).as("grp"), col("value"))
-      val byV = ev.groupBy(col("value"))
-        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
-      val wCum = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val m = byV
-        .select(
-          sum(col("ca")).over(wCum).as("fa"),
-          sum(col("cb")).over(wCum).as("fb"),
-          sum(col("ca")).over(wAll).as("na"),
-          sum(col("cb")).over(wAll).as("nb"))
-        .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na")))
-            .as("dnum"),
-          max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      val m = ksExact(ksSplit(s, d))
       val dD = col("dnum").cast("double") /
         (col("n_a") * col("n_b")).cast("double")
       m.select(col("n_a"), col("n_b"),
@@ -2364,6 +2376,94 @@ object Analytics {
       FROM m
     """),
     doc = "two-sample KS test: exact-integer ECDF sup-gap on the distinct-value frame")
+
+  /** KS drift from two KLL SKETCHES — `ks_two_sample`'s single-pass
+    * scale path and the drift-monitor composition the mergeable rank
+    * sketch exists for: at 100 TB the monitor never re-scans history;
+    * it keeps one KllSummary per side (per day/shard, merged via
+    * KllMerge) and compares CDFs sketch-to-sketch. D_sketch is the same
+    * exact-integer sup-gap machinery as the exact query, run over the
+    * two summaries' (value, weight) items (≤ ~1k rows per side — the
+    * union window is sketch-sized, not data-sized); the KLL rank
+    * certificate makes each sketch CDF uniformly within
+    * ε = (err + maxw)/n of its true ECDF, so
+    * |D_sketch − D_exact| ≤ ε_a + ε_b — emitted as the hash-checked
+    * `within_sketch_eps` contract (oracle recomputes D_exact and emits
+    * literal TRUE, the approx_count_distinct treatment: the sketch
+    * internals are engine-side, the BOUND is the cross-engine claim).
+    * The exact leg (one corpus pass) exists here only to certify; the
+    * production monitor ships the sketch leg alone. k=256/floor=64
+    * forces real compaction (err > 0) from sf0.01 up, so the bound is
+    * exercised, not vacuous exactness.
+    */
+  val ksSketchDrift: QueryDef = QueryDef(
+    "ks_sketch_drift",
+    (s, d) => {
+      val ev = ksSplit(s, d)
+      val kll = udaf(new graft.functions.KllSketch(256, 64),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val sk = ev.groupBy(col("grp")).agg(kll(col("value")).as("sk"))
+      val items = sk.select(col("grp"),
+          posexplode(arrays_zip(col("sk.vs"), col("sk.ws"))))
+        .select(col("grp"), col("pos"),
+          col("col.vs").as("v"), col("col.ws").as("w"))
+        .select(col("v"), col("pos"), col("grp"),
+          when(col("grp") === 0, col("w")).otherwise(0L).as("wa"),
+          when(col("grp") === 1, col("w")).otherwise(0L).as("wb"))
+      val wCum = Window.orderBy(col("v"), col("grp"), col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("v"), col("grp"), col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val mSk = items
+        .select(sum(col("wa")).over(wCum).as("fa"),
+          sum(col("wb")).over(wCum).as("fb"),
+          sum(col("wa")).over(wAll).as("na"),
+          sum(col("wb")).over(wAll).as("nb"))
+        .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na")))
+            .as("dnum_sk"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+      val eps = sk.agg(
+        max(when(col("grp") === 0,
+          (col("sk.err") + col("sk.maxw")).cast("double") / col("sk.n")))
+          .as("eps_a"),
+        max(when(col("grp") === 1,
+          (col("sk.err") + col("sk.maxw")).cast("double") / col("sk.n")))
+          .as("eps_b"))
+      val m = ksExact(ev)
+      val dExact = col("dnum").cast("double") /
+        (col("n_a") * col("n_b")).cast("double")
+      val dSk = col("dnum_sk").cast("double") /
+        (col("na") * col("nb")).cast("double")
+      m.crossJoin(broadcast(mSk)).crossJoin(broadcast(eps))
+        .select(col("n_a"), col("n_b"),
+          Text.hround(dExact, 6).as("d_exact6"),
+          (abs(dSk - dExact) <= col("eps_a") + col("eps_b"))
+            .as("within_sketch_eps"))
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id % 2 AS grp, value
+                  FROM events WHERE event_type = 'purchase'),
+      byv AS (SELECT value,
+                CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM ev GROUP BY 1),
+      cum AS (SELECT
+                CAST(sum(ca) OVER w AS BIGINT) AS fa,
+                CAST(sum(cb) OVER w AS BIGINT) AS fb,
+                CAST(sum(ca) OVER () AS BIGINT) AS na,
+                CAST(sum(cb) OVER () AS BIGINT) AS nb
+              FROM byv
+              WINDOW w AS (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      m AS (SELECT CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS dnum,
+                   max(na) AS n_a, max(nb) AS n_b FROM cum)
+      SELECT n_a, n_b,
+             ${Text.sqlHround(
+        "CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 6)} AS d_exact6,
+             TRUE AS within_sketch_eps
+      FROM m
+    """),
+    doc = "KS drift from two KLL sketches: certified |D_sketch - D_exact| <= eps_a + eps_b")
 
   /** Holt's linear (double-exponential) smoothing per nation over the
     * monthly revenue series — the trend-aware sibling of `ewma_smooth`
@@ -2631,5 +2731,6 @@ object Analytics {
       attributionLinear, subsampleCi, cupedAdjustedAb, audienceOverlap,
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
       kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample,
+      ksSketchDrift,
       holtLinear, holtBacktest, timeToConvert, dpLaplaceHistogram)
 }

@@ -113,8 +113,10 @@ class ScaleSpec extends SparkSpec {
       // the one-row exact-counts frame (same scalar-subquery shape).
       "cms_join_size", "kmv_set_ops",
       // kmv_partition_union crosses three one-row frames (merged
-      // sketch, direct sketch, exact count) — KB-scale builds.
-      "kmv_partition_union",
+      // sketch, direct sketch, exact count) — KB-scale builds; and
+      // ks_sketch_drift crosses its one-row exact-D, sketch-D, and
+      // eps frames (same scalar-subquery shape).
+      "kmv_partition_union", "ks_sketch_drift",
       // the embCandidates adaptive-bit-width fix (round 13) broadcast-
       // crosses a one-row corpus-count frame into every consumer of the
       // embedding near-dup banding — the scalar-subquery shape.
