@@ -57,6 +57,41 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
+  /** Lexicon preserved verbatim by the document isomorphism = the
+    * literal word lists the curation operators match (gopher stops +
+    * EnStop/EsStop/ZhStop in ops/Extended.scala), so quality/lang gates
+    * see replicas exactly as they see the base corpus.
+    */
+  private[graft] val Lex = Seq("the", "a", "and", "to", "of", "in", "is",
+    "be", "el", "la", "de", "y", "en", "de5", "shi4", "zai4")
+
+  private[graft] val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Deterministic per-replica permutation of a–z (replica i's cipher
+    * alphabet); distinct replicas get distinct permutations with
+    * overwhelming probability, so cross-replica vocabularies are
+    * disjoint outside the lexicon.
+    */
+  private[graft] def perm(i: Int): String = {
+    val r = new scala.util.Random(0x9e3779b1L * i)
+    r.shuffle(Alpha.toList).mkString
+  }
+
+  /** Replica-i word map (the vocabulary isomorphism): lexicon words
+    * pass unchanged; other words go through the letter cipher; the rare
+    * cipher image that lands ON a lexicon word gets its first letter
+    * doubled (injectivity kept — no lexicon word is another lexicon
+    * word plus its doubled first letter). GenScaleCipherSpec checks
+    * injectivity, lexicon preservation, length/digit preservation, and
+    * determinism on the real fixture vocabulary plus adversarial words.
+    */
+  private[graft] def mapWord(w: Column, i: Int): Column = {
+    val t = translate(w, Alpha, perm(i))
+    val guarded =
+      when(t.isin(Lex: _*), concat(t, substring(t, 1, 1))).otherwise(t)
+    when(w.isin(Lex: _*), w).otherwise(guarded)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
@@ -103,35 +138,15 @@ object GenScale {
         .withColumn("user_id", col("user_id") + lit(i * userBase))),
       "events", 8)
 
-    // documents: per-replica vocabulary isomorphism (replica 0 verbatim).
-    // Lexicon = the literal word lists the curation operators match
-    // (gopher stops + EnStop/EsStop/ZhStop in ops/Extended.scala) —
-    // preserved verbatim so quality/lang gates see replicas as base.
-    val lex = Seq("the", "a", "and", "to", "of", "in", "is", "be",
-      "el", "la", "de", "y", "en", "de5", "shi4", "zai4")
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def perm(i: Int): String = {
-      val r = new scala.util.Random(0x9e3779b1L * i)
-      r.shuffle(alpha.toList).mkString
-    }
+    // documents: per-replica vocabulary isomorphism (replica 0 verbatim)
     val docs = Tables.documents(spark, src)
     val docBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     write(replicate(docs, (d, i) =>
       if (i == 0) d
-      else {
-        val cipher: Column => Column = w => {
-          val t = translate(w, alpha, perm(i))
-          // image collided onto a preserved lexicon word: double its
-          // first letter (injectivity kept; no lexicon word is another
-          // lexicon word plus its doubled first letter)
-          when(t.isin(lex: _*), concat(t, substring(t, 1, 1))).otherwise(t)
-        }
-        d.withColumn("doc_id", col("doc_id") + lit(i * docBase))
-          .withColumn("text", concat_ws(" ",
-            transform(split(col("text"), " "),
-              w => when(w.isin(lex: _*), w).otherwise(cipher(w)))))
-          .withColumn("n_chars", length(col("text")))
-      }),
+      else d.withColumn("doc_id", col("doc_id") + lit(i * docBase))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), w => mapWord(w, i))))
+        .withColumn("n_chars", length(col("text")))),
       "documents", 8)
 
     // embeddings: rotate dimensions by the replica index (isometry)
