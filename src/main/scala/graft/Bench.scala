@@ -43,12 +43,19 @@ object Bench {
 
   /** Full registry in name order; SPARK_GRAFT_ONLY=q1,q2 restricts to a
     * subset (the sf1 scale probe times ~20 heavy queries per SF without
-    * paying a full-registry pass — see SCALING.md).
+    * paying a full-registry pass — see SCALING.md). Unknown names fail
+    * LOUDLY: a silent `filter` would let a typo'd probe run report
+    * success over a partial/empty set and poison a pin or A/B read.
     */
   private[graft] def allNames: Seq[String] = {
     val base = SparkEntry.queries.keys.toSeq.sorted
     sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim)
-      .filter(_.nonEmpty).toSet).fold(base)(want => base.filter(want))
+      .filter(_.nonEmpty).toSet).fold(base) { want =>
+      val unknown = want -- base.toSet
+      if (unknown.nonEmpty) sys.error(
+        s"SPARK_GRAFT_ONLY names not in registry: ${unknown.toSeq.sorted.mkString(",")}")
+      base.filter(want)
+    }
   }
 
   /** Round-robin slice over NAME order: shards see similar mixes of

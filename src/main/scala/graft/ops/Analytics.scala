@@ -2403,16 +2403,23 @@ object Analytics {
       val kll = udaf(new graft.functions.KllSketch(256, 64),
         org.apache.spark.sql.Encoders.scalaDouble)
       val sk = ev.groupBy(col("grp")).agg(kll(col("value")).as("sk"))
+      // Aggregate merged sketch items PER DISTINCT VALUE before the
+      // cumulative window (mirroring ksExact's byV): a value present in
+      // BOTH sketches must contribute both weights at once, or the sup
+      // gets evaluated at the mixed point F_a(v) vs F_b(v-) — inflating
+      // D_sketch by sketch-b's jump at v, which the emitted eps_a+eps_b
+      // certificate does NOT cover (spurious within_sketch_eps=false on
+      // tied-value data).
       val items = sk.select(col("grp"),
           posexplode(arrays_zip(col("sk.vs"), col("sk.ws"))))
-        .select(col("grp"), col("pos"),
+        .select(col("grp"),
           col("col.vs").as("v"), col("col.ws").as("w"))
-        .select(col("v"), col("pos"), col("grp"),
-          when(col("grp") === 0, col("w")).otherwise(0L).as("wa"),
-          when(col("grp") === 1, col("w")).otherwise(0L).as("wb"))
-      val wCum = Window.orderBy(col("v"), col("grp"), col("pos"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("grp") === 0, col("w")).otherwise(0L)).as("wa"),
+          sum(when(col("grp") === 1, col("w")).otherwise(0L)).as("wb"))
+      val wCum = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy(col("v"), col("grp"), col("pos"))
+      val wAll = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val mSk = items
         .select(sum(col("wa")).over(wCum).as("fa"),

@@ -40,9 +40,13 @@ import org.apache.spark.sql.functions._
   *    every lexicon hit and injected digits, shifting the quality-gate
   *    mix on all replicas — the cipher fixes exactly that.)
   *  - embeddings: replica vectors are dimension-ROTATED by the replica
-  *    index — an isometry, so each replica reproduces the original's
+  *    index and SIGN-FLIPPED by a per-replica ±1 diagonal — both
+  *    isometries, so each replica reproduces the original's
   *    pairwise-cosine structure exactly (neighbor counts scale linearly)
-  *    while cross-replica dots are scrambled.
+  *    while cross-replica dots are scrambled. The sign diagonal is what
+  *    keeps replicas distinct past factor = dim, where the rotation
+  *    index i % dim wraps (replica 64 would otherwise duplicate
+  *    replica 0 verbatim and inflate near-dup counts super-linearly).
   *  - lineitem/orders: order keys shift by replica·(max+1); part/supplier/
   *    customer keys stay (dims fixed — the fact-side 10× is what the
   *    probe measures; growing dims too would change broadcast viability,
@@ -78,18 +82,42 @@ object GenScale {
   }
 
   /** Replica-i word map (the vocabulary isomorphism): lexicon words
-    * pass unchanged; other words go through the letter cipher; the rare
-    * cipher image that lands ON a lexicon word gets its first letter
-    * doubled (injectivity kept — no lexicon word is another lexicon
-    * word plus its doubled first letter). GenScaleCipherSpec checks
-    * injectivity, lexicon preservation, length/digit preservation, and
-    * determinism on the real fixture vocabulary plus adversarial words.
+    * pass unchanged; other words go through the letter cipher; a cipher
+    * image that lands on a lexicon CHAIN gets one more first-letter
+    * appended. The chain of lexicon word l (first letter f) is
+    * {l, l·f, l·f·f, …} — guarding the whole chain (not just t ∈ Lex)
+    * closes the second-order collision: a word whose cipher image
+    * equals l·f ("thet") would otherwise collide with the guarded image
+    * of the preimage of l. With the chain rule the map is injective for
+    * ANY vocabulary: lexicon inputs occupy chain position 0, a cipher
+    * image at chain position k moves to position k+1 (cipher injective
+    * ⇒ unique preimage per position), off-chain images pass through,
+    * and no Lex word lies on another Lex word's chain (asserted in
+    * GenScaleCipherSpec, which also checks injectivity, lexicon
+    * preservation, length/digit preservation, and determinism on the
+    * real fixture vocabulary plus adversarial chain preimages).
     */
   private[graft] def mapWord(w: Column, i: Int): Column = {
     val t = translate(w, Alpha, perm(i))
+    val onChain = Lex.map(l => t.rlike(s"^$l${l.head}*$$")).reduce(_ || _)
     val guarded =
-      when(t.isin(Lex: _*), concat(t, substring(t, 1, 1))).otherwise(t)
+      when(onChain, concat(t, substring(t, 1, 1))).otherwise(t)
     when(w.isin(Lex: _*), w).otherwise(guarded)
+  }
+
+  /** Per-replica deterministic ±1 sign pattern — a diagonal isometry
+    * composed with the dimension rotation so replicas beyond `dim`
+    * (rotation index reuse at factor > 64: i % dim collides for
+    * i and i+dim, and replica 64 would duplicate replica 0 VERBATIM)
+    * stay pairwise distinct: same-rotation replicas never share a sign
+    * pattern, so cross-replica dots stay scrambled, while the
+    * within-replica cosine structure is exactly preserved (both vectors
+    * of a pair see the same diagonal, and multiplying by ±1.0f is
+    * exact in IEEE float).
+    */
+  private[graft] def signs(i: Int, dim: Int): Seq[Float] = {
+    val r = new scala.util.Random(0x85ebca6bL * i + 17)
+    Seq.fill(dim)(if (r.nextBoolean()) 1.0f else -1.0f)
   }
 
   def main(args: Array[String]): Unit = {
@@ -154,14 +182,19 @@ object GenScale {
     val vecBase = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     write(replicate(emb, (d, i) => {
-      val r = i % dim
-      val rotated =
-        if (r == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), r + 1, dim - r),
-          slice(col("embedding"), 1, r))
-      d.withColumn("vec_id", col("vec_id") + lit(i * vecBase))
-        .withColumn("embedding", rotated)
+      if (i == 0) d
+      else {
+        val r = i % dim
+        val rotated =
+          if (r == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r))
+        val flip = array(signs(i, dim).map(lit): _*)
+        d.withColumn("vec_id", col("vec_id") + lit(i * vecBase))
+          .withColumn("embedding",
+            zip_with(rotated, flip, (x, sg) => x * sg))
+      }
     }), "embeddings", 8)
 
     spark.stop()

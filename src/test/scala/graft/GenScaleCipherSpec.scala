@@ -63,4 +63,48 @@ class GenScaleCipherSpec extends SparkSpec {
     perms.foreach(p => assert(p.sorted === GenScale.Alpha, s"not a permutation: $p"))
     assert(perms.distinct.size === 100, "two replicas drew the same cipher alphabet")
   }
+
+  /** The second-order collision the chain guard closes (ADVICE r13):
+    * a word whose cipher image equals a lexicon word PLUS its doubled
+    * first letter ("thet") must not collide with the guarded image of
+    * the preimage of the lexicon word itself. Construct the exact
+    * adversarial preimages by INVERTING each replica's cipher on chain
+    * positions 0..3 of every lexicon word, then assert the full map
+    * stays injective over fixture vocab + all chain preimages. Also
+    * prove the guard's precondition: no Lex word lies on another Lex
+    * word's chain (which would make the guard target ambiguous).
+    */
+  test("chain preimages stay injective; no lexicon word on another's chain") {
+    for {
+      l1 <- GenScale.Lex; l2 <- GenScale.Lex if l1 != l2
+    } assert(!l2.matches(s"^$l1${l1.head}*$$"),
+      s"lexicon word $l2 lies on $l1's chain")
+    for (i <- Seq(1, 42, 64, 99)) {
+      val p = GenScale.perm(i)
+      val inv = GenScale.Alpha.zip(p).map { case (a, c) => c -> a }.toMap
+      // preimages of chain positions 0..3: cipher^-1("the"), ^-1("thet"), ...
+      val preimages = for {
+        l <- GenScale.Lex; k <- 0 to 3
+        chainWord = l + (l.head.toString * k)
+      } yield chainWord.map(c => inv.getOrElse(c, c))
+      val vocab = (fixtureVocab ++ GenScale.Lex ++ preimages).distinct
+      val m = mapped(vocab, i)
+      assert(m.distinct.size === vocab.size,
+        s"replica $i: collision among chain preimages")
+    }
+  }
+
+  test("sign patterns are ±1, deterministic, and distinct across same-rotation replicas") {
+    val dim = 64
+    val pats = (1 to 200).map(i => GenScale.signs(i, dim))
+    pats.foreach { p =>
+      assert(p.size === dim)
+      assert(p.forall(s => s == 1.0f || s == -1.0f))
+    }
+    assert(pats === (1 to 200).map(i => GenScale.signs(i, dim)), "nondeterministic")
+    // replicas sharing a rotation (i, i+dim, i+2*dim) must differ in signs
+    for (i <- 1 until dim)
+      assert(Seq(pats(i - 1), pats(i + dim - 1)).distinct.size === 2,
+        s"replicas $i and ${i + dim} share rotation AND signs")
+  }
 }
