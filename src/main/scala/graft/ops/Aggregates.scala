@@ -543,25 +543,36 @@ object Aggregates {
     * merge costs one batch-sized aggregate + one state-keyed shuffle —
     * never a history scan.
     */
+  /** Per-user partial of the maintenance aggregate (count / exact cents
+    * / max ts) — shared by the batch QueryDef below and the streaming
+    * twin ([[graft.streaming.EventStream.incrementalAggMaintainStream]]),
+    * so batch and stream merge the SAME monoid by construction.
+    */
+  private[graft] def userAggPartial(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("cents"),
+        max(col("ts")).as("last_ts"))
+
+  /** Merge of already-partial per-user states (the monoid's ⊕). */
+  private[graft] def userAggMerge(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("cents")).as("cents"), max(col("last_ts")).as("last_ts"))
+
   val incrementalAggMaintain: QueryDef = QueryDef(
     "incremental_agg_maintain",
     (s, d) => {
       val dir = graft.pipeline.Climate.sinkDir(d, "agg_state")
       val ev = Tables.events(s, d)
-      def partial(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            (sum(col("value").cast("decimal(18,2)")) * lit(100))
-              .cast("long").as("cents"),
-            max(col("ts")).as("last_ts"))
-      partial(ev.filter(col("event_id") % 10 < 8))
+      userAggPartial(ev.filter(col("event_id") % 10 < 8))
         .write.mode("overwrite").parquet(dir)
       val state = s.read.parquet(dir)
-      val delta = partial(ev.filter(col("event_id") % 10 >= 8))
-      state.unionByName(delta)
-        .groupBy(col("user_id"))
-        .agg(sum(col("n_events")).as("n_events"),
-          sum(col("cents")).as("cents"), max(col("last_ts")).as("last_ts"))
+      val delta = userAggPartial(ev.filter(col("event_id") % 10 >= 8))
+      userAggMerge(state.unionByName(delta))
         .orderBy(col("user_id"))
     },
     Some("""

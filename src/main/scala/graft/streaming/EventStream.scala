@@ -445,6 +445,85 @@ object EventStream {
       }
       .start()
 
+  // ---- incremental aggregate maintenance, streaming twin -----------------
+
+  /** Streaming twin of the batch `incremental_agg_maintain`
+    * (ops/Aggregates.scala): each micro-batch's per-user partial
+    * aggregate is MERGED into a parquet state store instead of
+    * recomputing history — the materialized-view refresh loop run
+    * continuously. Replay safety composes [[idempotentParquetSink]]'s
+    * batch-id discipline with SNAPSHOT state: batch `id` reads the
+    * newest snapshot with bid < id, merges its own partial (the shared
+    * [[graft.ops.Aggregates.userAggPartial]]/`userAggMerge` monoid —
+    * exact-integer cents, so merge ≡ rebuild), and OVERWRITES
+    * `bid=<id>`. A batch replayed after a crash-before-commit re-reads
+    * the SAME predecessor snapshot (its own partial output is ignored
+    * by the `< id` cut, whole or torn) and rewrites the same directory
+    * — idempotent by construction; EventStreamSpec proves it with a
+    * commit-wipe replay. Snapshots strictly older than the predecessor
+    * are GC'd after a successful write (the predecessor itself must
+    * survive until batch id COMMITS, or a replay would see an empty
+    * store), so steady-state disk is two snapshots. At 100 TB each
+    * refresh costs one batch-sized aggregate plus one state-keyed
+    * shuffle — never a history scan.
+    */
+  def incrementalAggMaintainStream(events: DataFrame, stateDir: String,
+      ckDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeAggSnapshot(batch, stateDir, id)
+      }
+      .start()
+
+  /** One micro-batch of the snapshot merge (factored out so the spec can
+    * also drive it directly). See [[incrementalAggMaintainStream]].
+    */
+  private[graft] def mergeAggSnapshot(batch: Dataset[org.apache.spark.sql.Row],
+      stateDir: String, id: Long): Unit = {
+    val s = batch.sparkSession
+    val partial = graft.ops.Aggregates.userAggPartial(batch)
+    val prev = latestSnapshotId(s, stateDir, id)
+    val merged = prev match {
+      case Some(p) => graft.ops.Aggregates.userAggMerge(
+        s.read.parquet(s"$stateDir/bid=$p").unionByName(partial))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/bid=$id")
+    // GC snapshots strictly older than the predecessor just consumed —
+    // a replay of THIS batch only ever re-reads `prev`, never anything
+    // older, and earlier batches are already committed.
+    prev.foreach { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      snapshotIds(s, stateDir).filter(_ < p).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/bid=$old"), true)
+      }
+    }
+  }
+
+  /** All snapshot batch-ids currently in the store. */
+  private def snapshotIds(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("bid="))
+      .map(_.stripPrefix("bid=")).flatMap(n => n.toLongOption)
+  }
+
+  /** Newest snapshot id STRICTLY below `beforeId` — the `< id` cut is
+    * what makes a replayed batch ignore its own crashed partial write.
+    */
+  private[graft] def latestSnapshotId(s: org.apache.spark.sql.SparkSession,
+      stateDir: String, beforeId: Long): Option[Long] = {
+    val ids = snapshotIds(s, stateDir).filter(_ < beforeId)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   // ---- custom state: mapGroupsWithState sessionization -------------------
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

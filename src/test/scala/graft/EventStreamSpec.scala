@@ -178,6 +178,89 @@ class EventStreamSpec extends SparkSpec {
       s"replayed batch duplicated rows: ${out.collect().toSeq}")
   }
 
+  /** Read the newest state snapshot the maintenance stream produced. */
+  private def latestAggSnapshot(stateDir: String) = {
+    val id = EventStream.latestSnapshotId(spark, stateDir, Long.MaxValue)
+      .getOrElse(fail(s"no snapshot in $stateDir"))
+    spark.read.parquet(s"$stateDir/bid=$id")
+  }
+
+  private def awaitStreamRelease(): Unit = {
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+  }
+
+  test("incremental agg maintenance stream: commit-wipe replay does not double-count") {
+    // Same crash-before-commit simulation as the idempotent-sink test,
+    // but against MERGED state: after batch 1 merges on top of batch 0's
+    // snapshot, wipe its commit marker and restart. The replayed batch 1
+    // must re-read batch 0's snapshot (not its own crashed output) and
+    // rewrite bid=1 — final state equals the full recompute, cents exact.
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_mv_src"); val ck = tmp("graft_mv_ck")
+    val stateDir = tmp("graft_mv_state")
+    def stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").json(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b0.json"),
+      Seq(
+        """{"user_id":1,"ts":"2021-01-01T10:00:00Z","value":1.25}""",
+        """{"user_id":2,"ts":"2021-01-01T11:00:00Z","value":2.50}""")
+        .mkString("\n").getBytes)
+    val q1 = EventStream.incrementalAggMaintainStream(stream, stateDir, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    awaitStreamRelease()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b1.json"),
+      Seq(
+        """{"user_id":1,"ts":"2021-01-02T09:00:00Z","value":3.75}""",
+        """{"user_id":3,"ts":"2021-01-02T10:00:00Z","value":0.10}""")
+        .mkString("\n").getBytes)
+    val q2 = EventStream.incrementalAggMaintainStream(stream, stateDir, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    awaitStreamRelease()
+    // crash-before-commit: offsets for batch 1 exist, commit marker wiped
+    val commits = new java.io.File(ck, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length == 2)
+    assert(commits.last.delete())
+    new java.io.File(ck, s"commits/.${commits.last.getName}.crc").delete()
+    val q3 = EventStream.incrementalAggMaintainStream(stream, stateDir, ck)
+    try q3.processAllAvailable() finally q3.stop()
+    val fin = latestAggSnapshot(stateDir)
+      .select("user_id", "n_events", "cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fin === Set((1L, 2L, 500L), (2L, 1L, 250L), (3L, 1L, 10L)),
+      s"replayed merge diverged from full recompute: $fin")
+  }
+
+  test("incremental agg maintenance stream: parity with batch recompute at three SFs") {
+    // The hash-parity contract of the batch QueryDef, carried to the
+    // stream: run the fixture events through the maintenance stream in
+    // file-per-trigger micro-batches; the final snapshot must equal the
+    // one-shot aggregate (merge ≡ rebuild — the monoid claim, now proven
+    // across ARBITRARY micro-batch splits, not just the batch 8/2 one).
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val src = s"/root/testdata/$sf"
+      val ev = graft.core.Tables.events(spark, src)
+        .select(col("user_id"), col("ts"), col("value"))
+      val stage = tmp(s"graft_mvp_src_$sf")
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      val stateDir = tmp(s"graft_mvp_state_$sf")
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = EventStream.incrementalAggMaintainStream(
+        stream, stateDir, tmp(s"graft_mvp_ck_$sf"))
+      try q.processAllAvailable() finally q.stop()
+      awaitStreamRelease()
+      val got = latestAggSnapshot(stateDir)
+      val want = graft.ops.Aggregates.userAggPartial(ev)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$sf: streamed state != batch recompute")
+    }
+  }
+
   test("foreachBatch incremental MV merge: running store equals full recompute") {
     // The streaming twin of the batch `mv_incremental_merge` identity:
     // each micro-batch contributes a partial (count, exact-cents)
