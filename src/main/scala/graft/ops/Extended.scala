@@ -301,7 +301,7 @@ object Extended {
     * min-label propagation loop shared by `dup_clusters` and
     * `cluster_canonical`.
     */
-  private def clusterAssignments(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clusterAssignments(s: SparkSession, d: String): DataFrame = {
     // STAR CONTRACTION of each LSH bucket instead of the all-pairs clique:
     // connectivity through a bucket is fully captured by spoke→hub edges
     // (hub = the bucket's min doc_id), so components — and therefore the
@@ -426,7 +426,7 @@ object Extended {
     * min-reachable-id mirror of [[clusterAssignments]]; callers must open
     * with WITH RECURSIVE.
     */
-  private val sqlClusterCc: String =
+  private[graft] val sqlClusterCc: String =
     s"""$sqlSignatures,
       bands AS ($sqlBandsFromSig),
       pairs AS ($sqlCappedPairs),

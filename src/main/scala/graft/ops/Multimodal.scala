@@ -180,25 +180,54 @@ object Multimodal {
     * words are dropped (sub-thumbnail images): their trailing zero
     * pixels otherwise correlate every short doc with every other.
     */
+  /** Perceptual hash (aHash) of each payload — factored so both the
+    * banded near-dup search below and the cross-modal composition can
+    * consume it. Input: (doc_id, payload BINARY); payloads under 32
+    * words carry no hash (sub-thumbnail images — their trailing zero
+    * pixels otherwise correlate every short doc with every other).
+    */
+  private[graft] def phashOf(payloads: DataFrame): DataFrame = {
+    val h32x = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+    payloads
+      .select(col("doc_id"),
+        Text.words(decode(col("payload"), "UTF-8")).as("w"))
+      .filter(size(col("w")) >= 32)
+      .withColumn("cs", expr("(size(w) + 31) div 32"))
+      .withColumn("px", expr(
+        "transform(sequence(1, 32), i -> " +
+          s"aggregate(slice(w, (i - 1) * cs + 1, cs), CAST(0 AS BIGINT), " +
+          s"(a, x) -> a + $h32x) % 256)"))
+      .withColumn("sp", expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("ph", expr(
+        "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
+          "a + IF(32 * element_at(px, i) >= sp, " +
+          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
+      .select(col("doc_id"), col("ph"))
+  }
+
+  /** DuckDB mirror of [[phashOf]]: CTE chain ending in ph(doc_id, ph)
+    * over `documents` (payload ≡ encode(text), so the oracle works from
+    * the text directly). Shared verbatim by both phash oracles.
+    */
+  private[graft] val sqlPhash: String =
+    s"""pws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
+      pws32 AS (SELECT * FROM pws WHERE len(w) >= 32),
+      px AS (SELECT doc_id,
+              [CAST(coalesce(list_sum([${Text.sqlH32("x")}
+                  FOR x IN w[(i-1)*((len(w)+31)//32)+1 : i*((len(w)+31)//32)]]),
+                  0) AS BIGINT) % 256
+               FOR i IN generate_series(1, 32)] AS px
+             FROM pws32),
+      ph AS (SELECT doc_id,
+              CAST(list_sum([CASE WHEN 32 * px[i] >= CAST(list_sum(px) AS BIGINT)
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+                     FOR i IN generate_series(1, 32)]) AS BIGINT) AS ph
+             FROM px)"""
+
   val imagePhashNearDup: QueryDef = QueryDef(
     "image_phash_near_dup",
     (s, d) => {
-      val h32x = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
-      val ph = media(s, d)
-        .select(col("doc_id"),
-          Text.words(decode(col("payload"), "UTF-8")).as("w"))
-        .filter(size(col("w")) >= 32)
-        .withColumn("cs", expr("(size(w) + 31) div 32"))
-        .withColumn("px", expr(
-          "transform(sequence(1, 32), i -> " +
-            s"aggregate(slice(w, (i - 1) * cs + 1, cs), CAST(0 AS BIGINT), " +
-            s"(a, x) -> a + $h32x) % 256)"))
-        .withColumn("sp", expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .withColumn("ph", expr(
-          "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
-            "a + IF(32 * element_at(px, i) >= sp, " +
-            "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
-        .select(col("doc_id"), col("ph"))
+      val ph = phashOf(media(s, d).select(col("doc_id"), col("payload")))
       val bandStructs = (0 until 4).map(b =>
         s"struct($b AS band, shiftright(ph, ${8 * b}) & 255 AS code)")
         .mkString(", ")
@@ -221,19 +250,7 @@ object Multimodal {
         .orderBy(col("d1"), col("d2"))
     },
     Some(s"""
-      WITH ws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
-      ws32 AS (SELECT * FROM ws WHERE len(w) >= 32),
-      px AS (SELECT doc_id,
-              [CAST(coalesce(list_sum([${Text.sqlH32("x")}
-                  FOR x IN w[(i-1)*((len(w)+31)//32)+1 : i*((len(w)+31)//32)]]),
-                  0) AS BIGINT) % 256
-               FOR i IN generate_series(1, 32)] AS px
-             FROM ws32),
-      ph AS (SELECT doc_id,
-              CAST(list_sum([CASE WHEN 32 * px[i] >= CAST(list_sum(px) AS BIGINT)
-                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
-                     FOR i IN generate_series(1, 32)]) AS BIGINT) AS ph
-             FROM px),
+      WITH $sqlPhash,
       sbands AS (
         SELECT doc_id, ph, b.band, (ph >> (8 * b.band)) & 255 AS code
         FROM ph, range(4) b(band)),
@@ -253,6 +270,72 @@ object Multimodal {
     """),
     doc = "perceptual-hash (aHash) near-dup over binary payloads, banded Hamming<=1")
 
+  /** Cross-modal curation gate — the composition a multimodal training
+    * pipeline runs once per-modality dedup exists: records the TEXT side
+    * says are duplicates ([[graft.ops.Extended.clusterAssignments]]'s
+    * near-dup clusters) audited against the MEDIA side's perceptual
+    * hash. Per non-canonical cluster member: the Hamming distance of its
+    * payload aHash to the cluster canonical's (the `cluster_canonical`
+    * election rule — longest text, tie = lowest id), and the
+    * `media_match` verdict at the phash family's ≤ 1 threshold. A FALSE
+    * is the interesting record: text-duplicate-but-media-distinct —
+    * collapsing it onto the canonical would silently drop unique media,
+    * so a curation pipeline must gate on ALL modalities before keeping
+    * one representative. Scale shape: phash is computed only for
+    * CLUSTER MEMBERS (semi-join pushes the member set below the
+    * 32-pixel lambda work — members ≪ corpus), the canonical's hash
+    * rides a first_value window over the member frame (no join-back,
+    * no second phash pass), and the CC assignment subtree is the same
+    * checkpointed fixpoint dup_clusters runs (driver-coordinated →
+    * ScaleSpec `eager`). Docs under 32 words carry no phash; their
+    * hamming is NULL and media_match false (unverifiable media ≠
+    * verified match).
+    */
+  val crossModalCheck: QueryDef = QueryDef(
+    "cross_modal_check",
+    (s, d) => {
+      val ca = graft.ops.Extended.clusterAssignments(s, d)
+      val memberPh = phashOf(
+        media(s, d).select(col("doc_id"), col("payload"))
+          .join(ca.select(col("doc_id")), Seq("doc_id"), "semi"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      ca.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .join(memberPh, Seq("doc_id"), "left")
+        .withColumn("canon_id", first(col("doc_id")).over(w))
+        .withColumn("cph", first(col("ph")).over(w))
+        .filter(col("doc_id") =!= col("canon_id"))
+        .withColumn("hamming",
+          expr("CAST(bit_count(ph ^ cph) AS INT)"))
+        .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+          col("hamming"),
+          coalesce(col("hamming") <= 1, lit(false)).as("media_match"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${graft.ops.Extended.sqlClusterCc},
+      $sqlPhash,
+      j AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars, ph.ph
+            FROM cc JOIN documents d USING (doc_id)
+            LEFT JOIN ph USING (doc_id)),
+      r AS (SELECT *,
+              first_value(doc_id) OVER w AS canon_id,
+              first_value(ph) OVER w AS cph
+            FROM j
+            WINDOW w AS (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT doc_id, cluster_id, canon_id,
+             CAST(bit_count(xor(ph, cph)) AS INT) AS hamming,
+             coalesce(bit_count(xor(ph, cph)) <= 1, FALSE) AS media_match
+      FROM r WHERE doc_id <> canon_id ORDER BY doc_id
+    """),
+    doc = "cross-modal gate: text near-dup members vs canonical's media phash")
+
   val all: Seq[QueryDef] = Seq(mediaFeatures, frameSample, binaryFilesScan,
-    imagePhashNearDup)
+    imagePhashNearDup, crossModalCheck)
 }

@@ -263,6 +263,8 @@ class ScaleSpec extends SparkSpec {
     val eager = Set("box_range_filter", "split_partitioned_write",
       "csv_corrupt_quarantine",
       "json_sink_roundtrip", "orc_sink_roundtrip", "dup_clusters",
+      // cross_modal_check embeds the same driver-coordinated CC fixpoint
+      "cross_modal_check",
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
       "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
