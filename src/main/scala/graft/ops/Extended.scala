@@ -1258,10 +1258,14 @@ object Extended {
   // the even coordinates (4 bands × 8 ext bits = the remaining 32 of the
   // 64-dim exact-sign budget), enabled only when the corpus count crosses
   // the ladder. Recall at wide codes drops (per-bit collision ~0.86 for
-  // true near-dups → a production corpus also grows BANDS, which cost
-  // linearly); past the 16-bit dim budget, bucket population grows
-  // linearly again — the honest ceiling of exact-coordinate-sign codes,
-  // recorded in SCALING.md.
+  // true near-dups), so the BAND count scales with the bit count too
+  // (round 14: nBandsLadder/EmbBandsFor — extra bands draw their
+  // hyperplanes from exact coordinate COMPARISONS, since the base
+  // bands' single-coordinate signs exhaust the 64-dim budget at 16
+  // bits). The remaining honest ceiling: past ~524k vectors (nb capped
+  // at 16) bucket population grows linearly again; the next widening
+  // step needs real random projections (float dot signs — a
+  // cross-engine ulp hazard) or more dims, recorded in SCALING.md.
 
   /** Extension sign bits 8..15 for band `b`: even coordinates (the 8-bit
     * base uses the odd ones), disjoint across the 4 near-dup bands.
@@ -1285,9 +1289,96 @@ object Extended {
     * layout cross-engine. N ≤ 2048 → 8 bits, i.e. every fixture SF
     * (≤ 2000 vectors) uses the historical code unchanged.
     */
-  private def nbLadder(n: String): String =
-    (8 to 15).map(b => s"WHEN $n <= ${8L << b} THEN $b")
-      .mkString("CASE ", " ", " ELSE 16 END")
+  private[graft] def nbLadder(n: String): String =
+    (8 to EmbMaxBits - 1).map(b => s"WHEN $n <= ${8L << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $EmbMaxBits END")
+
+  /** Bit-ladder ceiling: 20 bits keeps expected bucket population ≤ 8 up
+    * to 8·2^20 ≈ 8.4M vectors. Bits 0..15 are single-coordinate signs
+    * (the 64-dim budget, odd coords then even); bits 16..19 come from
+    * the coordinate-COMPARISON pool ([[embXPair]]).
+    */
+  private[graft] val EmbMaxBits: Int = 20
+
+  /** Adaptive band COUNT per adaptive bit count — the recall half of the
+    * widening (round 14; closes SCALING.md's round-13 "honest limit"):
+    * widening the code from 8 to nb bits drops per-band true-near-dup
+    * recall from p^8 to p^nb (p ≈ 0.8564, the sign-collision probability
+    * 1 − acos(0.9)/π at the production near-dup cosine 0.9), so band
+    * count must grow ≈ 4·(1/p)^(nb−8) (ceil'd) to hold the 8-bit 4-band
+    * family recall roughly constant — bands cost LINEARLY in candidates
+    * while the bits keep buckets small. The table is precomputed here as
+    * exact integers and interpolated into BOTH engines' ladder texts
+    * (the KmvK single-sourcing discipline): 1−(1−p^nb)^bands stays in
+    * [0.70, 0.79] across the whole ladder. Fixture SFs sit on the
+    * nb = 8 floor → 4 bands, bit-identical history.
+    */
+  private[graft] val EmbBandsFor: Map[Int, Int] = Map(
+    8 -> 4, 9 -> 5, 10 -> 6, 11 -> 7, 12 -> 8, 13 -> 9, 14 -> 11,
+    15 -> 12, 16 -> 14, 17 -> 17, 18 -> 19, 19 -> 23, 20 -> 26)
+
+  private[graft] val EmbMaxBands: Int = EmbBandsFor(EmbMaxBits)
+
+  /** CASE ladder for the adaptive band count — same thresholds as
+    * [[nbLadder]], mapped through [[EmbBandsFor]].
+    */
+  private[graft] def nBandsLadder(n: String): String =
+    (8 to EmbMaxBits - 1).map(b => s"WHEN $n <= ${8L << b} THEN ${EmbBandsFor(b)}")
+      .mkString("CASE ", " ", s" ELSE ${EmbBandsFor(EmbMaxBits)} END")
+
+  /** Coordinate-comparison hyperplane pool: the 4 base bands' first 16
+    * bits consume all 64 single-coordinate signs (odd coords = base
+    * bits, even coords = extension bits), so every further bit — base
+    * bands' bits 16..19 and ALL extension-band bits — draws its
+    * hyperplane from a coordinate COMPARISON: sign(v[i1] − v[i2]),
+    * evaluated as the arithmetic-free exact compare v[i1] ≥ v[i2] (no
+    * float op ⇒ zero cross-engine ulp risk, same class as the base
+    * bands' sign reads). Pool slot q maps to stride o = q/64 + 1 and
+    * start k = q mod 64 → the pair (k, (k+o) mod 64): for o ≤ 31 every
+    * unordered pair determines (o, k) uniquely, so all slots are
+    * distinct hyperplanes (asserted in ScaleSpec). Slot allocation:
+    * base band b gets q = 4b + (j−16) for bits j ≥ 16; extension band
+    * b ≥ 4 gets q = 16 + (b−4)·EmbMaxBits + j — disjoint ranges, max q
+    * = 16 + 22·20 − 1 = 455 ≪ the 1984 slots strides 1..31 provide.
+    */
+  private[graft] def embXPair(q: Int): (Int, Int) = {
+    val o = q / 64 + 1
+    val k = q % 64
+    (1 + k, 1 + ((k + o) % 64))
+  }
+
+  /** Pool slot for (band, bit): see [[embXPair]]'s allocation. */
+  private[graft] def embXSlot(b: Int, j: Int): Int =
+    if (b < EmbBands) 4 * b + (j - 16)
+    else 16 + (b - EmbBands) * EmbMaxBits + j
+
+  /** Base band b's bits 16..19 as a 4-bit value (shifted into place by
+    * the caller); active only when nb > 16.
+    */
+  private def embBaseXExpr(v: String, b: Int): String =
+    (16 until EmbMaxBits).map { j =>
+      val (i1, i2) = embXPair(embXSlot(b, j))
+      s"IF(element_at($v, $i1) >= element_at($v, $i2), ${1 << (j - 16)}, 0)"
+    }.mkString(" + ")
+
+  private def sqlEmbBaseX(v: String, b: Int): String =
+    (16 until EmbMaxBits).map { j =>
+      val (i1, i2) = embXPair(embXSlot(b, j))
+      s"CASE WHEN $v[$i1] >= $v[$i2] THEN ${1 << (j - 16)} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Extension band b's full EmbMaxBits-bit comparison code. */
+  private def embXCodeExpr(v: String, b: Int): String =
+    (0 until EmbMaxBits).map { j =>
+      val (i1, i2) = embXPair(embXSlot(b, j))
+      s"IF(element_at($v, $i1) >= element_at($v, $i2), ${1L << j}, 0)"
+    }.mkString(" + ")
+
+  private def sqlEmbXCode(v: String, b: Int): String =
+    (0 until EmbMaxBits).map { j =>
+      val (i1, i2) = embXPair(embXSlot(b, j))
+      s"CASE WHEN $v[$i1] >= $v[$i2] THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
 
   /** ANN tuning (AnnBits × AnnBands) — see the parameter scaladoc. */
   private[ops] def annBands(vs: DataFrame): DataFrame =
@@ -1297,34 +1388,71 @@ object Extended {
     * groupBy(bucket) + in-bucket pair expansion + 2..1000 skew cap shape
     * as the MinHash `lshCandidates` (one shuffle on the band code, never a
     * self-join), with the bucket code ADAPTIVELY widened from 8 to up to
-    * 16 bits as the corpus count crosses the [[nbLadder]] thresholds (the
+    * 20 bits AND the band count widened from 4 to up to 26 as the corpus
+    * count crosses the [[nbLadder]]/[[nBandsLadder]] thresholds (one
     * one-row count frame broadcast-crosses in — the scalar-subquery
-    * shape), so expected bucket population stays ≤ ~8 up to 500k vectors
-    * and candidate volume stays ~linear instead of N²·bands/2^bits.
-    * pmod(ext, 1 << (nb−8)) keeps the low nb−8 extension bits; at
-    * nb = 8 the modulus is 1 and the code equals the historical 8-bit
-    * one — every fixture-scale output is bit-identical.
+    * shape): the bits keep expected bucket population ≤ ~8 up to 8.4M
+    * vectors (candidate volume ~linear instead of N²·bands/2^bits), the
+    * bands hold true-near-dup recall ≈ the 8-bit 4-band family's as the
+    * codes widen (see [[EmbBandsFor]]). pmod(code, 1 << nb) keeps the
+    * low nb bits; at nb = 8 / nbands = 4 the extra bands drop out of the
+    * explode entirely and the code equals the historical 8-bit one —
+    * every fixture-scale output is bit-identical.
     */
-  private def embCandidates(vs: DataFrame): DataFrame = {
+  /** Banded candidates SCORED IN-BUCKET: (d1 < d2, cos6). The bucket's
+    * collect_list carries (vec_id, v, nrm) — the simhash_near_dup
+    * discipline — so the exact cosine is computed inside the pair
+    * expansion and the candidate pair NEVER ships a 530-byte vector
+    * payload through a join-back shuffle. The 2M-vector probe measured
+    * why this matters: with ~50 candidates/vector (the price of recall
+    * 0.75 on an isotropic corpus at bucket target 8), the old
+    * pairs→join(v1)→join(v2) plan shuffled ~140 GB of per-pair vector
+    * payloads and filled the probe box's disk; in-bucket scoring ships
+    * each vector once per band (~20 GB at 2M×19 bands), linear in
+    * corpus×bands. The same (d1, d2) can surface from several bands
+    * with a bit-identical cos6 (same operands, same expression), so the
+    * trailing distinct dedups full rows exactly as the old
+    * pairs-distinct did.
+    */
+  private def embScoredPairs(vs: DataFrame): DataFrame = {
     val nb = vs.agg(count(lit(1)).as("nv"))
-      .select(expr(nbLadder("nv")).as("nb"))
-    val bandStructs = (0 until EmbBands)
-      .map(b => s"struct($b AS band, ${embCodeExpr(EmbBits)("v", b)} AS code8, " +
-        s"${embExtExpr("v", b)} AS ext)")
-      .mkString(", ")
+      .select(expr(nbLadder("nv")).as("nb"),
+        expr(nBandsLadder("nv")).as("nbands"))
+    // Per-band codes as SEPARATE Project columns, with the explode only
+    // referencing them: 26 band codes × ~40 sign reads inside ONE
+    // Generate expression overflow Janino's 64 KB method limit (codegen
+    // falls back to interpretation for the whole stage — measured at the
+    // 2M probe AND inherited by fixture-scale plans, since the
+    // expression tree is static). ProjectExec splits its generated code
+    // per expression, so each band's code codegens independently.
+    val codeCols = ((0 until EmbBands)
+      .map(b => expr(s"${embCodeExpr(EmbBits)("v", b)} + " +
+        s"pmod(${embExtExpr("v", b)}, shiftleft(1, nb - 8)) * 256 + " +
+        s"pmod(${embBaseXExpr("v", b)}, " +
+        s"shiftleft(1, greatest(nb - 16, 0))) * 65536").as(s"c$b")) ++
+      (EmbBands until EmbMaxBands)
+        .map(b => expr(s"pmod(${embXCodeExpr("v", b)}, shiftleft(1, nb))")
+          .as(s"c$b")))
+    val bandStructs = (0 until EmbMaxBands)
+      .map(b => s"struct($b AS band, c$b AS code)").mkString(", ")
     vs.crossJoin(broadcast(nb))
-      .select(col("vec_id"), col("nb"),
+      .select(Seq(col("vec_id"), col("v"), col("nrm"), col("nbands")) ++
+        codeCols: _*)
+      .select(col("nbands"), struct(col("vec_id"), col("v"), col("nrm")).as("m"),
         explode(expr(s"array($bandStructs)")).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"),
-        expr("bs.code8 + pmod(bs.ext, shiftleft(1, nb - 8)) * 256").as("code"))
+      .filter(col("bs.band") < col("nbands"))
+      .select(col("bs.band").as("band"), col("bs.code").as("code"), col("m"))
       .groupBy(col("band"), col("code"))
-      .agg(expr("array_sort(collect_list(vec_id))").as("ds"))
-      .filter(size(col("ds")).between(2, 1000))
+      .agg(expr("array_sort(collect_list(m))").as("ms"))
+      .filter(size(col("ms")).between(2, 1000))
       .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> " +
+          "struct(x.vec_id AS d1, y.vec_id AS d2, " +
+          s"${sqlSparkDot("x.v", "y.v")} / (x.nrm * y.nrm) AS cos))))"))
         .as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        Text.hround(col("p.cos"), 6).as("cos6"))
       .distinct()
   }
 
@@ -1349,18 +1477,24 @@ object Extended {
       .mkString(" UNION ALL ")
 
   private def sqlEmbCandidates: String = {
-    val raw = (0 until EmbBands)
+    val raw = ((0 until EmbBands)
       .map(b => s"SELECT vec_id, $b AS band, " +
-        s"${sqlEmbCode(EmbBits)("v", b)} AS code8, " +
-        s"${sqlEmbExt("v", b)} AS ext FROM vsrc")
+        s"${sqlEmbCode(EmbBits)("v", b)} + " +
+        s"((${sqlEmbExt("v", b)}) % (1 << (nb - 8))) * 256 + " +
+        s"((${sqlEmbBaseX("v", b)}) % (1 << greatest(nb - 16, 0))) * 65536" +
+        s" AS code FROM vsrc, nbv") ++
+      (EmbBands until EmbMaxBands)
+        .map(b => s"SELECT vec_id, $b AS band, " +
+          s"(${sqlEmbXCode("v", b)}) % (1 << nb) AS code FROM vsrc, nbv"))
       .mkString(" UNION ALL ")
-    // nbv: the adaptive-bit-count one-row frame (nbLadder's exact twin);
-    // at every fixture SF nb = 8 and code ≡ the historical 8-bit code
-    s"""nbv AS (SELECT ${nbLadder("count(*)")} AS nb FROM vsrc),
+    // nbv: the adaptive bit/band-count one-row frame (the nbLadder /
+    // nBandsLadder exact twins); at every fixture SF nb = 8, nbands = 4,
+    // the extra bands drop out, and code ≡ the historical 8-bit code
+    s"""nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
+                       ${nBandsLadder("count(*)")} AS nbands FROM vsrc),
        ebands AS (
-         SELECT vec_id, band,
-                code8 + (ext % (1 << (nb - 8))) * 256 AS code
-         FROM ($raw), nbv),
+         SELECT vec_id, band, code FROM ($raw)
+         WHERE band < (SELECT nbands FROM nbv)),
        epairs AS (
          SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
          FROM ebands a
@@ -1698,19 +1832,10 @@ object Extended {
     */
   val embedNearDup: QueryDef = QueryDef(
     "embed_near_dup",
-    (s, d) => {
-      val all = vecs(s, d)
-      embCandidates(all)
-        .join(all.select(col("vec_id").as("d1"), col("v").as("v1"),
-          col("nrm").as("n1")).hint("shuffle_hash"), Seq("d1"))
-        .join(all.select(col("vec_id").as("d2"), col("v").as("v2"),
-          col("nrm").as("n2")).hint("shuffle_hash"), Seq("d2"))
-        .withColumn("cos6",
-          Text.hround(expr(sqlSparkDot("v1", "v2")) / (col("n1") * col("n2")), 6))
+    (s, d) =>
+      embScoredPairs(vecs(s, d))
         .filter(col("cos6") >= 0.2)
-        .select(col("d1"), col("d2"), col("cos6"))
-        .orderBy(col("d1"), col("d2"))
-    },
+        .orderBy(col("d1"), col("d2")),
     Some(s"""
       WITH vsrc AS ($sqlVecs),
       $sqlEmbCandidates
@@ -2434,13 +2559,7 @@ object Extended {
       // 3: embedding near-dup among survivors (vec_id == doc_id)
       val vs = vecs(s, d)
         .join(deduped.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-      val drops = embCandidates(vs)
-        .join(vs.select(col("vec_id").as("d1"), col("v").as("v1"),
-          col("nrm").as("n1")).hint("shuffle_hash"), Seq("d1"))
-        .join(vs.select(col("vec_id").as("d2"), col("v").as("v2"),
-          col("nrm").as("n2")).hint("shuffle_hash"), Seq("d2"))
-        .withColumn("cos6",
-          Text.hround(expr(sqlSparkDot("v1", "v2")) / (col("n1") * col("n2")), 6))
+      val drops = embScoredPairs(vs)
         .filter(col("cos6") >= 0.2)
         .select(col("d2").as("doc_id")).distinct()
       val survivors = deduped

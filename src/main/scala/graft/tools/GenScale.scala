@@ -120,6 +120,27 @@ object GenScale {
     Seq.fill(dim)(if (r.nextBoolean()) 1.0f else -1.0f)
   }
 
+  /** Replica-i embedding isometry (dimension rotation + per-replica sign
+    * diagonal — see the object scaladoc); i = 0 is the identity. Shared
+    * with [[AnnProbe]] so the ANN scale probe upsamples by the exact
+    * same transform the general probe uses.
+    */
+  private[graft] def embReplica(d: DataFrame, i: Int, vecBase: Long,
+      dim: Int): DataFrame =
+    if (i == 0) d
+    else {
+      val r = i % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      val flip = array(signs(i, dim).map(lit): _*)
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecBase))
+        .withColumn("embedding",
+          zip_with(rotated, flip, (x, sg) => x * sg))
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
@@ -181,21 +202,8 @@ object GenScale {
     val emb = Tables.embeddings(spark, src)
     val vecBase = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    write(replicate(emb, (d, i) => {
-      if (i == 0) d
-      else {
-        val r = i % dim
-        val rotated =
-          if (r == 0) col("embedding")
-          else concat(
-            slice(col("embedding"), r + 1, dim - r),
-            slice(col("embedding"), 1, r))
-        val flip = array(signs(i, dim).map(lit): _*)
-        d.withColumn("vec_id", col("vec_id") + lit(i * vecBase))
-          .withColumn("embedding",
-            zip_with(rotated, flip, (x, sg) => x * sg))
-      }
-    }), "embeddings", 8)
+    write(replicate(emb, (d, i) => embReplica(d, i, vecBase, dim)),
+      "embeddings", 8)
 
     spark.stop()
     println(s"[genscale] done: $out (factor $factor)")

@@ -254,6 +254,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("adaptive bit/band ladders: fixture floor, monotone growth, distinct hyperplanes") {
+    // The round-13/14 fixed-domain-bucket-key fix, pinned: the in-plan
+    // bit ladder must floor at 8 bits / 4 bands for every fixture SF
+    // (zero oracle churn) and widen BOTH knobs monotonically with the
+    // corpus count — bits bound bucket population, bands restore the
+    // recall the wider codes give up.
+    def eval(ladder: String, n: Long): Int =
+      spark.sql(s"SELECT ${ladder.replace("count(*)", n.toString)
+        .replace("nv", n.toString)} AS x").head().getInt(0)
+    val counts = Seq(20L, 200L, 2000L, 2048L, 2049L, 20000L, 200000L,
+      262144L, 262145L, 2000000L, 10000000L)
+    val nbs = counts.map(n => eval(ops.Extended.nbLadder("nv"), n))
+    val bands = counts.map(n => eval(ops.Extended.nBandsLadder("nv"), n))
+    assert(nbs.take(4) === Seq(8, 8, 8, 8), s"fixture SFs must floor at 8 bits: $nbs")
+    assert(bands.take(4) === Seq(4, 4, 4, 4), s"fixture SFs must floor at 4 bands: $bands")
+    assert(nbs === nbs.sorted && bands === bands.sorted,
+      s"ladders must be monotone: $nbs / $bands")
+    assert(nbs.last === ops.Extended.EmbMaxBits &&
+      bands.last === ops.Extended.EmbMaxBands)
+    assert(nbs.zip(bands).toMap === nbs.map(b => b -> ops.Extended.EmbBandsFor(b)).toMap,
+      "band ladder out of sync with EmbBandsFor")
+    // comparison-pool hyperplanes: every slot any band/bit can draw —
+    // base bands' bits 16.., extension bands' full codes — must be a
+    // valid, DISTINCT unordered coordinate pair; a repeat would
+    // duplicate a band's information and silently cut effective recall
+    val slots = (for {
+      b <- 0 until ops.Extended.EmbBands
+      j <- 16 until ops.Extended.EmbMaxBits
+    } yield ops.Extended.embXSlot(b, j)) ++ (for {
+      b <- ops.Extended.EmbBands until ops.Extended.EmbMaxBands
+      j <- 0 until ops.Extended.EmbMaxBits
+    } yield ops.Extended.embXSlot(b, j))
+    assert(slots.distinct.size === slots.size, "band/bit slot allocation overlaps")
+    val pairs = slots.map(ops.Extended.embXPair)
+    pairs.foreach { case (i1, i2) =>
+      assert(i1 != i2 && i1 >= 1 && i1 <= 64 && i2 >= 1 && i2 <= 64) }
+    val unordered = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(unordered.distinct.size === pairs.size,
+      "comparison pool repeats a coordinate-pair hyperplane")
+  }
+
   test("plan construction is lazy: no data jobs before any action") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
