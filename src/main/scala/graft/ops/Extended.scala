@@ -1367,18 +1367,31 @@ object Extended {
       s"CASE WHEN $v[$i1] >= $v[$i2] THEN ${1 << (j - 16)} ELSE 0 END"
     }.mkString(" + ")
 
-  /** Extension band b's full EmbMaxBits-bit comparison code. */
-  private def embXCodeExpr(v: String, b: Int): String =
-    (0 until EmbMaxBits).map { j =>
-      val (i1, i2) = embXPair(embXSlot(b, j))
-      s"IF(element_at($v, $i1) >= element_at($v, $i2), ${1L << j}, 0)"
-    }.mkString(" + ")
-
   private def sqlEmbXCode(v: String, b: Int): String =
     (0 until EmbMaxBits).map { j =>
       val (i1, i2) = embXPair(embXSlot(b, j))
       s"CASE WHEN $v[$i1] >= $v[$i2] THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
+
+  /** The full comparison pool flattened to two literal index arrays
+    * (slot q compares v[XPairA(q)] ≥ v[XPairB(q)]) — the Spark side
+    * computes ALL extension-band codes in ONE higher-order-function
+    * expression over these (a `typedlit` array is a single Literal
+    * node), instead of 22 bands × 20 static IF-trees: the static form
+    * added ~3000 Catalyst nodes to every consumer's plan and was
+    * measured as +0.75 s of pure analysis/codegen per plan at
+    * sf0.001 (where execution is ~0). The HOF evaluates interpreted,
+    * but only when the ladder is past the fixture floor (the nbands
+    * gate returns a constant array at nbands = 4) and its per-vector
+    * cost (440 exact compares) is noise against candidate work at the
+    * corpus sizes that activate it.
+    */
+  private[graft] val XPairA: Seq[Int] =
+    (0 until 16 + (EmbMaxBands - EmbBands) * EmbMaxBits)
+      .map(q => embXPair(q)._1)
+  private[graft] val XPairB: Seq[Int] =
+    (0 until 16 + (EmbMaxBands - EmbBands) * EmbMaxBits)
+      .map(q => embXPair(q)._2)
 
   /** ANN tuning (AnnBits × AnnBands) — see the parameter scaladoc. */
   private[ops] def annBands(vs: DataFrame): DataFrame =
@@ -1418,24 +1431,37 @@ object Extended {
     val nb = vs.agg(count(lit(1)).as("nv"))
       .select(expr(nbLadder("nv")).as("nb"),
         expr(nBandsLadder("nv")).as("nbands"))
-    // Per-band codes as SEPARATE Project columns, with the explode only
-    // referencing them: 26 band codes × ~40 sign reads inside ONE
-    // Generate expression overflow Janino's 64 KB method limit (codegen
-    // falls back to interpretation for the whole stage — measured at the
-    // 2M probe AND inherited by fixture-scale plans, since the
-    // expression tree is static). ProjectExec splits its generated code
-    // per expression, so each band's code codegens independently.
+    // Base-band codes stay as 4 SEPARATE Project columns (the
+    // historical codegen'd hot path; ProjectExec splits generated code
+    // per expression, so none overflows Janino's 64 KB method limit —
+    // one Generate carrying every band's static IF-tree did, silently
+    // disabling whole-stage codegen even at fixture scale). The 22
+    // EXTENSION bands' codes come from ONE HOF over the literal
+    // comparison pool (see [[XPairA]]) — static IF-trees for them
+    // added ~3000 plan nodes and ~0.75 s of analysis per consumer —
+    // gated to a constant array while the ladder sits on the fixture
+    // floor.
+    val nExt = EmbMaxBands - EmbBands
+    val xcodes = s"IF(nbands > $EmbBands, " +
+      s"transform(sequence(0, ${nExt - 1}), e -> " +
+      s"aggregate(sequence(0, ${EmbMaxBits - 1}), 0, (acc, j) -> " +
+      s"acc + IF(element_at(v, element_at(xaa, 17 + e * $EmbMaxBits + j)) >= " +
+      s"element_at(v, element_at(xbb, 17 + e * $EmbMaxBits + j)), " +
+      s"shiftleft(1, j), 0))), array_repeat(0, $nExt))"
     val codeCols = ((0 until EmbBands)
       .map(b => expr(s"${embCodeExpr(EmbBits)("v", b)} + " +
         s"pmod(${embExtExpr("v", b)}, shiftleft(1, nb - 8)) * 256 + " +
         s"pmod(${embBaseXExpr("v", b)}, " +
         s"shiftleft(1, greatest(nb - 16, 0))) * 65536").as(s"c$b")) ++
       (EmbBands until EmbMaxBands)
-        .map(b => expr(s"pmod(${embXCodeExpr("v", b)}, shiftleft(1, nb))")
-          .as(s"c$b")))
+        .map(b => expr(s"pmod(element_at(xcodes, ${b - EmbBands + 1}), " +
+          s"shiftleft(1, nb))").as(s"c$b")))
     val bandStructs = (0 until EmbMaxBands)
       .map(b => s"struct($b AS band, c$b AS code)").mkString(", ")
     vs.crossJoin(broadcast(nb))
+      .withColumn("xaa", typedlit(XPairA))
+      .withColumn("xbb", typedlit(XPairB))
+      .withColumn("xcodes", expr(xcodes))
       .select(Seq(col("vec_id"), col("v"), col("nrm"), col("nbands")) ++
         codeCols: _*)
       .select(col("nbands"), struct(col("vec_id"), col("v"), col("nrm")).as("m"),
@@ -5326,10 +5352,15 @@ object Extended {
     "sorted_neighborhood_er",
     (s, d) => {
       val p = snmCandidateFrame(s, d)
+      // threshold-banded levenshtein: O(len·k) instead of O(len²) —
+      // returns the exact distance when ≤ 40 (emitted values unchanged)
+      // and -1 past the band, hence the between filter. The sf10 stage
+      // profile measured the full lev as the dominant per-candidate
+      // cost of the SNM family (~24 s of a 29 s fellegi run).
       p.select(least(col("a"), col("nb.bid")).as("d1"),
           greatest(col("a"), col("nb.bid")).as("d2"),
-          levenshtein(col("t120"), col("nb.bt")).as("lev"))
-        .filter(col("lev") <= 40)
+          levenshtein(col("t120"), col("nb.bt"), 40).as("lev"))
+        .filter(col("lev").between(0, 40))
         .distinct()
         .orderBy(col("d1"), col("d2"))
     },
@@ -5649,7 +5680,10 @@ object Extended {
         val fSrc = col("source") === col("nb.bsrc")
         val fLen = abs(col("n_chars") - col("nb.blen")) * 10 <=
           least(col("n_chars"), col("nb.blen"))
-        val fLev = levenshtein(col("t120"), col("nb.bt")) <= 30
+        // banded lev (O(len·30) not O(len²)): -1 past the band, so ≥ 0
+        // is exactly the old ≤ 30 predicate (sf10 stage profile: the
+        // full lev dominated the scoring stage at ~24 s)
+        val fLev = levenshtein(col("t120"), col("nb.bt"), 30) >= 0
         led
           .select(least(col("a"), col("nb.bid")).as("d1"),
             greatest(col("a"), col("nb.bid")).as("d2"),
