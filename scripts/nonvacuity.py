@@ -38,6 +38,7 @@ THRESHOLD_QUERIES = {
     "er_recall_eval": "SNM window recall",
     "fellegi_sunter_er": "match-weight cut",
     "hard_negative_mine": "rank-2..k negatives",
+    "preference_pairs": "cluster pairs (usable mix is the gate)",
     "semantic_decontaminate": "cos>=0.35 vs eval set",
     "cdc_chunks": "content-defined cuts",
     "dup_span_runs": "8-gram span hits",

@@ -2728,6 +2728,82 @@ object Analytics {
     """),
     doc = "view→next-purchase delay: exact per-cohort median/p90 minutes via rank selection")
 
+  /** One-way ANOVA F-test of l_quantity across return flags — the k-group
+    * generalization of [[abTestWelch]]'s two-sample comparison (does ANY
+    * group mean differ?). One corpus pass collects exact per-group
+    * DECIMAL moments (n, Σx, Σx²); the grand totals ride an
+    * UNPARTITIONED WINDOW over the 7-row group frame (bounded domain —
+    * the round-11 fixed-domain-window rule, no one-row crossJoin
+    * needed); per-group SSB/SSW terms are computed in identical double
+    * chains from those exact operands and re-quantized to 1e-4 BIGINT
+    * units BEFORE the cross-group sum (the zipf_fit addition-order
+    * discipline), so F divides identical integers-scaled-by-1e4 — the
+    * 1e4 cancels in the ratio. eta² = SSB/(SSB+SSW) from the same
+    * quantized units.
+    */
+  val anovaOneway: QueryDef = QueryDef(
+    "anova_oneway",
+    (s, d) => {
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("l_quantity")).as("s_g"),
+          sum(col("l_quantity") * col("l_quantity")).as("q_g"))
+      val w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val t = g
+        .withColumn("n", sum(col("n_g")).over(w))
+        .withColumn("st", sum(col("s_g")).over(w))
+        .withColumn("m_g", col("s_g").cast("double") / col("n_g"))
+        .withColumn("m", col("st").cast("double") / col("n"))
+        .select(col("n"),
+          floor(col("n_g") * (col("m_g") - col("m")) * (col("m_g") - col("m"))
+            * lit(1e4) + lit(0.5)).cast("long").as("ssb_t"),
+          floor((col("q_g").cast("double") -
+            col("n_g") * col("m_g") * col("m_g")) * lit(1e4) + lit(0.5))
+            .cast("long").as("ssw_t"))
+      t.groupBy(col("n"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("ssb_t")).as("ssb_u4"), sum(col("ssw_t")).as("ssw_u4"))
+        .select(col("k"), col("n"), col("ssb_u4"), col("ssw_u4"),
+          Text.hround(
+            (col("ssb_u4").cast("double") / (col("k") - lit(1L))) /
+              (col("ssw_u4").cast("double") / (col("n") - col("k"))), 4)
+            .as("f4"),
+          Text.hround(col("ssb_u4").cast("double") /
+            (col("ssb_u4") + col("ssw_u4")), 4).as("eta4"))
+    },
+    Some(s"""
+      WITH g AS (SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n_g,
+                   sum(l_quantity) AS s_g,
+                   sum(l_quantity * l_quantity) AS q_g
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(n_g) OVER () AS BIGINT) AS n,
+              CAST(floor(n_g * (CAST(s_g AS DOUBLE) / n_g
+                  - CAST(sum(s_g) OVER () AS DOUBLE) / sum(n_g) OVER ())
+                * (CAST(s_g AS DOUBLE) / n_g
+                  - CAST(sum(s_g) OVER () AS DOUBLE) / sum(n_g) OVER ())
+                * 1e4 + 0.5e0) AS BIGINT) AS ssb_t,
+              CAST(floor((CAST(q_g AS DOUBLE)
+                  - n_g * (CAST(s_g AS DOUBLE) / n_g)
+                    * (CAST(s_g AS DOUBLE) / n_g)) * 1e4 + 0.5e0)
+                AS BIGINT) AS ssw_t
+            FROM g)
+      SELECT CAST(count(*) AS BIGINT) AS k, n,
+             CAST(sum(ssb_t) AS BIGINT) AS ssb_u4,
+             CAST(sum(ssw_t) AS BIGINT) AS ssw_u4,
+             ${Text.sqlHround(
+               """(CAST(sum(ssb_t) AS BIGINT) / CAST(count(*) - 1 AS DOUBLE))
+                  / (CAST(sum(ssw_t) AS BIGINT) / CAST(n - count(*) AS DOUBLE))""",
+               4)} AS f4,
+             ${Text.sqlHround(
+               """CAST(CAST(sum(ssb_t) AS BIGINT) AS DOUBLE)
+                  / (CAST(sum(ssb_t) AS BIGINT) + CAST(sum(ssw_t) AS BIGINT))""",
+               4)} AS eta4
+      FROM t GROUP BY n
+    """),
+    doc = "one-way ANOVA F + eta-squared of l_quantity across return flags (exact moments)")
+
   val all: Seq[QueryDef] =
     Seq(corrRegr, histogram, setOps, nullSafeJoin, funnel, cohortRetention,
       robustStats, skylinePareto, relationalDivision, arrayHof, chiSquare,
@@ -2739,5 +2815,6 @@ object Analytics {
       kaplanMeier, rankCorrelation, featureInfoGain, popularityHitRate,
       kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample,
       ksSketchDrift,
-      holtLinear, holtBacktest, timeToConvert, dpLaplaceHistogram)
+      holtLinear, holtBacktest, timeToConvert, dpLaplaceHistogram,
+      anovaOneway)
 }

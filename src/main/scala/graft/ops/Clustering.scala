@@ -667,7 +667,126 @@ object Clustering {
     """),
     doc = "PQ asymmetric-distance recall@5 vs exact L2 truth (integer-exact ADC sums)")
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) —
+    * the diversity-aware top-k a retrieval/curation stack runs AFTER
+    * similarity search: from each query's top-20 cosine candidates
+    * (the embed_cosine_topk brute-force truth, broadcast query side —
+    * ScaleSpec `intended`), greedily pick K = 5 maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) with λ = 0.7.
+    *
+    * Scale shape: the candidate pool per query is FIXED (20), so after
+    * the one collect_list shuffle the ENTIRE greedy selection runs as a
+    * single row-local aggregate() fold — zero per-step shuffles, zero
+    * unrolled plan depth, no growing lineage (contrast kcenter_coreset,
+    * whose selection set must come from the whole corpus and therefore
+    * pays K passes; MMR's pool-bounded variant is the production shape
+    * for per-query re-ranking). Parity: rel is the already-6-dp cos6,
+    * pairwise sims and the marginal score are hround(6)-quantized before
+    * every comparison (identical graft_dot / list_dot_product chains),
+    * ties break on vec_id, and step 1's score is literally
+    * 0.7·cos6 − 0.3·0 in both engines. The oracle replays the greedy
+    * as 5 unrolled window-argmax CTE steps — an independent formulation
+    * of the same fixed point (the ppjoin independent-oracle style).
+    */
+  val mmrDiverseTopk: QueryDef = {
+    val hr6 = "floor((%s) * 1000000e0 + 0.5e0) / 1000000e0"
+    val foldExpr = s"""
+      aggregate(
+        sequence(1, 5),
+        CAST(array() AS ARRAY<STRUCT<ord: INT, id: BIGINT, score6: DOUBLE,
+          v: ARRAY<DOUBLE>, nrm: DOUBLE>>),
+        (sel, stepi) -> array_append(sel,
+          element_at(
+            array_sort(
+              transform(
+                filter(cs, c -> NOT exists(sel, s -> s.id = c.nn_id)),
+                c -> struct(
+                  stepi AS ord,
+                  c.nn_id AS id,
+                  ${hr6.format(
+                    "0.7e0 * c.cos6 - 0.3e0 * coalesce(array_max(" +
+                      "transform(sel, s -> " +
+                      hr6.format("graft_dot(c.v, s.v) / (c.nrm * s.nrm)") +
+                      ")), 0e0)")} AS score6,
+                  c.v AS v,
+                  c.nrm AS nrm)),
+              (l, r) -> CASE WHEN l.score6 > r.score6 THEN -1
+                             WHEN l.score6 < r.score6 THEN 1
+                             WHEN l.id < r.id THEN -1
+                             WHEN l.id > r.id THEN 1 ELSE 0 END),
+            1)))"""
+    QueryDef(
+      "mmr_diverse_topk",
+      (s, d) => {
+        val cand = Extended.cosineTopKAt(s, d, 20)
+        val vv = Extended.vecs(s, d)
+          .select(col("vec_id"), col("v"), col("nrm"))
+        val pools = cand
+          .join(vv.hint("shuffle_hash"), col("nn_id") === col("vec_id"))
+          .groupBy(col("q_id"))
+          .agg(expr("array_sort(collect_list(struct(rn, nn_id, cos6, v, nrm)))")
+            .as("cs"))
+        pools
+          .select(col("q_id"), explode(expr(foldExpr)).as("m"))
+          .select(col("q_id"), col("m.ord").as("sel_order"),
+            col("m.id").as("nn_id"), col("m.score6").as("score6"))
+          .orderBy(col("q_id"), col("sel_order"))
+      },
+      Some {
+        def hr(x: String) = s"floor(($x) * 1000000e0 + 0.5e0) / 1000000e0"
+        val steps = (2 to 5).map { k =>
+          s"""ms$k AS MATERIALIZED (SELECT p.q_id, p.x AS nn_id, max(p.sim6) AS m
+                 FROM ps p JOIN sel${k - 1} s
+                   ON s.q_id = p.q_id AND s.nn_id = p.y
+                 GROUP BY 1, 2),
+             pick$k AS MATERIALIZED (SELECT q_id, nn_id, $k AS sel_order, score6 FROM (
+                 SELECT c.q_id, c.nn_id,
+                        ${hr("0.7e0 * c.cos6 - 0.3e0 * ms.m")} AS score6,
+                        row_number() OVER (PARTITION BY c.q_id ORDER BY
+                          ${hr("0.7e0 * c.cos6 - 0.3e0 * ms.m")} DESC,
+                          c.nn_id) AS r
+                 FROM cand c JOIN ms$k ms
+                   ON ms.q_id = c.q_id AND ms.nn_id = c.nn_id
+                 WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+                   WHERE s.q_id = c.q_id AND s.nn_id = c.nn_id))
+               WHERE r = 1),
+             sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1}
+               UNION ALL SELECT q_id, nn_id, sel_order, score6 FROM pick$k)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH n AS (${Extended.sqlVecs}),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+              WHERE vec_id % 100 = 0 AND vec_id <= 20000),
+        cd0 AS (SELECT q.q_id, n.vec_id AS nn_id,
+                  ${Text.sqlHround(
+                    "list_dot_product(q.qv, n.v) / (q.qn * n.nrm)", 6)} AS cos6,
+                  n.v, n.nrm
+                FROM q, n WHERE n.vec_id <> q.q_id),
+        cand AS MATERIALIZED (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos6 DESC, nn_id) AS rn FROM cd0)
+                WHERE rn <= 20),
+        ps AS MATERIALIZED (
+          SELECT a.q_id, a.nn_id AS x, b.nn_id AS y,
+                 ${Text.sqlHround(
+                   "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS sim6
+          FROM cand a JOIN cand b
+            ON a.q_id = b.q_id AND a.nn_id <> b.nn_id),
+        sel1 AS MATERIALIZED (SELECT q_id, nn_id, 1 AS sel_order, score6 FROM (
+            SELECT q_id, nn_id,
+                   ${hr("0.7e0 * cos6 - 0.3e0 * 0e0")} AS score6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY
+                     ${hr("0.7e0 * cos6 - 0.3e0 * 0e0")} DESC, nn_id) AS r
+            FROM cand) WHERE r = 1),
+        $steps
+        SELECT q_id, CAST(sel_order AS INTEGER) AS sel_order, nn_id, score6
+        FROM sel5 ORDER BY q_id, sel_order
+        """
+      },
+      doc = "MMR diversity re-rank: top-20 cosine pool, 5 greedy picks as one row-local fold")
+  }
+
   val all: Seq[QueryDef] =
     Seq(kmeansEmbed, embedOutliers, knnClassify, knnClassifyAnn,
-      kcenterCoreset, pqTrainEncode, pqRecall)
+      kcenterCoreset, pqTrainEncode, pqRecall, mmrDiverseTopk)
 }

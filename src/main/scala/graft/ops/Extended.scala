@@ -2440,6 +2440,103 @@ object Extended {
     """),
     doc = "Gopher rule battery: per-source pass counts for the published filters")
 
+  /** Per-document verdicts of three deterministic keep/drop "annotators"
+    * plus the [[qualityScore]] composite — the shared frame under the
+    * agreement family ([[graft.ops.Learn.cohenKappa]] /
+    * [[graft.ops.Learn.fleissKappa]]) and the preference-pair builder
+    * ([[graft.ops.Learn.preferencePairs]]). The raters are three real
+    * curation gates that disagree for REAL reasons (each reads a
+    * different signal), which is exactly the setup inter-annotator
+    * agreement statistics exist to quantify:
+    *   - ra: the [[qualityScore]] composite ≥ 0.5 (length/stopword/digit
+    *     blend);
+    *   - rb: the full [[gopherRules]] battery (word count ∈ [50, 100000],
+    *     mean word length ∈ [3, 10], ≥ 2 distinct stop words,
+    *     most-frequent-word fraction ≤ 0.1 — same expressions, same
+    *     8-word lexicon);
+    *   - rc: a format gate (4-dp digit ratio ≤ 0.05 AND ≥ 30 tokens).
+    * Domain = docWords (≥ 3 words), the quality family's convention.
+    * Offline simulation (round-14, all three SFs): marginals all inside
+    * (0, 1) per source (A ≈ 0.45, B ≈ 0.40, C ≈ 0.78) and pairwise
+    * kappas spread 0.36-0.92 — non-degenerate at every SF, the round-4
+    * non-vacuity rule applied to agreement statistics. One (doc, term)
+    * count shuffle for the repetition rule (gopher_rules' shape);
+    * everything else is row-local.
+    */
+  private[ops] def raterFrame(s: SparkSession, d: String): DataFrame = {
+    // same 8-word lexicon as gopher_rules (kept literal there too)
+    val stops8 = Seq("the", "a", "and", "to", "of", "in", "is", "be")
+    val st = docWords(s, d).select(col("doc_id"), col("source"),
+      col("n_chars"), col("text"), col("w"),
+      size(col("w")).as("wc"),
+      length(array_join(col("w"), "")).cast("long").as("nch"),
+      size(array_intersect(
+        expr("transform(w, x -> lower(x))"),
+        array(stops8.map(lit): _*))).as("nstop"),
+      expr(stopScore("w", EnStop)).as("stop_hits"),
+      regexp_count(col("text"), lit("[0-9]")).as("n_dig"))
+    val top = docWords(s, d)
+      .select(col("doc_id"), explode(col("w")).as("t0"))
+      .groupBy(col("doc_id"), lower(col("t0")).as("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+    st.join(top.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("quality",
+        Text.hround(
+          least(col("wc") / lit(100.0), lit(1.0)) * lit(0.5) +
+            Text.hround(col("stop_hits") / col("wc"), 4) * lit(0.3) +
+            (lit(1.0) - Text.hround(col("n_dig") / col("n_chars"), 4)) * lit(0.2), 4))
+      .select(col("doc_id"), col("source"), col("quality"),
+        (col("quality") >= 0.5).as("ra"),
+        (col("wc") >= 50 && col("wc") <= 100000 &&
+          col("nch").cast("double") / col("wc") >= 3.0 &&
+          col("nch").cast("double") / col("wc") <= 10.0 &&
+          col("nstop") >= 2 &&
+          col("maxc").cast("double") / col("wc") <= 0.1).as("rb"),
+        (Text.hround(col("n_dig") / col("n_chars"), 4) <= 0.05 &&
+          col("wc") >= 30).as("rc"))
+  }
+
+  /** DuckDB CTEs st/top/rf mirroring [[raterFrame]], ASSUMING a `ws`
+    * CTE (the sqlDocWords3 shape) is already in scope — composable after
+    * [[sqlClusterCc]], which defines the identical `ws`. Ends in
+    * rf(doc_id, source, quality, ra, rb, rc).
+    */
+  private[ops] def sqlRaterBody: String = s"""rst AS (
+        SELECT doc_id, source, n_chars, text, w,
+               CAST(len(w) AS INT) AS wc,
+               CAST(length(array_to_string(w, '')) AS BIGINT) AS nch,
+               len(list_intersect(list_transform(w, x -> lower(x)),
+                 ['the', 'a', 'and', 'to', 'of', 'in', 'is', 'be'])) AS nstop,
+               ${sqlStopScore("w", EnStop)} AS stop_hits,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_dig
+        FROM ws),
+      rtop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc FROM (
+                 SELECT doc_id, lower(t) AS t, count(*) AS c
+                 FROM (SELECT doc_id, unnest(w) AS t FROM ws) GROUP BY 1, 2)
+               GROUP BY 1),
+      rf AS (SELECT st.doc_id, st.source,
+               ${Text.sqlHround(
+                 s"least(wc / 100e0, 1e0) * 0.5e0 + " +
+                   s"${Text.sqlHround("stop_hits / wc", 4)} * 0.3e0 + " +
+                   s"(1e0 - ${Text.sqlHround("n_dig / n_chars", 4)}) * 0.2e0", 4)} AS quality,
+               ${Text.sqlHround(
+                 s"least(wc / 100e0, 1e0) * 0.5e0 + " +
+                   s"${Text.sqlHround("stop_hits / wc", 4)} * 0.3e0 + " +
+                   s"(1e0 - ${Text.sqlHround("n_dig / n_chars", 4)}) * 0.2e0", 4)} >= 0.5e0 AS ra,
+               wc >= 50 AND wc <= 100000 AND
+                 CAST(nch AS DOUBLE) / wc >= 3e0 AND
+                 CAST(nch AS DOUBLE) / wc <= 10e0 AND
+                 nstop >= 2 AND
+                 CAST(maxc AS DOUBLE) / wc <= 0.1e0 AS rb,
+               ${Text.sqlHround("n_dig / n_chars", 4)} <= 0.05e0 AND
+                 wc >= 30 AS rc
+             FROM rst st JOIN rtop USING (doc_id))"""
+
+  /** Standalone flavor of [[sqlRaterBody]]: opens its own `ws`. */
+  private[ops] def sqlRaterCte: String =
+    s"ws AS ($sqlDocWords3),\n      $sqlRaterBody"
+
   /** Unigram entropy + type/token ratio per document — the information-
     * density quality signal (low entropy ⇒ repetitive/templated text, a
     * standard pre-training filter alongside [[repetitionScore]]). Uses

@@ -368,5 +368,345 @@ object Learn {
     """),
     doc = "tie-aware rank-sum AUC of the learned scorer (discrimination eval; 0.5 = dead model)")
 
-  val all: Seq[QueryDef] = Seq(qualityLogit, scoreCalibration, qualityAuc)
+  // ---- agreement / preference family ------------------------------------
+
+  /** Cohen's kappa between the composite-quality gate (rater A) and the
+    * Gopher rule battery (rater B), per source — the inter-annotator
+    * agreement statistic a curation stack reports when two independent
+    * keep/drop filters disagree (chance-corrected: po alone overstates
+    * agreement when both raters keep ~half the corpus). Raters come from
+    * [[graft.ops.Extended.raterFrame]] (scaladoc there has the
+    * non-degeneracy simulation). All counts are exact BIGINTs; po, pe and
+    * kappa are single divisions of identical integer operands on both
+    * engines (the pe marginal products a1·b1 + a0·b0 stay ≤ n², i.e.
+    * inside BIGINT up to n ≈ 3·10⁹ docs per source), then hround(4).
+    */
+  val cohenKappa: QueryDef = QueryDef(
+    "cohen_kappa",
+    (s, d) =>
+      graft.ops.Extended.raterFrame(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra"), 1L).otherwise(0L)).as("a1"),
+          sum(when(col("rb"), 1L).otherwise(0L)).as("b1"),
+          sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("n_agree"))
+        .select(col("source"), col("n"), col("a1"), col("b1"), col("n_agree"),
+          Text.hround(col("n_agree").cast("double") / col("n"), 4).as("po4"),
+          Text.hround(
+            (col("a1") * col("b1") +
+              (col("n") - col("a1")) * (col("n") - col("b1"))).cast("double") /
+              (col("n") * col("n")), 4).as("pe4"),
+          Text.hround(
+            (col("n_agree").cast("double") / col("n") -
+              (col("a1") * col("b1") +
+                (col("n") - col("a1")) * (col("n") - col("b1"))).cast("double") /
+                (col("n") * col("n"))) /
+              (lit(1.0) -
+                (col("a1") * col("b1") +
+                  (col("n") - col("a1")) * (col("n") - col("b1"))).cast("double") /
+                  (col("n") * col("n"))), 4).as("kappa4"))
+        .orderBy(col("source")),
+    Some(s"""
+      WITH ${graft.ops.Extended.sqlRaterCte},
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(sum(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+             FROM rf GROUP BY 1)
+      SELECT source, n, a1, b1, n_agree,
+             ${Text.sqlHround("CAST(n_agree AS DOUBLE) / n", 4)} AS po4,
+             ${Text.sqlHround(
+               "CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE) / (n * n)", 4)} AS pe4,
+             ${Text.sqlHround(
+               """(CAST(n_agree AS DOUBLE) / n
+                   - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE) / (n * n))
+                  / (1e0 - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE) / (n * n))""",
+               4)} AS kappa4
+      FROM ag ORDER BY source
+    """),
+    doc = "Cohen's kappa per source: chance-corrected agreement of two curation gates")
+
+  /** Fleiss' kappa for the THREE raters (quality gate, Gopher battery,
+    * format gate) per source — the m-rater generalization of
+    * [[cohenKappa]] (m = 3, two categories). Per document the keep-count
+    * k ∈ {0..3}; S = Σᵢ (kᵢ² + (3−kᵢ)²) is an exact integer, so
+    * P̄ = (S − 3n)/(6n) and Pe = (K² + (3n−K)²)/(9n²) divide identical
+    * integer operands on both engines (products ≤ 9n², inside BIGINT to
+    * n ≈ 10⁹ docs per source), then one identical (P̄−Pe)/(1−Pe) double
+    * chain, hround(4).
+    */
+  val fleissKappa: QueryDef = QueryDef(
+    "fleiss_kappa",
+    (s, d) =>
+      graft.ops.Extended.raterFrame(s, d)
+        .select(col("source"),
+          (when(col("ra"), 1).otherwise(0) + when(col("rb"), 1).otherwise(0) +
+            when(col("rc"), 1).otherwise(0)).cast("long").as("k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          sum(col("k") * col("k") + (lit(3L) - col("k")) * (lit(3L) - col("k")))
+            .as("s2"))
+        .select(col("source"), col("n"), col("k_sum"),
+          Text.hround((col("s2") - lit(3L) * col("n")).cast("double") /
+            (lit(6L) * col("n")), 4).as("pbar4"),
+          Text.hround(
+            (col("k_sum") * col("k_sum") +
+              (lit(3L) * col("n") - col("k_sum")) *
+                (lit(3L) * col("n") - col("k_sum"))).cast("double") /
+              (lit(9L) * col("n") * col("n")), 4).as("pe4"),
+          Text.hround(
+            ((col("s2") - lit(3L) * col("n")).cast("double") /
+              (lit(6L) * col("n")) -
+              (col("k_sum") * col("k_sum") +
+                (lit(3L) * col("n") - col("k_sum")) *
+                  (lit(3L) * col("n") - col("k_sum"))).cast("double") /
+                (lit(9L) * col("n") * col("n"))) /
+              (lit(1.0) -
+                (col("k_sum") * col("k_sum") +
+                  (lit(3L) * col("n") - col("k_sum")) *
+                    (lit(3L) * col("n") - col("k_sum"))).cast("double") /
+                  (lit(9L) * col("n") * col("n"))), 4).as("kappa4"))
+        .orderBy(col("source")),
+    Some(s"""
+      WITH ${graft.ops.Extended.sqlRaterCte},
+      kk AS (SELECT source,
+               CAST(CASE WHEN ra THEN 1 ELSE 0 END
+                    + CASE WHEN rb THEN 1 ELSE 0 END
+                    + CASE WHEN rc THEN 1 ELSE 0 END AS BIGINT) AS k
+             FROM rf),
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS k_sum,
+               CAST(sum(k * k + (3 - k) * (3 - k)) AS BIGINT) AS s2
+             FROM kk GROUP BY 1)
+      SELECT source, n, k_sum,
+             ${Text.sqlHround("CAST(s2 - 3 * n AS DOUBLE) / (6 * n)", 4)} AS pbar4,
+             ${Text.sqlHround(
+               """CAST(k_sum * k_sum + (3 * n - k_sum) * (3 * n - k_sum) AS DOUBLE)
+                  / (9 * n * n)""", 4)} AS pe4,
+             ${Text.sqlHround(
+               """(CAST(s2 - 3 * n AS DOUBLE) / (6 * n)
+                   - CAST(k_sum * k_sum + (3 * n - k_sum) * (3 * n - k_sum) AS DOUBLE)
+                     / (9 * n * n))
+                  / (1e0 - CAST(k_sum * k_sum + (3 * n - k_sum) * (3 * n - k_sum) AS DOUBLE)
+                     / (9 * n * n))""", 4)} AS kappa4
+      FROM ag ORDER BY source
+    """),
+    doc = "Fleiss' kappa per source: 3-rater chance-corrected agreement")
+
+  val all: Seq[QueryDef] = Seq(qualityLogit, scoreCalibration, qualityAuc,
+    cohenKappa, fleissKappa, preferencePairs, bradleyTerry)
+
+  /** DPO-style preference-pair construction: each text near-dup cluster
+    * (the dup_clusters CC assignment) becomes one (chosen, rejected)
+    * candidate pair — chosen = highest composite quality (ties → lowest
+    * doc_id), rejected = lowest (ties → highest doc_id) — with the
+    * quality margin quantized to exact 1e-4 BIGINT units and a `usable`
+    * verdict at margin ≥ 0.05. Near-duplicate sets are the natural
+    * "same prompt, different response" group a curation pipeline mines
+    * for preference data; emitting EVERY ≥2-member cluster with its
+    * margin (rather than filtering) keeps the output non-vacuous at all
+    * SFs while the margin cut stays visible in the usable mix (the
+    * round-4 rule; sf0.001 measures 7 usable of 27). Members outside the
+    * quality domain (< 3 words) are excluded by the inner join; a
+    * cluster needs ≥ 2 scored members to pair. Scale shape: the CC
+    * assignment is the shared driver-coordinated fixpoint (ScaleSpec
+    * `eager`), everything after is one |clusters|-domain aggregate via
+    * max_by/min_by over unique (quality, doc_id) keys — no window over
+    * the corpus, no self-join.
+    */
+  lazy val preferencePairs: QueryDef = QueryDef(
+    "preference_pairs",
+    (s, d) => {
+      val ca = graft.ops.Extended.clusterAssignments(s, d)
+      val q = graft.ops.Extended.raterFrame(s, d)
+        .select(col("doc_id"), col("quality"))
+      ca.join(q, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("quality"), (-col("doc_id")).as("nid"))).as("chosen_id"),
+          min_by(col("doc_id"),
+            struct(col("quality"), (-col("doc_id")).as("nid"))).as("rejected_id"),
+          max(col("quality")).as("q_chosen"),
+          min(col("quality")).as("q_rejected"))
+        .filter(col("n_members") >= 2)
+        .withColumn("margin_u4",
+          floor((col("q_chosen") - col("q_rejected")) * lit(1e4) + lit(0.5))
+            .cast("long"))
+        .select(col("cluster_id"), col("n_members"), col("chosen_id"),
+          col("rejected_id"), col("q_chosen"), col("q_rejected"),
+          col("margin_u4"), (col("margin_u4") >= 500).as("usable"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${graft.ops.Extended.sqlClusterCc},
+      ${graft.ops.Extended.sqlRaterBody},
+      j AS (SELECT cc.cluster_id, cc.doc_id, rf.quality
+            FROM cc JOIN rf USING (doc_id)),
+      r1 AS (SELECT *,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY quality DESC, doc_id ASC) AS rch,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY quality ASC, doc_id DESC) AS rrj
+             FROM j),
+      ag AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               max(CASE WHEN rch = 1 THEN doc_id END) AS chosen_id,
+               max(CASE WHEN rrj = 1 THEN doc_id END) AS rejected_id,
+               max(quality) AS q_chosen, min(quality) AS q_rejected
+             FROM r1 GROUP BY 1 HAVING count(*) >= 2)
+      SELECT cluster_id, n_members, chosen_id, rejected_id,
+             q_chosen, q_rejected,
+             CAST(floor((q_chosen - q_rejected) * 1e4 + 0.5e0) AS BIGINT)
+               AS margin_u4,
+             CAST(floor((q_chosen - q_rejected) * 1e4 + 0.5e0) AS BIGINT) >= 500
+               AS usable
+      FROM ag ORDER BY cluster_id
+    """),
+    doc = "DPO-style (chosen, rejected) pairs from near-dup clusters by quality margin")
+
+  /** Bradley-Terry strength estimation by the MM fixed point (Hunter
+    * 2004, the algorithm behind chatbot-arena-style leaderboards and
+    * reward-model preference aggregation): wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ),
+    * sum-normalized each round. Matchups are derived deterministically
+    * from the trade fixtures — two suppliers sharing an order compete,
+    * the higher per-order revenue wins (exact DECIMAL comparison; ties →
+    * lower suppkey) — so both engines replay an identical tournament.
+    *
+    * Numeric discipline (the pagerank/quality_logit rules): strengths
+    * are 1e-6-unit BIGINTs, every per-opponent term is one integer
+    * division (nᵢⱼ·10¹² DIV (wuᵢ+wuⱼ) — Spark DIV and DuckDB // both
+    * floor on non-negative operands), per-player sums are exact integer
+    * additions in any order, and the normalization is integer
+    * multiply-then-DIV against the exact Σraw. Zero floats anywhere, so
+    * the emitted strength6 is bit-identical by construction. Headroom:
+    * Wᵢ·10¹² needs Wᵢ ≤ 9·10⁶ wins/player; past that drop the term scale
+    * a decade (the Spearman-denominator honesty note).
+    *
+    * Regularization: one virtual win AND one virtual loss per player
+    * against a ghost of fixed strength 1.0 (the +1 smoothing that makes
+    * the MLE exist for perfect winners/losers; MAP with a weak uniform
+    * prior). 12 rounds: the offline fixed-point simulation (round-8
+    * numpy-first rule) measured max |Δwu| ≤ 1.5e-4 by round 12 at all
+    * three SFs with strengths spread 0.81-1.23 — converged and
+    * non-degenerate. Scale shape: matchup aggregation is ONE bounded
+    * pair-expand per order (≤ C(7,2) pairs — groupBy+expand, the round-2
+    * no-self-join rule), the per-round message passing is
+    * matchup-list-sized equi-joins against the |players| strength frame
+    * (the pagerank shape), and each round is localCheckpoint'd lazily
+    * (the bpe/ccOverEdges lineage discipline — without it round k
+    * re-analyzes rounds 1..k−1, and the strength frame is referenced
+    * twice per round, which would compound 2^K). Construction therefore
+    * runs checkpoint jobs (ScaleSpec `eager`, the bpe class).
+    */
+  lazy val bradleyTerry: QueryDef = {
+    val Iters = 12
+    val Term = "1000000000000" // 1e12 integer-division scale
+    val One = "1000000"        // strength 1.0 in 1e-6 units
+    QueryDef(
+      "bradley_terry_strength",
+      (s, d) => {
+        val osr = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .agg(sum(col("l_extendedprice")).as("rev"))
+        // canonical i<j pair expand per order (array_sort on struct(sk, _)
+        // orders by suppkey); i wins on rev tie since i<j
+        val mp = osr.groupBy(col("ok"))
+          .agg(expr("array_sort(collect_list(struct(sk, rev)))").as("ps"))
+          .filter(size(col("ps")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(ps) - 1),
+                 i -> transform(slice(ps, i + 1, size(ps) - i),
+                   y -> struct(element_at(ps, i).sk AS i_sk, y.sk AS j_sk,
+                     CAST(element_at(ps, i).rev >= y.rev AS INT) AS iwin))))"""))
+            .as("p"))
+          .groupBy(col("p.i_sk").as("i"), col("p.j_sk").as("j"))
+          .agg(count(lit(1)).as("n"), sum(col("p.iwin").cast("long")).as("wi"))
+        val dir = Pin.tagged(
+          mp.select(col("i").as("p"), col("j").as("o"), col("n"),
+              col("wi").as("w"))
+            .unionByName(mp.select(col("j").as("p"), col("i").as("o"),
+              col("n"), (col("n") - col("wi")).as("w"))))
+        val pl = dir.groupBy(col("p"))
+          .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
+          .transform(Pin.pin)
+        // ghost opponent o = -1 (fixed strength 1.0): +1 win +1 loss
+        val e = dir.select(col("p"), col("o"), col("n"))
+          .unionByName(pl.select(col("p"), lit(-1L).as("o"),
+            lit(2L).as("n")))
+        var w: DataFrame = pl
+          .select(col("p"), expr(s"CAST($One AS BIGINT)").as("wu"))
+          .localCheckpoint(false)
+        for (_ <- 1 to Iters) {
+          val ssum = e.join(w, Seq("p"))
+            .join(w.select(col("p").as("o"), col("wu").as("owu")),
+              Seq("o"), "left")
+            .select(col("p"),
+              expr(s"(n * $Term) DIV (wu + coalesce(owu, CAST($One AS BIGINT)))")
+                .as("tq"))
+            .groupBy(col("p")).agg(sum(col("tq")).as("sq"))
+          val raw = pl.join(ssum, Seq("p"))
+            .select(col("p"), expr(s"((wins + 1) * $Term) DIV sq").as("rawu"))
+          val tot = raw.agg(sum(col("rawu")).as("t"),
+            count(lit(1)).as("np"))
+          w = raw.crossJoin(broadcast(tot))
+            .select(col("p"), expr(s"(rawu * np * $One) DIV t").as("wu"))
+            .localCheckpoint(false)
+        }
+        w.join(pl, Seq("p"))
+          .select(col("p").as("s_suppkey"), col("games"), col("wins"),
+            col("wu").as("strength6"))
+          .orderBy(col("strength6").desc, col("s_suppkey"))
+      },
+      Some {
+        // every per-round CTE is AS MATERIALIZED: w[r] is referenced
+        // 2-3 times downstream and DuckDB otherwise INLINES the whole
+        // prefix chain per reference — 3^12 re-executions (the
+        // sql_recursive_spine / graph_eccentricity re-plan class;
+        // measured as a 14-minute oracle hang at sf0.01 before the fix)
+        val iterCtes = (1 to Iters).map { r =>
+          s"""t$r AS MATERIALIZED (SELECT e.p,
+                 CAST(sum((e.n * $Term) // (w.wu + coalesce(ow.wu, $One)))
+                   AS BIGINT) AS sq
+               FROM e JOIN w${r - 1} w USING (p)
+               LEFT JOIN w${r - 1} ow ON ow.p = e.o GROUP BY 1),
+           rw$r AS MATERIALIZED (SELECT pl.p,
+                 CAST(((pl.wins + 1) * $Term) // t.sq AS BIGINT) AS rawu
+               FROM pl JOIN t$r t USING (p)),
+           tt$r AS MATERIALIZED (SELECT CAST(sum(rawu) AS BIGINT) AS t
+               FROM rw$r),
+           w$r AS MATERIALIZED (SELECT r.p,
+                 CAST((r.rawu * np.np * $One) // tt.t AS BIGINT) AS wu
+               FROM rw$r r, tt$r tt, np)"""
+        }.mkString(",\n      ")
+        s"""
+        WITH osr AS MATERIALIZED (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 sum(l_extendedprice) AS rev
+          FROM lineitem GROUP BY 1, 2),
+        mp AS MATERIALIZED (
+          SELECT a.sk AS i, b.sk AS j, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a.rev >= b.rev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wi
+          FROM osr a JOIN osr b ON a.ok = b.ok AND a.sk < b.sk
+          GROUP BY 1, 2),
+        dir AS MATERIALIZED (
+          SELECT i AS p, j AS o, n, wi AS w FROM mp
+          UNION ALL SELECT j, i, n, n - wi FROM mp),
+        pl AS MATERIALIZED (
+          SELECT p, CAST(sum(n) AS BIGINT) AS games,
+                 CAST(sum(w) AS BIGINT) AS wins
+          FROM dir GROUP BY 1),
+        e AS MATERIALIZED (
+          SELECT p, o, n FROM dir
+          UNION ALL SELECT p, -1, 2 FROM pl),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pl),
+        w0 AS (SELECT p, CAST($One AS BIGINT) AS wu FROM pl),
+        $iterCtes
+        SELECT w.p AS s_suppkey, pl.games, pl.wins, w.wu AS strength6
+        FROM w$Iters w JOIN pl USING (p)
+        ORDER BY strength6 DESC, s_suppkey
+        """
+      },
+      doc = s"Bradley-Terry MM strengths ($Iters integer-exact rounds) over order-sharing supplier matchups")
+  }
 }

@@ -1926,6 +1926,37 @@ object Relational {
     """),
     doc = "TPC-DS-Q36-shaped ROLLUP hierarchy with grouping() level + rank-within-parent window")
 
+  /** TPC-DS Q88 shape: "how many qualifying events in each of 8
+    * consecutive time buckets" — the reference formulation runs EIGHT
+    * scalar subqueries, each scanning the fact table once; the
+    * Spark-first rewrite is ONE conditional-aggregation pass (8 `sum(CASE
+    * hour = h)` accumulators in a single partial+final agg), so the
+    * 100 TB cost is one scan instead of eight. The filter mirrors Q88's
+    * demographic gate (type + value band) and is identical across
+    * buckets — exactly the structure that makes the fusion legal.
+    */
+  val sqlHourBuckets: QueryDef = QueryDef(
+    "sql_hour_buckets",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click") &&
+          col("value") >= 10.0)
+      val cs = (8 to 15).map(h =>
+        sum(when(hour(col("ts")) === h, 1L).otherwise(0L)).as(s"h$h"))
+      e.agg(cs.head, cs.tail: _*)
+    },
+    Some {
+      val cols = (8 to 15).map(h =>
+        s"CAST(sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS h$h")
+        .mkString(",\n             ")
+      s"""
+      SELECT $cols
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value >= 10e0
+      """
+    },
+    doc = "TPC-DS-Q88-shaped 8-bucket hour counts: eight self-scans fused into one pass")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
@@ -1938,5 +1969,5 @@ object Relational {
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
       sqlMarketShare, sqlProductProfit, sqlShipmodePriority,
       sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff, sqlYoyGrowth,
-      sqlBacklogCompare, sqlRollupShare)
+      sqlBacklogCompare, sqlRollupShare, sqlHourBuckets)
 }

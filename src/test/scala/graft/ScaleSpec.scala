@@ -143,7 +143,11 @@ class ScaleSpec extends SparkSpec {
       "ttl_distinct_types",
       // rrf_fusion crosses bm25's one-row corpus-stats frame and the
       // one-row doc-0 query vector — both scalar-subquery broadcasts.
-      "rrf_fusion")
+      "rrf_fusion",
+      // mmr_diverse_topk embeds cosineTopKAt's broadcast query set (the
+      // embed_cosine_topk shape); bradley_terry_strength broadcasts each
+      // round's one-row normalization total (the scalar-subquery shape).
+      "mmr_diverse_topk", "bradley_terry_strength")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
@@ -318,7 +322,12 @@ class ScaleSpec extends SparkSpec {
       // checkpoint planning runs shuffle-stage jobs at construction,
       // exactly like dup_clusters above. Bench times fn()+count()
       // together, so the eager work stays measured.
-      "bpe_merge_rounds", "bpe_encode")
+      "bpe_merge_rounds", "bpe_encode",
+      // preference_pairs embeds the same driver-coordinated CC fixpoint
+      // as dup_clusters; bradley_terry_strength lazily localCheckpoints
+      // each MM round (the bpe lineage discipline — checkpoint planning
+      // runs shuffle-stage jobs at construction).
+      "preference_pairs", "bradley_terry_strength")
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
