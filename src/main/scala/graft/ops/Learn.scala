@@ -636,9 +636,9 @@ object Learn {
         var w: DataFrame = pl
           .select(col("p"), expr(s"CAST($One AS BIGINT)").as("wu"))
           .localCheckpoint(false)
-        for (_ <- 1 to Iters) {
-          val ssum = e.join(w, Seq("p"))
-            .join(w.select(col("p").as("o"), col("wu").as("owu")),
+        def round(prev: DataFrame): DataFrame = {
+          val ssum = e.join(prev, Seq("p"))
+            .join(prev.select(col("p").as("o"), col("wu").as("owu")),
               Seq("o"), "left")
             .select(col("p"),
               expr(s"(n * $Term) DIV (wu + coalesce(owu, CAST($One AS BIGINT)))")
@@ -648,10 +648,18 @@ object Learn {
             .select(col("p"), expr(s"((wins + 1) * $Term) DIV sq").as("rawu"))
           val tot = raw.agg(sum(col("rawu")).as("t"),
             count(lit(1)).as("np"))
-          w = raw.crossJoin(broadcast(tot))
+          raw.crossJoin(broadcast(tot))
             .select(col("p"), expr(s"(rawu * np * $One) DIV t").as("wu"))
-            .localCheckpoint(false)
         }
+        // ONE round per checkpoint. The ccOverEdges double-step was
+        // A/B-measured here and LOST BADLY (BenchOne RUN2 33.4 s vs
+        // ~6 s): a round references its input strength frame TWICE and
+        // its own raw frame feeds BOTH the one-row normalization
+        // broadcast AND the next round's joins, so an uncheckpointed
+        // inner round re-executes under stacked broadcast builds (the
+        // round-2 hazard) instead of being exchange-reused. Don't retry.
+        for (_ <- 1 to Iters)
+          w = round(w).localCheckpoint(false)
         w.join(pl, Seq("p"))
           .select(col("p").as("s_suppkey"), col("games"), col("wins"),
             col("wu").as("strength6"))
