@@ -598,6 +598,28 @@ object Learn {
     * twice per round, which would compound 2^K). Construction therefore
     * runs checkpoint jobs (ScaleSpec `eager`, the bpe class).
     */
+  /** (ok, sk, rev) → aggregated canonical matchups (i < j, games n, i's
+    * wins wi): per-order pair expand via array_sort(collect_list) —
+    * bounded by the per-order supplier count, never a self-join (the
+    * round-2 rule). Higher rev wins; i wins on a rev tie since i < j
+    * (array_sort on struct(sk, _) orders by suppkey). Shared by
+    * [[bradleyTerry]] and the streaming twin's parity spec
+    * (EventStreamSpec derives the expected pairs from THIS batch
+    * semantics, per the round-13 twin-row-semantics rule).
+    */
+  private[graft] def matchupPairs(osr: DataFrame): DataFrame =
+    osr.groupBy(col("ok"))
+      .agg(expr("array_sort(collect_list(struct(sk, rev)))").as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ps) - 1),
+             i -> transform(slice(ps, i + 1, size(ps) - i),
+               y -> struct(element_at(ps, i).sk AS i_sk, y.sk AS j_sk,
+                 CAST(element_at(ps, i).rev >= y.rev AS INT) AS iwin))))"""))
+        .as("p"))
+      .groupBy(col("p.i_sk").as("i"), col("p.j_sk").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.iwin").cast("long")).as("wi"))
+
   lazy val bradleyTerry: QueryDef = {
     val Iters = 12
     val Term = "1000000000000" // 1e12 integer-division scale
@@ -608,19 +630,7 @@ object Learn {
         val osr = Tables.lineitem(s, d)
           .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .agg(sum(col("l_extendedprice")).as("rev"))
-        // canonical i<j pair expand per order (array_sort on struct(sk, _)
-        // orders by suppkey); i wins on rev tie since i<j
-        val mp = osr.groupBy(col("ok"))
-          .agg(expr("array_sort(collect_list(struct(sk, rev)))").as("ps"))
-          .filter(size(col("ps")) >= 2)
-          .select(explode(expr(
-            """flatten(transform(sequence(1, size(ps) - 1),
-                 i -> transform(slice(ps, i + 1, size(ps) - i),
-                   y -> struct(element_at(ps, i).sk AS i_sk, y.sk AS j_sk,
-                     CAST(element_at(ps, i).rev >= y.rev AS INT) AS iwin))))"""))
-            .as("p"))
-          .groupBy(col("p.i_sk").as("i"), col("p.j_sk").as("j"))
-          .agg(count(lit(1)).as("n"), sum(col("p.iwin").cast("long")).as("wi"))
+        val mp = matchupPairs(osr)
         val dir = Pin.tagged(
           mp.select(col("i").as("p"), col("j").as("o"), col("n"),
               col("wi").as("w"))

@@ -1571,6 +1571,90 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[OrderMatchupProcessor]] input: one line of an order — (order,
+    * supplier, revenue in exact integer cents, event time).
+    */
+  final case class LineEv(ok: Long, sk: Long, cents: Long, ts: Timestamp)
+
+  /** One emitted canonical matchup: suppliers i < j competed in order
+    * ok; iwin 1 iff i's order revenue ≥ j's (higher revenue wins, i
+    * wins rev ties — the exact graft.ops.Learn.matchupPairs rule).
+    */
+  final case class MatchupPair(ok: Long, i: Long, j: Long, iwin: Int)
+
+  /** GROUP-COMPLETE PAIR EMISSION — the streaming twin of the
+    * Bradley-Terry matchup derivation (`Learn.matchupPairs`): the batch
+    * side can pair-expand an order only because it sees ALL its lines;
+    * a stream cannot know an order is complete until the event-time
+    * watermark proves no more lines can arrive. State = one MapState
+    * (supplier → revenue cents, exact integer adds in any arrival
+    * order) plus one re-armed event-time timer per LIVE order
+    * (delete-then-register, the SessionTimerProcessor discipline); when
+    * the watermark passes last-line + gap the order's canonical i<j
+    * pairs emit once and the state clears — an idle order costs
+    * nothing, and the downstream per-(i, j) win aggregation is a plain
+    * streaming groupBy. Arena-style preference ingestion has exactly
+    * this shape: a comparison batch is scoreable only when closed.
+    * Single-supplier orders emit no pairs (no matchup — same as batch).
+    * Parity: EventStreamSpec derives expected pairs from the BATCH
+    * matchupPairs semantics on the same input (round-13 twin rule) and
+    * drives cross-batch accumulation, a revenue tie, and the
+    * no-pair order.
+    */
+  class OrderMatchupProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, LineEv, MatchupPair] {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var rev: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      rev = getHandle.getMapState[Long, Long]("rev",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        ok: Long, rows: Iterator[LineEv],
+        timers: TimerValues): Iterator[MatchupPair] = {
+      var last = Long.MinValue
+      rows.foreach { e =>
+        val c = if (rev.containsKey(e.sk)) rev.getValue(e.sk) else 0L
+        rev.updateValue(e.sk, c + e.cents)
+        last = math.max(last, e.ts.getTime)
+      }
+      getHandle.listTimers().foreach(ts =>
+        getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        ok: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[MatchupPair] = {
+      val sks = rev.iterator().toSeq.sortBy(_._1)
+      rev.clear()
+      (for {
+        a <- sks.indices.iterator
+        b <- (a + 1 until sks.size).iterator
+      } yield MatchupPair(ok, sks(a)._1, sks(b)._1,
+        if (sks(a)._2 >= sks(b)._2) 1 else 0))
+    }
+  }
+
+  /** Streaming wiring for [[OrderMatchupProcessor]] — event-time mode
+    * (input must carry a watermark on `ts`; pairs emit when the
+    * watermark passes an order's last line + gap).
+    */
+  def matchupStream(ds: Dataset[LineEv], gapMs: Long,
+      delay: String = "0 seconds"): Dataset[MatchupPair] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.withWatermark("ts", delay)
+      .groupByKey(_.ok)
+      .transformWithState(new OrderMatchupProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingWindow, slidingWindow, sessionWindow, intervalJoinEvents,
       intervalJoinOuterEvents, intervalJoinFullOuterEvents,

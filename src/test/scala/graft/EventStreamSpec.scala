@@ -1140,4 +1140,60 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+  test("matchup stream: order-complete pair emission matches batch matchupPairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import EventStream.{LineEv, MatchupPair}
+    val gapMs = 10 * 60000L
+    val mem = MemoryStream[LineEv]
+    val q = EventStream.matchupStream(mem.toDS(), gapMs)
+      .writeStream.format("memory").queryName("matchup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // order 10: lines straddle batches — supplier 1 overtakes supplier 2
+      // only once BOTH its lines are summed (an early emission flips iwin);
+      // order 20: exact revenue tie → lower suppkey wins;
+      // order 30: single supplier → no matchup, must emit nothing.
+      // (events start at minute 1: the late-row filter drops ts ≤ the
+      // initial watermark 0)
+      mem.addData(LineEv(10L, 1L, 500L, ts(1)), LineEv(10L, 2L, 700L, ts(2)),
+        LineEv(20L, 5L, 400L, ts(3)), LineEv(20L, 9L, 400L, ts(3)),
+        LineEv(30L, 7L, 100L, ts(4)))
+      q.processAllAvailable()
+      assert(spark.table("matchup_out").isEmpty,
+        "pairs emitted before the watermark closed the orders")
+      mem.addData(LineEv(10L, 1L, 300L, ts(5))) // order 10 still open
+      q.processAllAvailable()
+      assert(spark.table("matchup_out").isEmpty,
+        "pairs emitted while an order could still grow")
+      // sentinel order advances the watermark past every timer; its own
+      // order stays open and must NOT emit (single supplier anyway)
+      mem.addData(LineEv(99L, 1L, 1L, ts(60)))
+      q.processAllAvailable()
+      val out = spark.table("matchup_out").as[MatchupPair].collect()
+      assert(out.length === 2, s"unexpected emissions: ${out.toSeq}")
+      // expectation derived from the BATCH side's semantics (the
+      // round-13 twin rule): run Learn.matchupPairs on the same totals
+      val osr = Seq((10L, 1L, 800L), (10L, 2L, 700L), (20L, 5L, 400L),
+        (20L, 9L, 400L), (30L, 7L, 100L)).toDF("ok", "sk", "rev")
+      val batch = graft.ops.Learn.matchupPairs(osr)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val streamed = out.groupBy(p => (p.i, p.j))
+        .map { case ((i, j), ps) =>
+          (i, j, ps.length.toLong, ps.map(_.iwin.toLong).sum) }.toSet
+      assert(streamed === batch,
+        s"stream pairs $streamed != batch matchupPairs $batch")
+      assert(out.toSet === Set(MatchupPair(10L, 1L, 2L, 1),
+        MatchupPair(20L, 5L, 9L, 1)),
+        s"wrong pair verdicts: ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
