@@ -494,7 +494,62 @@ object Learn {
     doc = "Fleiss' kappa per source: 3-rater chance-corrected agreement")
 
   val all: Seq[QueryDef] = Seq(qualityLogit, scoreCalibration, qualityAuc,
-    cohenKappa, fleissKappa, preferencePairs, bradleyTerry)
+    cohenKappa, fleissKappa, preferencePairs, bradleyTerry, winRateMatrix)
+
+  /** Wilson-interval win-rate leaderboard over the heaviest matchups —
+    * the per-pair view [[bradleyTerry]] aggregates away (a leaderboard
+    * report shows the matrix cells WITH their uncertainty, because a
+    * 3-0 record and a 300-150 record have the same point estimate
+    * ordering problem the lower bound fixes). Top-100 pairs by game
+    * count, rank-selected via orderBy+limit (TakeOrderedAndProject —
+    * never a global sort at scale; ties broken (i, j)). n ≥ 20 was
+    * simulated and REJECTED as the gate (0 pairs at sf0.1 where games
+    * spread thin — the round-4 vacuous-threshold rule; top-k by count
+    * is non-vacuous at every SF by construction: 45/100/100 rows).
+    * phat and the z = 1.96 Wilson lower bound are identical double
+    * chains from exact BIGINT (n, wi) with the z² constants as shared
+    * LITERALS (1.9208, 0.9604, 3.8416) interpolated into both engines;
+    * sqrt is correctly-rounded IEEE on both.
+    */
+  lazy val winRateMatrix: QueryDef = {
+    // Wilson lower bound with p̂ = wc/nc inlined; one shared text so both
+    // engines run the identical IEEE op chain
+    def wilson(nc: String, wc: String): String = {
+      val p = s"(($wc) / ($nc))"
+      s"(($p + 1.9208e0 / ($nc) - 1.96e0 * sqrt($p * (1e0 - $p) / ($nc) " +
+        s"+ 0.9604e0 / (($nc) * ($nc)))) / (1e0 + 3.8416e0 / ($nc)))"
+    }
+    QueryDef(
+      "win_rate_matrix",
+      (s, d) => {
+        val osr = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .agg(sum(col("l_extendedprice")).as("rev"))
+        matchupPairs(osr)
+          .orderBy(col("n").desc, col("i"), col("j"))
+          .limit(100)
+          .select(col("i"), col("j"), col("n"), col("wi"),
+            Text.hround(col("wi").cast("double") / col("n"), 4).as("phat4"),
+            Text.hround(expr(wilson("n", "wi")), 4).as("wilson_lo4"))
+          .orderBy(col("n").desc, col("i"), col("j"))
+      },
+      Some(s"""
+        WITH osr AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+                       sum(l_extendedprice) AS rev
+                     FROM lineitem GROUP BY 1, 2),
+        mp AS (SELECT a.sk AS i, b.sk AS j, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a.rev >= b.rev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wi
+               FROM osr a JOIN osr b ON a.ok = b.ok AND a.sk < b.sk
+               GROUP BY 1, 2),
+        top AS (SELECT * FROM mp ORDER BY n DESC, i, j LIMIT 100)
+        SELECT i, j, n, wi,
+               ${Text.sqlHround("CAST(wi AS DOUBLE) / n", 4)} AS phat4,
+               ${Text.sqlHround(wilson("n", "wi"), 4)} AS wilson_lo4
+        FROM top ORDER BY n DESC, i, j
+      """),
+      doc = "Wilson-interval win-rate matrix: top-100 matchups by games, z=1.96 lower bound")
+  }
 
   /** DPO-style preference-pair construction: each text near-dup cluster
     * (the dup_clusters CC assignment) becomes one (chosen, rejected)

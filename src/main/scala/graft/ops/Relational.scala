@@ -1957,6 +1957,50 @@ object Relational {
     },
     doc = "TPC-DS-Q88-shaped 8-bucket hour counts: eight self-scans fused into one pass")
 
+  /** TPC-DS Q34 shape: customers with a habit of BIG orders — count
+    * lineitems per order (one fact aggregate), keep orders with ≥ 6
+    * lines, then customers with ≥ 2 such orders. The classic
+    * "aggregate of an aggregate with a HAVING gate at each level";
+    * both aggregates are partial+final hash aggs, the order→customer
+    * join carries only the surviving big orders. Thresholds simulated
+    * at all three SFs (98/946/9489 qualifying customers — the round-4
+    * rule). Spend over the big orders sums o_totalprice (a DOUBLE
+    * fixture column) as exact integer CENTS before the group sum — the
+    * zipf_fit addition-order discipline.
+    */
+  val sqlFrequentBuyers: QueryDef = QueryDef(
+    "sql_frequent_buyers",
+    (s, d) => {
+      val ol = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+        .filter(col("nl") >= 6)
+      Tables.orders(s, d)
+        .join(ol, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("spend_c"))
+        .filter(col("n_big") >= 2)
+        .select(col("o_custkey"), col("n_big"), col("spend_c"),
+          Text.hround(col("spend_c").cast("double") / lit(100.0) / col("n_big"), 2)
+            .as("avg_spend2"))
+        .orderBy(col("o_custkey"))
+    },
+    Some(s"""
+      WITH ol AS (SELECT l_orderkey, count(*) AS nl
+                  FROM lineitem GROUP BY 1 HAVING count(*) >= 6),
+      fb AS (SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_big,
+               CAST(sum(CAST(floor(o.o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+                 AS BIGINT) AS spend_c
+             FROM orders o JOIN ol ON ol.l_orderkey = o.o_orderkey
+             GROUP BY 1 HAVING count(*) >= 2)
+      SELECT o_custkey, n_big, spend_c,
+             ${Text.sqlHround("CAST(spend_c AS DOUBLE) / 100e0 / n_big", 2)}
+               AS avg_spend2
+      FROM fb ORDER BY o_custkey
+    """),
+    doc = "TPC-DS-Q34-shaped frequent big-order buyers (nested HAVING gates)")
+
   val all: Seq[QueryDef] =
     Seq(rollupAgg, modeAgg, bitAgg, rankPercentiles, monthSpineFill,
       zorderCluster, bucketedJoin, sqlPricing, sqlShippingPriority,
@@ -1969,5 +2013,5 @@ object Relational {
       sqlColdCustomers, sqlNonBlacklistedParts, sqlOverstockSuppliers,
       sqlMarketShare, sqlProductProfit, sqlShipmodePriority,
       sqlDisjunctiveRevenue, sqlImportantParts, snapshotDiff, sqlYoyGrowth,
-      sqlBacklogCompare, sqlRollupShare, sqlHourBuckets)
+      sqlBacklogCompare, sqlRollupShare, sqlHourBuckets, sqlFrequentBuyers)
 }
