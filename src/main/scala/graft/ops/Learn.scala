@@ -522,10 +522,10 @@ object Learn {
     QueryDef(
       "win_rate_matrix",
       (s, d) => {
-        val osr = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .agg(sum(col("l_extendedprice")).as("rev"))
-        matchupPairs(osr)
+        matchupDir(s, d)
+          .filter(col("p") < col("o"))
+          .select(col("p").as("i"), col("o").as("j"), col("n"),
+            col("w").as("wi"))
           .orderBy(col("n").desc, col("i"), col("j"))
           .limit(100)
           .select(col("i"), col("j"), col("n"), col("wi"),
@@ -675,6 +675,28 @@ object Learn {
       .groupBy(col("p.i_sk").as("i"), col("p.j_sk").as("j"))
       .agg(count(lit(1)).as("n"), sum(col("p.iwin").cast("long")).as("wi"))
 
+  /** The fact-sized cost of the matchup family, built ONCE and
+    * Pin.tagged: the directed per-player view (p, o, n, w) of
+    * [[matchupPairs]] over per-(order, supplier) revenue. Shared by
+    * [[bradleyTerry]] (all 12 rounds read it) and [[winRateMatrix]]
+    * (recovers the canonical (i, j, n, wi) rows as p < o) — the
+    * sanctioned deliberate-sharing class (same data, same shape; the
+    * recall-trio truth-frame pattern): when both queries run in one
+    * session the 45M-pair expand at the sf10 probe runs once, and the
+    * cache_tag keeps the plan from leaking into unrelated queries.
+    */
+  private def matchupDir(s: SparkSession, d: String): DataFrame = {
+    val osr = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+    val mp = matchupPairs(osr)
+    Pin.tagged(
+      mp.select(col("i").as("p"), col("j").as("o"), col("n"),
+          col("wi").as("w"))
+        .unionByName(mp.select(col("j").as("p"), col("i").as("o"),
+          col("n"), (col("n") - col("wi")).as("w"))))
+  }
+
   lazy val bradleyTerry: QueryDef = {
     val Iters = 12
     val Term = "1000000000000" // 1e12 integer-division scale
@@ -682,15 +704,7 @@ object Learn {
     QueryDef(
       "bradley_terry_strength",
       (s, d) => {
-        val osr = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .agg(sum(col("l_extendedprice")).as("rev"))
-        val mp = matchupPairs(osr)
-        val dir = Pin.tagged(
-          mp.select(col("i").as("p"), col("j").as("o"), col("n"),
-              col("wi").as("w"))
-            .unionByName(mp.select(col("j").as("p"), col("i").as("o"),
-              col("n"), (col("n") - col("wi")).as("w"))))
+        val dir = matchupDir(s, d)
         val pl = dir.groupBy(col("p"))
           .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
           .transform(Pin.pin)
