@@ -1605,23 +1605,32 @@ object EventStream {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, LineEv, MatchupPair] {
     import org.apache.spark.sql.streaming.{
-      ExpiredTimerInfo, MapState, TimeMode, TimerValues, TTLConfig}
+      ExpiredTimerInfo, MapState, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var rev: MapState[Long, Long] = _
+    @transient private var maxTs: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       rev = getHandle.getMapState[Long, Long]("rev",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      maxTs = getHandle.getValueState[Long]("maxTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         ok: Long, rows: Iterator[LineEv],
         timers: TimerValues): Iterator[MatchupPair] = {
-      var last = Long.MinValue
+      // the quiet-period clock is the max event time EVER SEEN for this
+      // order (ValueState), not this batch's max: a cross-batch
+      // out-of-order line (earlier ts, still above the watermark) must
+      // not pull the timer earlier and emit before last-line + gap
+      var last = if (maxTs.exists()) maxTs.get() else Long.MinValue
       rows.foreach { e =>
         val c = if (rev.containsKey(e.sk)) rev.getValue(e.sk) else 0L
         rev.updateValue(e.sk, c + e.cents)
         last = math.max(last, e.ts.getTime)
       }
+      maxTs.update(last)
       getHandle.listTimers().foreach(ts =>
         getHandle.deleteTimer(ts.asInstanceOf[Long]))
       getHandle.registerTimer(last + gapMs)
@@ -1633,6 +1642,7 @@ object EventStream {
         info: ExpiredTimerInfo): Iterator[MatchupPair] = {
       val sks = rev.iterator().toSeq.sortBy(_._1)
       rev.clear()
+      maxTs.clear()
       (for {
         a <- sks.indices.iterator
         b <- (a + 1 until sks.size).iterator

@@ -1196,4 +1196,51 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("matchup stream: cross-batch OUT-OF-ORDER line must not pull the timer earlier") {
+    // The quiet-period clock is the max event time EVER SEEN: a later
+    // batch delivering an EARLIER (still-valid under the watermark
+    // delay) line re-armed the timer at that earlier ts + gap before
+    // the fix, emitting while the order could still grow — and a
+    // subsequent line then produced a SECOND emission for the same
+    // order (duplicate pairs downstream).
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import EventStream.{LineEv, MatchupPair}
+    val mem = MemoryStream[LineEv]
+    val q = EventStream.matchupStream(mem.toDS(), gapMs = 10 * 60000L,
+      delay = "30 minutes")
+      .writeStream.format("memory").queryName("matchup_ooo_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // order 10's max event time is minute 20
+      mem.addData(LineEv(10L, 1L, 500L, ts(20)), LineEv(10L, 2L, 700L, ts(20)))
+      q.processAllAvailable()
+      // out-of-order line at minute 5 (valid: watermark is 20 - 30 < 0);
+      // the timer must stay at 20 + gap = 30, not drop to 5 + gap = 15
+      mem.addData(LineEv(10L, 1L, 300L, ts(5)))
+      q.processAllAvailable()
+      // watermark -> 47 - 30 = 17: past the BUGGY timer (15), before the
+      // correct one (30) — nothing may emit
+      mem.addData(LineEv(99L, 1L, 1L, ts(47)))
+      q.processAllAvailable()
+      assert(spark.table("matchup_ooo_out").isEmpty,
+        "out-of-order line pulled the quiet-period timer earlier")
+      // watermark -> 69: the correct timer fires, ONE emission with all
+      // three lines summed (supplier 1: 500 + 300 = 800 >= 700)
+      mem.addData(LineEv(98L, 1L, 1L, ts(99)))
+      q.processAllAvailable()
+      val out = spark.table("matchup_ooo_out").as[MatchupPair].collect()
+      assert(out.toSeq === Seq(MatchupPair(10L, 1L, 2L, 1)),
+        s"expected one complete emission, got: ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
