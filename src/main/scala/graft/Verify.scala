@@ -9,6 +9,13 @@ object Verify {
     // optional 3rd arg: comma-separated query subset (local iteration only)
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
+    // fail LOUDLY on unknown names (the Bench SPARK_GRAFT_ONLY rule,
+    // ADVICE r13): a typo'd or not-yet-registered query would otherwise
+    // silently dump nothing and a subset check would "pass" vacuously —
+    // exactly how an unregistered anova_oneway hid for one run in r14
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
