@@ -2728,6 +2728,86 @@ object Analytics {
     """),
     doc = "view→next-purchase delay: exact per-cohort median/p90 minutes via rank selection")
 
+  /** Kendall's tau-b between per-supplier total quantity and total
+    * revenue — the tie-corrected PAIRWISE rank statistic completing the
+    * monotone-association family (rank_correlation is Spearman — rank
+    * transform then moments; mann_kendall_trend is tau against TIME;
+    * this is the general two-variable tau with both tie corrections).
+    * Exact integer inputs (quantity is integral; revenue in exact
+    * DECIMAL cents), concordant/discordant/tie counts accumulated by
+    * ONE row-local nested fold over the sorted per-supplier array —
+    * legal because the supplier domain is DIM-SIZED (1000 at sf0.1;
+    * the score_calibration bounded-domain rule). The O(|S|²) pair fold
+    * caps at ~10⁴ entities (10⁸ row-local ops); past that use the
+    * aggregate-first Spearman or a sampled tau — scaladoc'd, not
+    * silent. tau_b = (C−D)/√((n0−n1)(n0−n2)) divides identical
+    * integers under one correctly-rounded sqrt on both engines.
+    */
+  val kendallTau: QueryDef = QueryDef(
+    "kendall_tau",
+    (s, d) => {
+      val sup = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(col("l_quantity").cast("long")).as("x"),
+          sum((col("l_extendedprice") * lit(100)).cast("long")).as("y"))
+      val folded = sup
+        .agg(count(lit(1)).as("n"),
+          expr("array_sort(collect_list(struct(sk, x, y)))").as("a"))
+        .select(col("n"), expr(
+          """aggregate(sequence(1, size(a) - 1),
+               named_struct('c', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT),
+                 'tx', CAST(0 AS BIGINT), 'ty', CAST(0 AS BIGINT)),
+               (s0, i) -> aggregate(sequence(i + 1, size(a)), s0,
+                 (s1, j) -> named_struct(
+                   'c', s1.c + IF((element_at(a, i).x < element_at(a, j).x AND
+                        element_at(a, i).y < element_at(a, j).y) OR
+                       (element_at(a, i).x > element_at(a, j).x AND
+                        element_at(a, i).y > element_at(a, j).y),
+                     CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                   'd', s1.d + IF((element_at(a, i).x < element_at(a, j).x AND
+                        element_at(a, i).y > element_at(a, j).y) OR
+                       (element_at(a, i).x > element_at(a, j).x AND
+                        element_at(a, i).y < element_at(a, j).y),
+                     CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                   'tx', s1.tx + IF(element_at(a, i).x = element_at(a, j).x,
+                     CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                   'ty', s1.ty + IF(element_at(a, i).y = element_at(a, j).y,
+                     CAST(1 AS BIGINT), CAST(0 AS BIGINT)))))""").as("k"))
+      folded.select(col("n"),
+        col("k.c").as("n_conc"), col("k.d").as("n_disc"),
+        col("k.tx").as("ties_x"), col("k.ty").as("ties_y"),
+        Text.hround(
+          (col("k.c") - col("k.d")).cast("double") /
+            sqrt(expr("""CAST(((n * (n - 1)) DIV 2 - k.tx)
+                 * ((n * (n - 1)) DIV 2 - k.ty) AS DOUBLE)""")), 4)
+          .as("tau_b4"))
+    },
+    Some(s"""
+      WITH sup AS (
+        SELECT l_suppkey AS sk,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+               CAST(sum(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1),
+      p AS (
+        SELECT CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                   OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                   OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        FROM sup a JOIN sup b ON a.sk < b.sk),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sup)
+      SELECT nn.n, p.c AS n_conc, p.d AS n_disc,
+             p.tx AS ties_x, p.ty AS ties_y,
+             ${Text.sqlHround(
+               """CAST(p.c - p.d AS DOUBLE)
+                  / sqrt(CAST((nn.n * (nn.n - 1) // 2 - p.tx)
+                    * (nn.n * (nn.n - 1) // 2 - p.ty) AS DOUBLE))""", 4)}
+               AS tau_b4
+      FROM p, nn
+    """),
+    doc = "Kendall tau-b (tie-corrected) of supplier quantity vs revenue totals")
+
   /** One-way ANOVA F-test of l_quantity across return flags — the k-group
     * generalization of [[abTestWelch]]'s two-sample comparison (does ANY
     * group mean differ?). One corpus pass collects exact per-group
@@ -2816,5 +2896,5 @@ object Analytics {
       kAnonymity, psiValueDrift, dpRandomizedResponse, ksTwoSample,
       ksSketchDrift,
       holtLinear, holtBacktest, timeToConvert, dpLaplaceHistogram,
-      anovaOneway)
+      anovaOneway, kendallTau)
 }
