@@ -2733,8 +2733,10 @@ object Analytics {
     * monotone-association family (rank_correlation is Spearman — rank
     * transform then moments; mann_kendall_trend is tau against TIME;
     * this is the general two-variable tau with both tie corrections).
-    * Exact integer inputs (quantity is integral; revenue in exact
-    * DECIMAL cents), concordant/discordant/tie counts accumulated by
+    * Exact integer inputs (quantity is integral; revenue as half-up
+    * integer cents via floor(x·100+0.5) per line — the same formula on
+    * both engines, because Spark's cast-to-long TRUNCATES while
+    * DuckDB's CAST ROUNDS), concordant/discordant/tie counts accumulated by
     * ONE row-local nested fold over the sorted per-supplier array —
     * legal because the supplier domain is DIM-SIZED (1000 at sf0.1;
     * the score_calibration bounded-domain rule). The O(|S|²) pair fold
@@ -2749,7 +2751,11 @@ object Analytics {
       val sup = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey").as("sk"))
         .agg(sum(col("l_quantity").cast("long")).as("x"),
-          sum((col("l_extendedprice") * lit(100)).cast("long")).as("y"))
+          // exact-cents discipline: floor(x*100+0.5) per line on BOTH
+          // engines (Spark cast truncates, DuckDB's rounds — the
+          // round-9 trunc-vs-round class; r14 ADVICE)
+          sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)))
+            .as("y"))
       val folded = sup
         .agg(count(lit(1)).as("n"),
           expr("array_sort(collect_list(struct(sk, x, y)))").as("a"))
@@ -2786,7 +2792,7 @@ object Analytics {
       WITH sup AS (
         SELECT l_suppkey AS sk,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
-               CAST(sum(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS y
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5e0) AS BIGINT)) AS BIGINT) AS y
         FROM lineitem GROUP BY 1),
       p AS (
         SELECT CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
@@ -2811,7 +2817,11 @@ object Analytics {
   /** One-way ANOVA F-test of l_quantity across return flags — the k-group
     * generalization of [[abTestWelch]]'s two-sample comparison (does ANY
     * group mean differ?). One corpus pass collects exact per-group
-    * DECIMAL moments (n, Σx, Σx²); the grand totals ride an
+    * INTEGER moments (n, Σx, Σx²): l_quantity is an integral DOUBLE
+    * fixture column, so both engines cast each value to BIGINT before
+    * summing — the moments are exact by construction (not by the
+    * unstated integral-double-under-2^53 accident; r14 ADVICE), and the
+    * squares stay far under 2^63. The grand totals ride an
     * UNPARTITIONED WINDOW over the 7-row group frame (bounded domain —
     * the round-11 fixed-domain-window rule, no one-row crossJoin
     * needed); per-group SSB/SSW terms are computed in identical double
@@ -2827,8 +2837,9 @@ object Analytics {
       val g = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag").as("grp"))
         .agg(count(lit(1)).as("n_g"),
-          sum(col("l_quantity")).as("s_g"),
-          sum(col("l_quantity") * col("l_quantity")).as("q_g"))
+          sum(col("l_quantity").cast("long")).as("s_g"),
+          sum(col("l_quantity").cast("long")
+            * col("l_quantity").cast("long")).as("q_g"))
       val w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       val t = g
@@ -2855,8 +2866,9 @@ object Analytics {
     },
     Some(s"""
       WITH g AS (SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n_g,
-                   sum(l_quantity) AS s_g,
-                   sum(l_quantity * l_quantity) AS q_g
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_g,
+                   CAST(sum(CAST(l_quantity AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_g
                  FROM lineitem GROUP BY 1),
       t AS (SELECT CAST(sum(n_g) OVER () AS BIGINT) AS n,
               CAST(floor(n_g * (CAST(s_g AS DOUBLE) / n_g

@@ -535,7 +535,7 @@ object Learn {
       },
       Some(s"""
         WITH osr AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
-                       sum(l_extendedprice) AS rev
+                       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5e0) AS BIGINT)) AS BIGINT) AS rev
                      FROM lineitem GROUP BY 1, 2),
         mp AS (SELECT a.sk AS i, b.sk AS j, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(CASE WHEN a.rev >= b.rev THEN 1 ELSE 0 END)
@@ -624,7 +624,9 @@ object Learn {
     * reward-model preference aggregation): wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ),
     * sum-normalized each round. Matchups are derived deterministically
     * from the trade fixtures — two suppliers sharing an order compete,
-    * the higher per-order revenue wins (exact DECIMAL comparison; ties →
+    * the higher per-order revenue wins (exact integer-cents comparison
+    * — per-line floor(x·100+0.5) summed as BIGINT, matching the
+    * streaming twin's LineEv.cents; ties →
     * lower suppkey) — so both engines replay an identical tournament.
     *
     * Numeric discipline (the pagerank/quality_logit rules): strengths
@@ -688,7 +690,14 @@ object Learn {
   private def matchupDir(s: SparkSession, d: String): DataFrame = {
     val osr = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .agg(sum(col("l_extendedprice")).as("rev"))
+      // exact integer cents per line (floor(x*100+0.5), the repo's
+      // half-up convention) summed as BIGINT: a raw DOUBLE sum is
+      // partial-agg-order dependent (±1 ulp on multi-line groups) and
+      // could flip `rev_i >= rev_j` cross-engine on an exact revenue
+      // tie; this also aligns the batch rev domain with the streaming
+      // twin's LineEv.cents field (r14 ADVICE).
+      .agg(sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)))
+        .as("rev"))
     val mp = matchupPairs(osr)
     Pin.tagged(
       mp.select(col("i").as("p"), col("j").as("o"), col("n"),
@@ -768,7 +777,7 @@ object Learn {
         s"""
         WITH osr AS MATERIALIZED (
           SELECT l_orderkey AS ok, l_suppkey AS sk,
-                 sum(l_extendedprice) AS rev
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5e0) AS BIGINT)) AS BIGINT) AS rev
           FROM lineitem GROUP BY 1, 2),
         mp AS MATERIALIZED (
           SELECT a.sk AS i, b.sk AS j, CAST(count(*) AS BIGINT) AS n,

@@ -88,13 +88,24 @@ class AnalyticsSpec extends SparkSpec {
       o.filter(col("o_orderstatus") === "O").count())
   }
   test("kendall_tau: matches an independent JVM brute-force recomputation") {
-    // independent oracle style: recompute C/D/ties/tau from the raw
-    // fixture in plain Scala (different aggregation path, same math)
-    val sup = graft.core.Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("x"),
-        sum((col("l_extendedprice") * lit(100)).cast("long")).as("y"))
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // independent oracle style: recompute C/D/ties/tau from the RAW
+    // per-line fixture rows, aggregating in a plain Scala HashMap and
+    // applying the documented half-up cents convention
+    // floor(x*100+0.5) through the JVM's own floor — a different
+    // evaluation AND aggregation path from the query's Spark fold, so
+    // a regression to the old truncating cast on the Spark side breaks
+    // here (r14 ADVICE: the old test mirrored the Spark cast verbatim)
+    val raw = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .as[(Long, Double, Double)].collect()
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    raw.foreach { case (sk, q, p) =>
+      val cents = math.floor(p * 100 + 0.5).toLong
+      val (x0, y0) = acc.getOrElse(sk, (0L, 0L))
+      acc(sk) = (x0 + q.toLong, y0 + cents)
+    }
+    val sup = acc.toArray.map { case (sk, (x, y)) => (sk, x, y) }
+      .sortBy(_._1)
     var (c, dd, tx, ty) = (0L, 0L, 0L, 0L)
     for (i <- sup.indices; j <- i + 1 until sup.length) {
       val (_, xi, yi) = sup(i); val (_, xj, yj) = sup(j)
