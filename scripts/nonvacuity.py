@@ -56,10 +56,47 @@ THRESHOLD_QUERIES = {
 }
 
 
+# Composite-mix gates whose non-vacuity is a RATIO over the dump, not a
+# row count (round-15 verdict task 6 — previously hand-audited in round
+# sections). Each entry: (label, SQL over the dump returning (num, den)).
+# Degenerate iff num == 0 (gate never fires → tests nothing) or
+# num == den (gate always fires → cuts nothing).
+RATIO_QUERIES = {
+    "k_anonymity": (
+        "violating classes",
+        "SELECT n_violating, n_classes FROM T"),
+    "rrf_fusion": (
+        "both-leg overlap",
+        "SELECT count(*) FILTER (r_lex IS NOT NULL AND r_dense IS NOT NULL),"
+        " count(*) FROM T"),
+    "preference_pairs": (
+        "usable margin >= 0.05",
+        "SELECT count(*) FILTER (usable), count(*) FROM T"),
+    "dup_max_spans": (
+        "docs with dup spans",
+        "SELECT count(*) FILTER (n_spans > 0), count(*) FROM T"),
+    "contrastive_pairs": (
+        "same-source positive share",
+        "SELECT count(*) FILTER (same_source), count(*) FROM T"),
+    "gopher_rules": (
+        "full-battery pass share",
+        "SELECT CAST(sum(n_pass) AS BIGINT), CAST(sum(n_docs) AS BIGINT)"
+        " FROM T"),
+}
+
+
 def rows(outdir: str, q: str):
     try:
         return duckdb.sql(
             f"SELECT count(*) FROM '{outdir}/{q}/*.parquet'").fetchone()[0]
+    except Exception:
+        return None
+
+
+def ratio(outdir: str, q: str, sql: str):
+    try:
+        return duckdb.sql(
+            sql.replace("T", f"'{outdir}/{q}/*.parquet'")).fetchone()
     except Exception:
         return None
 
@@ -76,6 +113,17 @@ def main() -> int:
         print(f"| {q} | {cut} | {fmt(cells[0])} | {fmt(cells[1])} | {fmt(cells[2])} |")
         if any(c is None or c == 0 for c in cells):
             bad.append((q, cells))
+    print("\n| query | ratio gate | sf0.001 | sf0.01 | sf0.1 |")
+    print("|---|---|---|---|---|")
+    for q, (label, sql) in RATIO_QUERIES.items():
+        cells = [ratio(d, q, sql) for d in (d001, d01, d1)]
+        def rfmt(c):
+            return "MISSING" if c is None else f"{c[0]}/{c[1]}"
+        print(f"| {q} | {label} | {rfmt(cells[0])} | {rfmt(cells[1])} | {rfmt(cells[2])} |")
+        for c in cells:
+            if c is None or c[0] == 0 or c[0] == c[1]:
+                bad.append((q, label, cells))
+                break
     if bad:
         print(f"\nVACUOUS OR MISSING: {bad}", file=sys.stderr)
         return 1

@@ -702,6 +702,11 @@ object Extended {
     */
   val SimBits  = 32
   val SimBands = 4
+  // declared HERE (not next to simhashWideNearDup) because
+  // simhashNearDup's oracle string interpolates it EAGERLY at object
+  // init: a forward val reference silently reads 0 and generates empty
+  // bit CTEs (caught by check.py the day the adaptive ladder landed)
+  val SimWideBits = 64
   private val SimBandBits = SimBits / SimBands
 
   /** (doc_id, simhash): per-bit ±1 vote sums as a codegen'd grouped
@@ -716,7 +721,7 @@ object Extended {
     * times (banding + both hamming-join sides), all of which reuse this
     * one exchange instead of re-running the vote computation.
     */
-  private def simhashSigs(s: SparkSession, d: String,
+  private[graft] def simhashSigs(s: SparkSession, d: String,
       bits: Int = SimBits): DataFrame = {
     val base = docWords(s, d)
       .select(col("doc_id"), explode(col("w")).as("word"))
@@ -783,8 +788,15 @@ object Extended {
     * on at least one of the 4 byte-wide bands, so candidates = pairs
     * sharing any band value (the capped groupBy + pair-expand shape
     * again), then the exact Hamming check (`bit_count(xor)`) filters.
-    * Recall for the ≤ 3 threshold is therefore exactly 1.0 by
-    * construction; precision comes from the exact filter.
+    * Recall for the ≤ 3 threshold is exactly 1.0 by construction FOR
+    * PAIRS WHOSE SHARED-BAND BUCKETS SIT UNDER THE 1000-member cap —
+    * the unqualified 1.0 the scaladoc used to claim is false once a
+    * band's fixed code domain saturates (r14 verdict; measured: 6.9%
+    * pair loss at sf0.1 on the 32-bit width). The count-adaptive width
+    * ladder ([[simWidthLadder]]) keeps bucket occupancy orders of
+    * magnitude under the cap above the fixture floor, which is what
+    * restores the claim operationally; precision comes from the exact
+    * filter either way.
     *
     * The full 32-bit signature RIDES ALONG in the bucket collect_list
     * struct, so the Hamming verify is row-local math on the pair-expand
@@ -800,7 +812,8 @@ object Extended {
     * fixture-shaped ones. Bucket cap 1000 as documented on the query.
     */
   private[graft] def simhashPairsOf(sims: DataFrame,
-      bits: Int = SimBits, bands: Int = SimBands): DataFrame = {
+      bits: Int = SimBits, bands: Int = SimBands,
+      cap: Int = 1000): DataFrame = {
     val bandBits = bits / bands
     // mask AFTER the shift: shiftright on LONG is arithmetic (sign-
     // extending), so the top band of a 64-bit signature needs the mask
@@ -809,14 +822,29 @@ object Extended {
     val bandStructs = (0 until bands).map { b =>
       s"struct($b AS band, shiftright(simhash, ${bandBits * b}) & ${(1L << bandBits) - 1} AS code)"
     }.mkString(", ")
-    sims
-      .select(explode(expr(s"array($bandStructs)")).as("bs"),
-        col("doc_id"), col("simhash"))
+    bandedHammingVerify(
+      sims.select(explode(expr(s"array($bandStructs)")).as("bs"),
+        col("doc_id"), col("simhash")),
+      bands, cap)
+  }
+
+  /** The shared post-banding core: bucket members by (band, code), drop
+    * buckets outside [2, cap] (see [[SimWidthLadderN]] for why the cap
+    * can be treated as a no-op above the fixture floor), pair-expand
+    * inside each bucket with the full signature riding along, verify
+    * Hamming ≤ bands−1 row-locally, and dedup across bands. Split out so
+    * the fixed-width path ([[simhashPairsOf]], property-tested at both
+    * widths) and the count-adaptive path ([[simhashPairsAdaptiveFrom]])
+    * run IDENTICAL bucket/expand/verify machinery.
+    */
+  private[graft] def bandedHammingVerify(banded: DataFrame, bands: Int,
+      cap: Int): DataFrame =
+    banded
       .select(col("bs.band").as("band"), col("bs.code").as("code"),
         struct(col("doc_id"), col("simhash")).as("m"))
       .groupBy(col("band"), col("code"))
       .agg(expr("array_sort(collect_list(m))").as("ms"))
-      .filter(size(col("ms")).between(2, 1000))
+      .filter(size(col("ms")).between(2, cap))
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> " +
           "transform(slice(ms, i + 2, size(ms)), y -> " +
@@ -828,18 +856,75 @@ object Extended {
         col("p.hamming").as("hamming"))
       .distinct()
       .orderBy(col("d1"), col("d2"))
+
+  /** Count-adaptive SimHash width ladder (round-15 verdict task 1 — the
+    * round-13 fixed-domain-bucket-key class applied to text SimHash):
+    * the 32-bit/8-bit-band variant buckets on a FIXED 256-code-per-band
+    * domain, so bucket occupancy grows ~N/256 and the 1000-member cap
+    * starts silently dropping buckets — MEASURED at sf0.1 already: one
+    * 1338-member bucket, 5 699 of 83 078 true Hamming≤3 pairs (6.9%)
+    * lost. The ladder widens the SIGNATURE (32 → 64 bits, bands fixed
+    * at 4 so the ≤ 3 pigeonhole is preserved) from an in-plan one-row
+    * documents count, growing the per-band code domain 256 → 65 536:
+    * measured occupancy at 64 bits is max 291 at 5 000 docs and stays
+    * 3 orders under the cap through the 100× GenScale probe (SCALING.md
+    * round 15). Exact integer CASE ladder, never ceil(log2()) — the
+    * round-13 cross-engine libm rule — FLOORED at [[SimWidthLadderN]]
+    * so every fixture SF (≤ 5 000 docs) keeps the historical 32-bit
+    * behavior bit-identical (zero oracle churn). Past ~60M docs the
+    * 64-bit rung's own incidental occupancy would near the cap; the
+    * honest next rung is a 128-bit two-word signature (struct of two
+    * BIGINTs) — recorded as the round-16+ seam in SCALING.md, the same
+    * discipline as the ANN family's post-20-bit seam.
+    */
+  private[graft] val SimWidthLadderN = 8192L
+  private[graft] def simWidthLadder(n: String): String =
+    s"(CASE WHEN $n <= $SimWidthLadderN THEN 32 ELSE 64 END)"
+
+  /** The adaptive-width banding over a 64-bit signature frame and a
+    * ONE-ROW document-count frame (broadcast-crossed in — the
+    * scalar-subquery shape, ScaleSpec `intended`): the effective
+    * signature is the 64-bit one masked down to the ladder width (the
+    * 64-bit signature's low word IS the 32-bit signature — bits < 32
+    * vote on the unsalted h32 at every width), band width follows as
+    * ladderWidth/4, and the shared [[bandedHammingVerify]] core runs
+    * unchanged on the (band, code) stream.
+    */
+  private[graft] def simhashPairsAdaptiveFrom(sims64: DataFrame,
+      nd: DataFrame, cap: Int = 1000): DataFrame = {
+    val ladder = simWidthLadder("nd")
+    val bandStructs = (0 until SimBands).map { b =>
+      s"struct($b AS band, shiftright(simhash, CAST(bb * $b AS INT)) & " +
+        "(shiftleft(CAST(1 AS BIGINT), bb) - 1) AS code)"
+    }.mkString(", ")
+    bandedHammingVerify(
+      sims64.crossJoin(broadcast(nd))
+        .select(col("doc_id"),
+          expr(s"CASE WHEN $ladder = 32 THEN simhash & 4294967295 " +
+            "ELSE simhash END").as("simhash"),
+          expr(s"CAST($ladder DIV $SimBands AS INT)").as("bb"))
+        .select(explode(expr(s"array($bandStructs)")).as("bs"),
+          col("doc_id"), col("simhash")),
+      SimBands, cap)
   }
 
   val simhashNearDup: QueryDef = QueryDef(
     "simhash_near_dup",
-    (s, d) => simhashPairsOf(simhashSigs(s, d)),
-    Some {
-      val bandSelects = (0 until SimBands).map { b =>
-        s"SELECT doc_id, $b AS band, (simhash >> ${SimBandBits * b}) & ${(1 << SimBandBits) - 1} AS code FROM sims"
-      }.mkString(" UNION ALL ")
-      s"""
-      WITH $sqlSimhashCtes,
-      sbands AS ($bandSelects),
+    (s, d) => simhashPairsAdaptiveFrom(
+      simhashSigs(s, d, SimWideBits),
+      Tables.documents(s, d).agg(count(lit(1)).as("nd"))),
+    Some(s"""
+      WITH ${sqlSimhashCtesOf(SimWideBits)},
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      wl AS (SELECT ${simWidthLadder("nd")} AS wb FROM nd),
+      se AS (SELECT doc_id,
+               CASE WHEN wl.wb = 32 THEN simhash & 4294967295
+                    ELSE simhash END AS sig,
+               wl.wb // $SimBands AS bb
+             FROM sims, wl),
+      sbands AS (SELECT doc_id, b AS band,
+                   (sig >> (bb * b)) & ((CAST(1 AS BIGINT) << bb) - 1) AS code
+                 FROM se, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
       spairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM sbands a
@@ -850,14 +935,13 @@ object Extended {
           ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id)
       SELECT d1, d2, hamming FROM (
         SELECT p.d1, p.d2,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM spairs p
-        JOIN sims a ON a.doc_id = p.d1
-        JOIN sims b ON b.doc_id = p.d2)
+        JOIN se a ON a.doc_id = p.d1
+        JOIN se b ON b.doc_id = p.d2)
       WHERE hamming <= ${SimBands - 1} ORDER BY d1, d2
-      """
-    },
-    doc = "SimHash Hamming<=3 near-dup via nibble banding (exact by pigeonhole)")
+      """),
+    doc = "SimHash Hamming<=3 near-dup, count-adaptive 32/64-bit width (fixture floor 32)")
 
   /** The production-width SimHash near-dup — the 64-bit/16-bit-band
     * tuning PLANS.md promises for the 100 TB corpus, registered so the
@@ -870,7 +954,6 @@ object Extended {
     * three SFs before registration (20/14/309 qualifying pairs).
     * SimhashPropertySpec runs the banding core at BOTH widths.
     */
-  val SimWideBits = 64
   val simhashWideNearDup: QueryDef = QueryDef(
     "simhash_wide_near_dup",
     (s, d) => simhashPairsOf(simhashSigs(s, d, SimWideBits),

@@ -202,7 +202,22 @@ object Multimodal {
         "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
           "a + IF(32 * element_at(px, i) >= sp, " +
           "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
-      .select(col("doc_id"), col("ph"))
+      // dHash plane (round 15): bit i−1 = px_i > px_{i+1 (wrapping)} —
+      // the standard difference-hash over the SAME 32 pixels, so the
+      // 64-bit hash costs no extra decode work, stays exact-integer
+      // (comparisons only), and is locality-preserving like the aHash
+      // plane. ph64's LOW word IS the historical 32-bit aHash, which is
+      // what lets the width ladder floor bit-identically at fixture SFs.
+      // dh bit 31 lands on the BIGINT sign bit after the shift; Spark's
+      // shiftleft wraps (Java semantics) and the oracle mirrors the wrap
+      // by decomposing into (dh mod 2^31) << 32 plus an explicit
+      // Long.MinValue term (DuckDB's << raises on overflow).
+      .withColumn("dh", expr(
+        "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
+          "a + IF(element_at(px, i) > element_at(px, IF(i = 32, 1, i + 1)), " +
+          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
+      .select(col("doc_id"), col("ph"),
+        expr("ph + shiftleft(dh, 32)").as("ph64"))
   }
 
   /** DuckDB mirror of [[phashOf]]: CTE chain ending in ph(doc_id, ph)
@@ -218,42 +233,54 @@ object Multimodal {
                   0) AS BIGINT) % 256
                FOR i IN generate_series(1, 32)] AS px
              FROM pws32),
-      ph AS (SELECT doc_id,
+      ph0 AS (SELECT doc_id,
               CAST(list_sum([CASE WHEN 32 * px[i] >= CAST(list_sum(px) AS BIGINT)
                        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
-                     FOR i IN generate_series(1, 32)]) AS BIGINT) AS ph
-             FROM px)"""
+                     FOR i IN generate_series(1, 32)]) AS BIGINT) AS ph,
+              CAST(list_sum([CASE WHEN px[i] > px[CASE WHEN i = 32 THEN 1 ELSE i + 1 END]
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
+                     FOR i IN generate_series(1, 32)]) AS BIGINT) AS dh
+             FROM px),
+      ph AS (SELECT doc_id, ph,
+              ph + ((dh % 2147483648) << 32)
+                 + (CASE WHEN dh >= 2147483648
+                    THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END) AS ph64
+             FROM ph0)"""
 
+  /** Round 15: the 32-bit/8-bit-band aHash banding was the SECOND
+    * instance of the fixed-domain bucket-key class (256 codes/band, cap
+    * 1000 — caught by ScaleSpec's mechanized band/code audit the day it
+    * landed for simhash): at the 100× probe's ~300k eligible payloads
+    * mean occupancy alone (~1170) passes the cap. Fix = the identical
+    * count-adaptive width ladder ([[graft.ops.Extended.simWidthLadder]],
+    * shared machinery): above the 8192-doc floor the effective hash
+    * widens to the 64-bit aHash|dHash and the bands to 16 bits (65 536
+    * codes); at every fixture SF the masked low word IS the historical
+    * aHash, so outputs stay bit-identical (zero oracle churn). The emit
+    * threshold stays Hamming ≤ 1 at the effective width.
+    */
   val imagePhashNearDup: QueryDef = QueryDef(
     "image_phash_near_dup",
     (s, d) => {
       val ph = phashOf(media(s, d).select(col("doc_id"), col("payload")))
-      val bandStructs = (0 until 4).map(b =>
-        s"struct($b AS band, shiftright(ph, ${8 * b}) & 255 AS code)")
-        .mkString(", ")
-      ph
-        .select(explode(expr(s"array($bandStructs)")).as("bs"),
-          struct(col("doc_id"), col("ph")).as("m"))
-        .select(col("bs.band").as("band"), col("bs.code").as("code"), col("m"))
-        .groupBy(col("band"), col("code"))
-        .agg(expr("array_sort(collect_list(m))").as("ms"))
-        .filter(size(col("ms")).between(2, 1000))
-        .select(explode(expr(
-          "flatten(transform(ms, (x, i) -> " +
-            "transform(slice(ms, i + 2, size(ms)), y -> " +
-            "struct(x.doc_id AS d1, y.doc_id AS d2, " +
-            "CAST(bit_count(x.ph ^ y.ph) AS INT) AS hamming))))")).as("p"))
-        .filter(col("p.hamming") <= 1)
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
-          col("p.hamming").as("hamming"))
-        .distinct()
+        .select(col("doc_id"), col("ph64").as("simhash"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      graft.ops.Extended.simhashPairsAdaptiveFrom(ph, nd)
+        .filter(col("hamming") <= 1)
         .orderBy(col("d1"), col("d2"))
     },
     Some(s"""
       WITH $sqlPhash,
-      sbands AS (
-        SELECT doc_id, ph, b.band, (ph >> (8 * b.band)) & 255 AS code
-        FROM ph, range(4) b(band)),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      wl AS (SELECT ${graft.ops.Extended.simWidthLadder("nd")} AS wb FROM nd),
+      se AS (SELECT doc_id,
+               CASE WHEN wl.wb = 32 THEN ph64 & 4294967295
+                    ELSE ph64 END AS sig,
+               wl.wb // 4 AS bb
+             FROM ph, wl),
+      sbands AS (SELECT doc_id, b AS band,
+                   (sig >> (bb * b)) & ((CAST(1 AS BIGINT) << bb) - 1) AS code
+                 FROM se, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
       spairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM sbands a
@@ -263,12 +290,12 @@ object Multimodal {
         JOIN sbands b ON a.band = b.band AND a.code = b.code
           AND a.doc_id < b.doc_id)
       SELECT d1, d2, hamming FROM (
-        SELECT p.d1, p.d2, CAST(bit_count(xor(x.ph, y.ph)) AS INT) AS hamming
-        FROM spairs p JOIN ph x ON x.doc_id = p.d1
-        JOIN ph y ON y.doc_id = p.d2)
+        SELECT p.d1, p.d2, CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+        FROM spairs p JOIN se x ON x.doc_id = p.d1
+        JOIN se y ON y.doc_id = p.d2)
       WHERE hamming <= 1 ORDER BY d1, d2
     """),
-    doc = "perceptual-hash (aHash) near-dup over binary payloads, banded Hamming<=1")
+    doc = "perceptual-hash near-dup, count-adaptive 32-bit aHash / 64-bit aHash+dHash width")
 
   /** Cross-modal curation gate — the composition a multimodal training
     * pipeline runs once per-modality dedup exists: records the TEXT side

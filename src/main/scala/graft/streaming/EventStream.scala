@@ -503,6 +503,147 @@ object EventStream {
     }
   }
 
+  // ---- cross-modal curation gate, streaming twin (round 15) --------------
+
+  /** Streaming twin of the batch `cross_modal_check`
+    * (ops/Multimodal.scala) — the last batch-only composition of the
+    * curation family (r14 verdict task 7): as documents ARRIVE, maintain
+    * the text near-dup clusters incrementally and re-emit the
+    * text-dup-but-media-distinct verdicts for the corpus seen so far.
+    * State (parquet snapshots, [[idempotentParquetSink]]'s batch-id
+    * discipline): `members` (doc_id, root, n_chars, ph — everything the
+    * canonical election and the phash verdict need) and `buckets`
+    * (band, bkey, root — the LSH connectivity frontier, every bucket
+    * pointing at its component's ROOT so a future arrival unions in one
+    * join, the path-compressed union-find shape).
+    *
+    * Per micro-batch: band the arriving docs with the SAME LSH helpers
+    * the batch query uses (Extended.signaturesOf/bandsOf), build the
+    * star-contracted edges (batch hub → batch members, batch hub → the
+    * roots of matching stored buckets), run the SAME min-label CC
+    * (Extended.ccOverEdges — components over the contracted node space
+    * {batch docs} ∪ {touched roots} relabel exactly like the batch CC
+    * over the full graph, because stored roots ARE min-reachable ids),
+    * remap merged roots through the old→new map, and OVERWRITE the
+    * bid=<id> snapshot (members + buckets + the verdict output derived
+    * from members by the batch query's election: canonical = longest
+    * text, tie lowest id; media_match = aHash Hamming ≤ 1; NULL phash →
+    * false). Replay safety is [[mergeAggSnapshot]]'s: a replayed batch
+    * re-reads the newest snapshot with bid < id and rewrites its own.
+    *
+    * Honest divergence note: the batch star contraction drops buckets
+    * outside [2, 1000] members RETROACTIVELY; an online twin cannot
+    * un-emit edges a bucket contributed before crossing the cap. At the
+    * MinHash family's hash-valued bucket domain the cap is a measured
+    * no-op at every probed scale (SCALING.md), and CrossModalStreamSpec
+    * asserts exact batch parity at all three fixture SFs.
+    */
+  def crossModalStream(docs: DataFrame, stateDir: String, ckDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeCrossModalSnapshot(batch, stateDir, id)
+      }
+      .start()
+
+  /** One micro-batch of the cross-modal union-find merge (factored out
+    * so the spec can drive batches directly). See [[crossModalStream]].
+    */
+  private[graft] def mergeCrossModalSnapshot(
+      batch: Dataset[org.apache.spark.sql.Row], stateDir: String,
+      id: Long): Unit = {
+    val s = batch.sparkSession
+    val prev = latestSnapshotId(s, stateDir, id)
+    val (pm, pb) = prev match {
+      case Some(p) => (s.read.parquet(s"$stateDir/bid=$p/members"),
+        s.read.parquet(s"$stateDir/bid=$p/buckets"))
+      case None =>
+        import s.implicits._
+        (Seq.empty[(Long, Long, Long, Option[Long])]
+          .toDF("doc_id", "root", "n_chars", "ph"),
+          Seq.empty[(Int, String, Long)].toDF("band", "bkey", "root"))
+    }
+    val bdocs = batch
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n_chars"))
+    val words = bdocs.select(col("doc_id"), col("n_chars"),
+        graft.core.Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val ph = graft.ops.Multimodal.phashOf(
+        bdocs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+      .select(col("doc_id"), col("ph"))
+    val bStar = graft.ops.Extended.bandsOf(graft.ops.Extended.signaturesOf(
+        words.select(col("doc_id"), col("w"))))
+      .select(col("band"), col("bkey"), col("doc_id"))
+      .groupBy(col("band"), col("bkey"))
+      .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
+      .localCheckpoint(false)
+    val batchEdges = bStar
+      .select(explode(expr(
+        "transform(slice(ds, 2, size(ds) - 1), " +
+          "y -> struct(element_at(ds, 1) AS d1, y AS d2))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val prevEdges = bStar
+      .select(col("band"), col("bkey"), expr("element_at(ds, 1)").as("d1"))
+      .join(pb, Seq("band", "bkey"))
+      .select(col("d1"), col("root").as("d2"))
+    val cc = graft.ops.Extended.ccOverEdges(
+      batchEdges.unionByName(prevEdges)).localCheckpoint(false)
+    val rootMap = cc
+      .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+    val members = pm.alias("m")
+      .join(rootMap, col("m.root") === col("old_root"), "left")
+      .select(col("m.doc_id"), coalesce(col("new_root"), col("m.root")).as("root"),
+        col("m.n_chars"), col("m.ph"))
+      .unionByName(
+        words.select(col("doc_id"), col("n_chars"))
+          .join(ph, Seq("doc_id"), "left")
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("root"),
+            col("n_chars"), col("ph")))
+    val buckets = pb.alias("b")
+      .join(rootMap, col("b.root") === col("old_root"), "left")
+      .select(col("b.band"), col("b.bkey"),
+        coalesce(col("new_root"), col("b.root")).as("root"))
+      .unionByName(
+        bStar.select(col("band"), col("bkey"),
+            expr("element_at(ds, 1)").as("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("band"), col("bkey"),
+            coalesce(col("cluster_id"), col("doc_id")).as("root")))
+      .groupBy(col("band"), col("bkey")).agg(min(col("root")).as("root"))
+    members.write.mode("overwrite").parquet(s"$stateDir/bid=$id/members")
+    buckets.write.mode("overwrite").parquet(s"$stateDir/bid=$id/buckets")
+    val mFin = s.read.parquet(s"$stateDir/bid=$id/members")
+    val wElect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("root"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    mFin
+      .withColumn("nmem",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("root"))))
+      .filter(col("nmem") >= 2)
+      .withColumn("canon_id", first(col("doc_id")).over(wElect))
+      .withColumn("cph", first(col("ph")).over(wElect))
+      .filter(col("doc_id") =!= col("canon_id"))
+      .select(col("doc_id"), col("root").as("cluster_id"), col("canon_id"),
+        expr("CAST(bit_count(ph ^ cph) AS INT)").as("hamming"),
+        coalesce(expr("bit_count(ph ^ cph) <= 1"), lit(false))
+          .as("media_match"))
+      .write.mode("overwrite").parquet(s"$stateDir/bid=$id/verdicts")
+    prev.foreach { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      snapshotIds(s, stateDir).filter(_ < p).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/bid=$old"), true)
+      }
+    }
+  }
+
   /** All snapshot batch-ids currently in the store. */
   private def snapshotIds(s: org.apache.spark.sql.SparkSession,
       stateDir: String): Seq[Long] = {

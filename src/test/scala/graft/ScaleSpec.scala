@@ -147,7 +147,11 @@ class ScaleSpec extends SparkSpec {
       // mmr_diverse_topk embeds cosineTopKAt's broadcast query set (the
       // embed_cosine_topk shape); bradley_terry_strength broadcasts each
       // round's one-row normalization total (the scalar-subquery shape).
-      "mmr_diverse_topk", "bradley_terry_strength")
+      "mmr_diverse_topk", "bradley_terry_strength",
+      // simhash_near_dup and image_phash_near_dup broadcast-cross their
+      // ONE-ROW document-count frame into the width ladder (round-15;
+      // the embCandidates shape).
+      "simhash_near_dup", "image_phash_near_dup")
     SparkEntry.defs.foreach { q =>
       val df = q.fn(spark, sfDir)
       val phys = df.queryExecution.sparkPlan.toString
@@ -176,12 +180,19 @@ class ScaleSpec extends SparkSpec {
     }
     // simhash_near_dup needs no ReusedExchange since round 3: the full
     // signature rides along in the bucket collect_list struct, so the
-    // signature subtree has exactly ONE consumer (no join-back). Guard the
-    // stronger property instead: no join operator in the plan at all.
+    // signature subtree has exactly ONE consumer (no join-back). Guard
+    // the stronger property instead: the ONLY join in the plan is the
+    // round-15 width ladder's one-row document-count broadcast cross
+    // join — any equi-join would be a re-grown signature join-back.
     val simPlan = planOf(ops.Extended.simhashNearDup.fn(spark, sfDir))
-    assert(!simPlan.contains("Join"),
-      s"simhash_near_dup re-grew a signature join-back — the banded " +
-        s"collect_list should carry the simhash itself:\n$simPlan")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").foreach { j =>
+      assert(!simPlan.contains(j),
+        s"simhash_near_dup re-grew a signature join-back ($j) — the " +
+          s"banded collect_list should carry the simhash itself:\n$simPlan")
+    }
+    assert("BroadcastNestedLoopJoin".r.findAllIn(simPlan).size === 1,
+      s"simhash_near_dup should have exactly the one-row count-ladder " +
+        s"broadcast cross join:\n$simPlan")
   }
 
   test("rrf_fusion: both legs depth-cut by TakeOrdered before any global window") {
@@ -297,6 +308,82 @@ class ScaleSpec extends SparkSpec {
     val unordered = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
     assert(unordered.distinct.size === pairs.size,
       "comparison pool repeats a coordinate-pair hyperplane")
+    // SimHash width ladder (round 15): floor 32 bits at every fixture
+    // SF (bit-identical history, zero oracle churn), monotone to the
+    // 64-bit production width past the floor
+    val sw = counts.map(n => eval(ops.Extended.simWidthLadder("nv"), n))
+    assert(sw.take(4) === Seq(32, 32, 32, 32),
+      s"fixture SFs must floor at 32-bit SimHash: $sw")
+    assert(sw === sw.sorted && sw.last === ops.Extended.SimWideBits,
+      s"SimHash width ladder must rise monotonically to 64: $sw")
+    assert(ops.Extended.SimWidthLadderN >= 5000L,
+      "the ladder floor must cover the largest fixture SF (5000 docs)")
+  }
+
+  test("band/code-keyed bucket plans are audited for domain growth") {
+    // Round-15 generalization of the `bkt` ban (the round-13/14
+    // fixed-domain-bucket-key class): ANY aggregate or join keyed on a
+    // band/code-style bucket column must be explicitly audited here
+    // with the reason its key domain keeps bucket occupancy bounded as
+    // the corpus grows — hash-valued keys (domain grows with data),
+    // count-adaptive ladders, or a measured probe. A new query that
+    // buckets on a fixed-width code without an entry fails loudly at
+    // registration instead of shipping a silent 100×-scale recall hole
+    // (the simhash lesson, VERDICT r14 #1).
+    val bucketNames = Set("code", "band", "bkt")
+    val audited: Map[String, String] = Map(
+      // -- count-adaptive ladders (in-plan one-row count frame) --
+      "simhash_near_dup" -> "simWidthLadder 32→64-bit signature; floor ≤ 8192 docs",
+      "image_phash_near_dup" -> "simWidthLadder 32-bit aHash → 64-bit aHash|dHash",
+      "embed_near_dup" -> "nbLadder/nBandsLadder 8→20 bits (round 13/14)",
+      "paraphrase_pairs" -> "nbLadder (embCandidates consumer)",
+      "semantic_dedup" -> "nbLadder (embCandidates consumer)",
+      "semantic_decontaminate" -> "nbLadder (embCandidates consumer)",
+      "curation_pipeline" -> "nbLadder (embCandidates consumer)",
+      "curation_funnel" -> "nbLadder (embCandidates consumer)",
+      "cross_modal_check" -> "nbLadder (embCandidates consumer)",
+      "contrastive_pairs" -> "nbLadder (embCandidates consumer)",
+      "hard_negative_mine" -> "nbLadder (embCandidates consumer)",
+      // -- measured-probe coverage (SCALING.md round 15) --
+      "simhash_wide_near_dup" ->
+        "64-bit/16-bit bands; sf10 probe: occupancy mean 9.1, one bucket >cap (0.36% pair loss)",
+      // -- hash-valued band keys: the code domain grows with the corpus --
+      "minhash_lsh_pairs" -> "MinHash band signature is hash-valued",
+      "dup_clusters" -> "MinHash band signature is hash-valued",
+      "cluster_canonical" -> "MinHash band signature is hash-valued",
+      "lsh_recall_eval" -> "MinHash band signature is hash-valued",
+      "minhash_calibration" -> "MinHash band signature is hash-valued",
+      "ngram_jaccard_pairs" -> "candidates from hash-valued MinHash bands",
+      "containment_pairs" -> "candidates from hash-valued MinHash bands",
+      "edit_distance_pairs" -> "candidates from hash-valued MinHash bands",
+      "decontaminate" -> "shingle-hash keys (hash-valued)",
+      "incremental_dedup" -> "MinHash band signature is hash-valued",
+      "dedup_state_roundtrip" -> "MinHash band signature is hash-valued",
+      "dedup_state_compact" -> "MinHash band signature is hash-valued",
+      // -- ANN query-side banding: Q bounded by the fixed query batch --
+      "embed_ann_lsh" -> "query-side band join; query set fixed (vec_id cap)",
+      "embed_ann_multiprobe" -> "query-side band join; query set fixed",
+      "knn_classify_ann" -> "query-side band join; query set fixed",
+      "ann_recall" -> "recall eval over fixed query batch",
+      "ann_recall20" -> "recall eval over fixed query batch",
+      "ann_ndcg" -> "NDCG eval over fixed query batch")
+    val unaudited = SparkEntry.defs.flatMap { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+      val hits = plan.collect {
+        case a: Aggregate if a.groupingExpressions
+          .flatMap(_.references.toSeq).exists(r => bucketNames(r.name)) => "agg"
+        case j: Join if j.condition.toSeq
+          .flatMap(_.references.toSeq).exists(r => bucketNames(r.name)) => "join"
+      }
+      if (hits.nonEmpty && !audited.contains(q.name))
+        Some(s"${q.name} (${hits.mkString(",")})")
+      else None
+    }
+    assert(unaudited.isEmpty,
+      s"queries bucket on a band/code key without a domain-growth audit " +
+        s"entry — add one with the reason the bucket key's domain scales " +
+        s"(hash-valued, laddered, or probed): ${unaudited.mkString("; ")}")
   }
 
   test("plan construction is lazy: no data jobs before any action") {

@@ -78,4 +78,84 @@ class SimhashPropertySpec extends SparkSpec {
   test("banded pairs == brute force on adversarial 64-bit signatures") {
     check(Extended.SimWideBits, Extended.SimBands)
   }
+
+  /** The round-15 verdict adversary: an over-cap band bucket DROPS the
+    * one true pair whose ONLY shared band is the flooded one — the cap
+    * is a silent recall hole at fixed width (measured live: 6.9% of
+    * true pairs at sf0.1, 28.6% at the 10× probe) — and the
+    * count-adaptive width ladder recovers the pair by dispersing the
+    * flood across the 65 536-code 16-bit bands. Construction: A and B
+    * at Hamming 3 with one flip in each of bands 1..3 (so band 0 is
+    * their only agreement), plus 999 fillers sharing A's band-0 code
+    * but pairwise ≥ 4 flips apart (greedy-filtered), flooding the
+    * bucket to 1001 > 1000.
+    */
+  test("over-cap bucket drops the only-shared-band pair; width ladder recovers it") {
+    val code0 = 0x5AL
+    val uA = 0xABCDEF
+    val uB = uA ^ 0x020202 // pattern bits 1, 9, 17 → sig bits 9, 17, 25
+    val rnd = new scala.util.Random(7)
+    val kept = scala.collection.mutable.ArrayBuffer[Int]()
+    while (kept.size < 999) {
+      val c = rnd.nextInt() & 0xFFFFFF
+      if (Integer.bitCount(uA ^ c) >= 4 && Integer.bitCount(uB ^ c) >= 4 &&
+          kept.forall(k => Integer.bitCount(k ^ c) >= 4))
+        kept += c
+    }
+    def sig32(u: Int): Long = code0 | (u.toLong << 8)
+    val sigs32 = Seq(1L -> sig32(uA), 2L -> sig32(uB)) ++
+      kept.zipWithIndex.map { case (u, i) => (100L + i) -> sig32(u) }
+    assert(java.lang.Long.bitCount(sig32(uA) ^ sig32(uB)) === 3)
+    val df32 = sigs32.toDF("doc_id", "simhash")
+
+    val uncapped = Extended.simhashPairsOf(df32, 32, 4, Int.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped === Set((1L, 2L, 3)),
+      s"uncapped truth should be exactly the planted pair: $uncapped")
+    val capped = Extended.simhashPairsOf(df32, 32, 4, 1000)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped === Set.empty,
+      s"the flooded band-0 bucket must (loudly, per this spec) drop the " +
+        s"planted pair at fixed 32-bit width: $capped")
+
+    // 64-bit extension: A and B share the salted upper word (their
+    // Hamming stays 3); fillers get random upper words, so the ladder's
+    // 16-bit bands disperse the flood and bands 2..3 recover the pair.
+    val hiAB = 0x13572468L
+    val sims64 = sigs32.map { case (id, lo) =>
+      val hi = if (id <= 2L) hiAB else rnd.nextInt().toLong & 0xFFFFFFFFL
+      (id, (hi << 32) | lo)
+    }.toDF("doc_id", "simhash")
+    val aboveFloor = Extended.simhashPairsAdaptiveFrom(
+        sims64, Seq(Extended.SimWidthLadderN + 1).toDF("nd"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(aboveFloor === Set((1L, 2L, 3)),
+      s"the 64-bit rung must recover the planted pair: $aboveFloor")
+    val belowFloor = Extended.simhashPairsAdaptiveFrom(
+        sims64, Seq(100L).toDF("nd"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(belowFloor === Set.empty,
+      "below the floor the adaptive path must reproduce the historical " +
+        "capped 32-bit behavior bit-for-bit (including this documented drop)")
+  }
+
+  /** Implementation equivalence of the adaptive path against the
+    * property-tested fixed-width path on BOTH sides of the floor, on
+    * random signatures (no planted structure): masking + band-width
+    * arithmetic must be the only difference.
+    */
+  test("adaptive path == fixed-width path on either side of the floor") {
+    val rnd = new scala.util.Random(23)
+    val sims64 = (1L to 300L).map(i => (i, rnd.nextLong()))
+    val df64 = sims64.toDF("doc_id", "simhash")
+    val df32 = sims64.map { case (i, s) => (i, s & 0xFFFFFFFFL) }
+      .toDF("doc_id", "simhash")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    assert(run(Extended.simhashPairsAdaptiveFrom(df64, Seq(100L).toDF("nd")))
+      === run(Extended.simhashPairsOf(df32, 32, 4)))
+    assert(run(Extended.simhashPairsAdaptiveFrom(df64,
+        Seq(Extended.SimWidthLadderN + 1).toDF("nd")))
+      === run(Extended.simhashPairsOf(df64, 64, 4)))
+  }
 }
