@@ -113,14 +113,27 @@ object Extended {
 
   /** The persistable incremental-dedup state: one row per LSH bucket with
     * the min doc_id holding it — what `incremental_dedup` probes and what
-    * the streaming ingestion path joins as a static side.
+    * the streaming ingestion path joins as a static side. Since round 15
+    * the row also carries the bucket's full sorted MEMBER list: that is
+    * what lets GC/compaction ([[dedupStateCompact]]) recompute a bucket
+    * whose owner was deleted ROW-LOCALLY (filter the array) instead of
+    * re-deriving signatures over the surviving corpus — the difference
+    * between a deletion-batch-proportional maintenance pass and a
+    * state/corpus-proportional one at 100 TB (r14 verdict task 5; the
+    * sf1→sf10 compact step was 3.4×/decade, dominated by that second
+    * corpus signature pass). Members per bucket are bounded by the
+    * hash-valued bucket domain (occupancy measured flat at the probes),
+    * so the extra column is O(corpus × bands) ids — the membership a
+    * real dedup state must persist anyway to answer deletions. Join-side
+    * consumers project (band, bkey, old_min) and prune the list at scan.
     */
   private[graft] def bucketStoreOf(docs: DataFrame): DataFrame =
     bandsOf(signaturesOf(
       docs.select(col("doc_id"), Text.words(col("text")).as("w"))
         .filter(size(col("w")) >= 3)))
       .groupBy(col("band"), col("bkey"))
-      .agg(min(col("doc_id")).as("old_min"))
+      .agg(min(col("doc_id")).as("old_min"),
+        expr("array_sort(collect_list(doc_id))").as("members"))
 
   /** Spark-SQL fragment computing Text.h32 inside a lambda. */
   private def sqlSparkH32(x: String): String =
@@ -586,9 +599,13 @@ object Extended {
     *  - owner survives → the row is untouched: old_min was the min over
     *    all members, and removing OTHER members can never lower a min
     *    the survivor already holds — no recompute, no signature access;
-    *  - owner deleted → recompute min over the bucket's SURVIVING
-    *    members only (survivor bands equi-joined to the affected bucket
-    *    keys — the join prunes the recompute to touched buckets);
+    *  - owner deleted → promote the min surviving member from the
+    *    bucket row's CARRIED member list (see [[bucketStoreOf]]) — one
+    *    row-local array filter over affected rows, no signature
+    *    recompute, no corpus access (the round-15 restructure: the
+    *    previous shape re-derived bandsOf(signatures(…)) over the
+    *    surviving corpus per compaction, which made GC state-
+    *    proportional — the r14 verdict's 3.4×/decade flag);
     *    a bucket with no survivor drops out of the store entirely.
     * The store is written/re-read via its partitioned-parquet layout
     * (the dedup_state_roundtrip artifact; band-partitioned, so a real
@@ -608,16 +625,20 @@ object Extended {
         .write.mode("overwrite").partitionBy("band").parquet(dir)
       val store = s.read.parquet(dir)
       val keep = store.filter(col("old_min") % 7 =!= 0)
-      val affected = store.filter(col("old_min") % 7 === 0)
-        .select(col("band"), col("bkey"))
-      val survivorBands = bandsOf(signatures(s, d))
-        .filter(col("doc_id") % 10 < 8 && col("doc_id") % 7 =!= 0)
-      val recomputed = survivorBands
-        .join(affected, Seq("band", "bkey"))
-        .groupBy(col("band"), col("bkey"))
-        .agg(min(col("doc_id")).as("old_min"))
-      keep.select(col("band"), col("bkey"), col("old_min"))
-        .unionByName(recomputed)
+        .select(col("band"), col("bkey"), col("old_min"))
+      // owner deleted → promote the min SURVIVING member from the
+      // bucket's carried member list — one row-local array filter over
+      // the affected rows, no signature recompute, no corpus access
+      // (round 15: the previous shape re-derived bandsOf(signatures(…))
+      // over the surviving corpus per compaction — state-proportional;
+      // this one reads the store and touches only affected rows, so the
+      // GC pass is deletion-batch-proportional, measured in SCALING.md).
+      // A bucket whose every member was deleted drops out of the store.
+      val recomputed = store.filter(col("old_min") % 7 === 0)
+        .select(col("band"), col("bkey"),
+          expr("array_min(filter(members, m -> m % 7 != 0))").as("old_min"))
+        .filter(col("old_min").isNotNull)
+      keep.unionByName(recomputed)
         .orderBy(col("band"), col("bkey"))
     },
     Some(s"""
@@ -1376,12 +1397,29 @@ object Extended {
     (8 to EmbMaxBits - 1).map(b => s"WHEN $n <= ${8L << b} THEN $b")
       .mkString("CASE ", " ", s" ELSE $EmbMaxBits END")
 
-  /** Bit-ladder ceiling: 20 bits keeps expected bucket population ≤ 8 up
-    * to 8·2^20 ≈ 8.4M vectors. Bits 0..15 are single-coordinate signs
+  /** Bit-ladder ceiling: 24 bits keeps expected bucket population ≤ 8 up
+    * to 8·2^24 ≈ 134M vectors. Bits 0..15 are single-coordinate signs
     * (the 64-dim budget, odd coords then even); bits 16..19 come from
-    * the coordinate-COMPARISON pool ([[embXPair]]).
+    * the coordinate-COMPARISON pool ([[embXPair]]); bits 20..23 (round
+    * 15 — the post-20-bit seam SCALING.md recorded) come from the
+    * QUANTIZED-PROJECTION pool ([[embPCoords]]): ±1-weighted 4-coordinate
+    * integer dot products over qz = floor(v·1024 + 0.5) BIGINTs — exact
+    * integer arithmetic, zero cross-engine ulp risk, and (unlike more
+    * comparisons) fresh hyperplane directions: the comparison pool's
+    * bits all draw on the same 64-coordinate rank order (~log2(64!) ≈
+    * 296 bits of joint entropy), which is why the widening step needed
+    * projections, not more rank reads. Offline calibration
+    * (scripts/ann_proj_sim.py, planted cos ≈ 0.92): per-bit agreement
+    * 0.873 vs 0.874 theoretical — the quantization is invisible.
     */
-  private[graft] val EmbMaxBits: Int = 20
+  private[graft] val EmbMaxBits: Int = 24
+
+  /** Comparison bits per band — FROZEN at the round-14 value so the
+    * [[embXSlot]] allocation (and with it every above-floor band code
+    * at nb ≤ 20) is bit-stable across ladder extensions; bits past
+    * [[EmbCmpBits]] draw from the projection pool instead.
+    */
+  private[graft] val EmbCmpBits: Int = 20
 
   /** Adaptive band COUNT per adaptive bit count — the recall half of the
     * widening (round 14; closes SCALING.md's round-13 "honest limit"):
@@ -1398,7 +1436,14 @@ object Extended {
     */
   private[graft] val EmbBandsFor: Map[Int, Int] = Map(
     8 -> 4, 9 -> 5, 10 -> 6, 11 -> 7, 12 -> 8, 13 -> 9, 14 -> 11,
-    15 -> 12, 16 -> 14, 17 -> 17, 18 -> 19, 19 -> 23, 20 -> 26)
+    15 -> 12, 16 -> 14, 17 -> 17, 18 -> 19, 19 -> 23, 20 -> 26,
+    // 21..24 (round 15): EMPIRICAL calibration, not the independence
+    // formula — comparison bits share rank entropy across bands, so
+    // measured recall runs ~0.05-0.08 above 1−(1−p^nb)^bands and the
+    // formula would over-provision bands ~35%. scripts/ann_proj_sim.py
+    // (planted cos ≈ 0.92, exact band-code replica): recall
+    // 0.776/0.770/0.768/0.766 — flat in the family's [0.70, 0.79].
+    21 -> 26, 22 -> 30, 23 -> 34, 24 -> 38)
 
   private[graft] val EmbMaxBands: Int = EmbBandsFor(EmbMaxBits)
 
@@ -1433,25 +1478,25 @@ object Extended {
   /** Pool slot for (band, bit): see [[embXPair]]'s allocation. */
   private[graft] def embXSlot(b: Int, j: Int): Int =
     if (b < EmbBands) 4 * b + (j - 16)
-    else 16 + (b - EmbBands) * EmbMaxBits + j
+    else 16 + (b - EmbBands) * EmbCmpBits + j
 
   /** Base band b's bits 16..19 as a 4-bit value (shifted into place by
     * the caller); active only when nb > 16.
     */
   private def embBaseXExpr(v: String, b: Int): String =
-    (16 until EmbMaxBits).map { j =>
+    (16 until EmbCmpBits).map { j =>
       val (i1, i2) = embXPair(embXSlot(b, j))
       s"IF(element_at($v, $i1) >= element_at($v, $i2), ${1 << (j - 16)}, 0)"
     }.mkString(" + ")
 
   private def sqlEmbBaseX(v: String, b: Int): String =
-    (16 until EmbMaxBits).map { j =>
+    (16 until EmbCmpBits).map { j =>
       val (i1, i2) = embXPair(embXSlot(b, j))
       s"CASE WHEN $v[$i1] >= $v[$i2] THEN ${1 << (j - 16)} ELSE 0 END"
     }.mkString(" + ")
 
   private def sqlEmbXCode(v: String, b: Int): String =
-    (0 until EmbMaxBits).map { j =>
+    (0 until EmbCmpBits).map { j =>
       val (i1, i2) = embXPair(embXSlot(b, j))
       s"CASE WHEN $v[$i1] >= $v[$i2] THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
@@ -1470,11 +1515,76 @@ object Extended {
     * corpus sizes that activate it.
     */
   private[graft] val XPairA: Seq[Int] =
-    (0 until 16 + (EmbMaxBands - EmbBands) * EmbMaxBits)
+    (0 until 16 + (EmbMaxBands - EmbBands) * EmbCmpBits)
       .map(q => embXPair(q)._1)
   private[graft] val XPairB: Seq[Int] =
-    (0 until 16 + (EmbMaxBands - EmbBands) * EmbMaxBits)
+    (0 until 16 + (EmbMaxBands - EmbBands) * EmbCmpBits)
       .map(q => embXPair(q)._2)
+
+  /** Quantized-projection hyperplane pool (bits 20..23 of every band):
+    * slot p maps to stride o = p/64 + 1 and start k = p mod 64 → the
+    * four distinct coordinates (k, k+o, k+2o, k+3o) mod 64 with weights
+    * (+1, +1, −1, −1); the stride stays ≤ 21 (p < 1344) so 3o < 64 and
+    * the coordinates never collide, and ScaleSpec asserts every USED
+    * slot is a distinct signed coordinate set. 1-based for element_at.
+    */
+  private[graft] def embPCoords(p: Int): Seq[Int] = {
+    val o = p / 64 + 1
+    val k = p % 64
+    Seq(1 + k, 1 + (k + o) % 64, 1 + (k + 2 * o) % 64, 1 + (k + 3 * o) % 64)
+  }
+
+  /** Projection-pool slot for (band, bit j ≥ 20): base band b gets
+    * p = 4b + (j−20); extension band b ≥ 4 gets p = 16 + (b−4)·4 +
+    * (j−20) — disjoint ranges, max p = 16 + 34·4 − 1 = 151 ≪ 1344.
+    */
+  private[graft] def embPSlot(b: Int, j: Int): Int =
+    if (b < EmbBands) 4 * b + (j - 20)
+    else 16 + (b - EmbBands) * 4 + (j - 20)
+
+  /** The projection pool flattened to four literal 1-based coordinate
+    * arrays (slot p's bit reads qz[PCoord*(p)]) — the extension bands'
+    * projection codes ride ONE HOF over these, the [[XPairA]] plan-size
+    * discipline.
+    */
+  private[graft] val PCoordA: Seq[Int] =
+    (0 until 16 + (EmbMaxBands - EmbBands) * 4).map(p => embPCoords(p)(0))
+  private[graft] val PCoordB: Seq[Int] =
+    (0 until 16 + (EmbMaxBands - EmbBands) * 4).map(p => embPCoords(p)(1))
+  private[graft] val PCoordC: Seq[Int] =
+    (0 until 16 + (EmbMaxBands - EmbBands) * 4).map(p => embPCoords(p)(2))
+  private[graft] val PCoordD: Seq[Int] =
+    (0 until 16 + (EmbMaxBands - EmbBands) * 4).map(p => embPCoords(p)(3))
+
+  /** The per-vector quantized coordinates: qz[i] = floor(v[i]·1024+0.5)
+    * as BIGINT — float→double promotion then one multiply/floor, the
+    * identical IEEE chain on both engines (the exact-cents discipline
+    * applied to coordinates).
+    */
+  private[graft] val qzExpr: String =
+    "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1024e0 + 0.5e0) AS BIGINT))"
+
+  /** Base band b's projection bits 20..23 as a 4-bit value (shifted into
+    * place by the caller); masked to zero by pmod while nb ≤ 20.
+    */
+  private def embProjExpr(qz: String, b: Int): String =
+    (20 until EmbMaxBits).map { j =>
+      val c = embPCoords(embPSlot(b, j))
+      s"IF(element_at($qz, ${c(0)}) + element_at($qz, ${c(1)}) - " +
+        s"element_at($qz, ${c(2)}) - element_at($qz, ${c(3)}) >= 0, " +
+        s"${1 << (j - 20)}, 0)"
+    }.mkString(" + ")
+
+  private def sqlQz(v: String, i: Int): String =
+    s"CAST(floor($v[$i] * 1024e0 + 0.5e0) AS BIGINT)"
+
+  private def sqlEmbProj(v: String, b: Int): String =
+    (20 until EmbMaxBits).map { j =>
+      val c = embPCoords(embPSlot(b, j))
+      s"CASE WHEN ${sqlQz(v, c(0))} + ${sqlQz(v, c(1))} - " +
+        s"${sqlQz(v, c(2))} - ${sqlQz(v, c(3))} >= 0 " +
+        s"THEN ${1 << (j - 20)} ELSE 0 END"
+    }.mkString(" + ")
 
   /** ANN tuning (AnnBits × AnnBands) — see the parameter scaladoc. */
   private[ops] def annBands(vs: DataFrame): DataFrame =
@@ -1510,7 +1620,7 @@ object Extended {
     * trailing distinct dedups full rows exactly as the old
     * pairs-distinct did.
     */
-  private def embScoredPairs(vs: DataFrame): DataFrame = {
+  private[ops] def embScoredPairs(vs: DataFrame): DataFrame = {
     val nb = vs.agg(count(lit(1)).as("nv"))
       .select(expr(nbLadder("nv")).as("nb"),
         expr(nBandsLadder("nv")).as("nbands"))
@@ -1527,24 +1637,46 @@ object Extended {
     val nExt = EmbMaxBands - EmbBands
     val xcodes = s"IF(nbands > $EmbBands, " +
       s"transform(sequence(0, ${nExt - 1}), e -> " +
-      s"aggregate(sequence(0, ${EmbMaxBits - 1}), 0, (acc, j) -> " +
-      s"acc + IF(element_at(v, element_at(xaa, 17 + e * $EmbMaxBits + j)) >= " +
-      s"element_at(v, element_at(xbb, 17 + e * $EmbMaxBits + j)), " +
+      s"aggregate(sequence(0, ${EmbCmpBits - 1}), 0, (acc, j) -> " +
+      s"acc + IF(element_at(v, element_at(xaa, 17 + e * $EmbCmpBits + j)) >= " +
+      s"element_at(v, element_at(xbb, 17 + e * $EmbCmpBits + j)), " +
+      s"shiftleft(1, j), 0))), array_repeat(0, $nExt))"
+    // extension bands' projection bits 20..23 (one HOF over the literal
+    // coordinate pool, active only past nb = 20 — i.e. > 8.4M vectors)
+    val pcodes = s"IF(nbands > $EmbBands AND nb > $EmbCmpBits, " +
+      s"transform(sequence(0, ${nExt - 1}), e -> " +
+      s"aggregate(sequence(0, ${EmbMaxBits - EmbCmpBits - 1}), 0, (acc, j) -> " +
+      s"acc + IF(element_at(qz, element_at(paa, 17 + e * 4 + j)) + " +
+      s"element_at(qz, element_at(pab, 17 + e * 4 + j)) - " +
+      s"element_at(qz, element_at(pac, 17 + e * 4 + j)) - " +
+      s"element_at(qz, element_at(pad, 17 + e * 4 + j)) >= 0, " +
       s"shiftleft(1, j), 0))), array_repeat(0, $nExt))"
     val codeCols = ((0 until EmbBands)
       .map(b => expr(s"${embCodeExpr(EmbBits)("v", b)} + " +
         s"pmod(${embExtExpr("v", b)}, shiftleft(1, nb - 8)) * 256 + " +
         s"pmod(${embBaseXExpr("v", b)}, " +
-        s"shiftleft(1, greatest(nb - 16, 0))) * 65536").as(s"c$b")) ++
+        s"shiftleft(1, greatest(nb - 16, 0))) * 65536 + " +
+        s"pmod(${embProjExpr("qz", b)}, " +
+        s"shiftleft(1, greatest(nb - $EmbCmpBits, 0))) * ${1 << EmbCmpBits}")
+        .as(s"c$b")) ++
       (EmbBands until EmbMaxBands)
         .map(b => expr(s"pmod(element_at(xcodes, ${b - EmbBands + 1}), " +
-          s"shiftleft(1, nb))").as(s"c$b")))
+          s"shiftleft(1, nb)) + " +
+          s"pmod(element_at(pcodes, ${b - EmbBands + 1}), " +
+          s"shiftleft(1, greatest(nb - $EmbCmpBits, 0))) * ${1 << EmbCmpBits}")
+          .as(s"c$b")))
     val bandStructs = (0 until EmbMaxBands)
       .map(b => s"struct($b AS band, c$b AS code)").mkString(", ")
     vs.crossJoin(broadcast(nb))
       .withColumn("xaa", typedlit(XPairA))
       .withColumn("xbb", typedlit(XPairB))
+      .withColumn("qz", expr(qzExpr))
       .withColumn("xcodes", expr(xcodes))
+      .withColumn("paa", typedlit(PCoordA))
+      .withColumn("pab", typedlit(PCoordB))
+      .withColumn("pac", typedlit(PCoordC))
+      .withColumn("pad", typedlit(PCoordD))
+      .withColumn("pcodes", expr(pcodes))
       .select(Seq(col("vec_id"), col("v"), col("nrm"), col("nbands")) ++
         codeCols: _*)
       .select(col("nbands"), struct(col("vec_id"), col("v"), col("nrm")).as("m"),
@@ -1590,11 +1722,14 @@ object Extended {
       .map(b => s"SELECT vec_id, $b AS band, " +
         s"${sqlEmbCode(EmbBits)("v", b)} + " +
         s"((${sqlEmbExt("v", b)}) % (1 << (nb - 8))) * 256 + " +
-        s"((${sqlEmbBaseX("v", b)}) % (1 << greatest(nb - 16, 0))) * 65536" +
+        s"((${sqlEmbBaseX("v", b)}) % (1 << greatest(nb - 16, 0))) * 65536 + " +
+        s"((${sqlEmbProj("v", b)}) % (1 << greatest(nb - $EmbCmpBits, 0))) * ${1 << EmbCmpBits}" +
         s" AS code FROM vsrc, nbv") ++
       (EmbBands until EmbMaxBands)
         .map(b => s"SELECT vec_id, $b AS band, " +
-          s"(${sqlEmbXCode("v", b)}) % (1 << nb) AS code FROM vsrc, nbv"))
+          s"(${sqlEmbXCode("v", b)}) % (1 << nb) + " +
+          s"((${sqlEmbProj("v", b)}) % (1 << greatest(nb - $EmbCmpBits, 0))) * ${1 << EmbCmpBits}" +
+          s" AS code FROM vsrc, nbv"))
       .mkString(" UNION ALL ")
     // nbv: the adaptive bit/band-count one-row frame (the nbLadder /
     // nBandsLadder exact twins); at every fixture SF nb = 8, nbands = 4,

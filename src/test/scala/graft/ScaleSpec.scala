@@ -279,7 +279,9 @@ class ScaleSpec extends SparkSpec {
       spark.sql(s"SELECT ${ladder.replace("count(*)", n.toString)
         .replace("nv", n.toString)} AS x").head().getInt(0)
     val counts = Seq(20L, 200L, 2000L, 2048L, 2049L, 20000L, 200000L,
-      262144L, 262145L, 2000000L, 10000000L)
+      262144L, 262145L, 2000000L, 10000000L,
+      // round-15 rungs: the projection-bit decades (8·2^21..8·2^24)
+      20000000L, 60000000L, 200000000L)
     val nbs = counts.map(n => eval(ops.Extended.nbLadder("nv"), n))
     val bands = counts.map(n => eval(ops.Extended.nBandsLadder("nv"), n))
     assert(nbs.take(4) === Seq(8, 8, 8, 8), s"fixture SFs must floor at 8 bits: $nbs")
@@ -296,10 +298,10 @@ class ScaleSpec extends SparkSpec {
     // duplicate a band's information and silently cut effective recall
     val slots = (for {
       b <- 0 until ops.Extended.EmbBands
-      j <- 16 until ops.Extended.EmbMaxBits
+      j <- 16 until ops.Extended.EmbCmpBits
     } yield ops.Extended.embXSlot(b, j)) ++ (for {
       b <- ops.Extended.EmbBands until ops.Extended.EmbMaxBands
-      j <- 0 until ops.Extended.EmbMaxBits
+      j <- 0 until ops.Extended.EmbCmpBits
     } yield ops.Extended.embXSlot(b, j))
     assert(slots.distinct.size === slots.size, "band/bit slot allocation overlaps")
     val pairs = slots.map(ops.Extended.embXPair)
@@ -308,6 +310,22 @@ class ScaleSpec extends SparkSpec {
     val unordered = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
     assert(unordered.distinct.size === pairs.size,
       "comparison pool repeats a coordinate-pair hyperplane")
+    // projection pool (round 15, bits 20..23): every used slot must be
+    // four DISTINCT coordinates, and no two slots the same signed
+    // coordinate set — a repeat would duplicate a band's information
+    val pslots = (for {
+      b <- 0 until ops.Extended.EmbMaxBands
+      j <- ops.Extended.EmbCmpBits until ops.Extended.EmbMaxBits
+    } yield ops.Extended.embPSlot(b, j))
+    assert(pslots.distinct.size === pslots.size, "projection slot allocation overlaps")
+    val psigs = pslots.map { p =>
+      val c = ops.Extended.embPCoords(p)
+      assert(c.distinct.size === 4 && c.forall(i => i >= 1 && i <= 64),
+        s"projection slot $p has degenerate coordinates $c")
+      (c(0).min(c(1)), c(0).max(c(1)), c(2).min(c(3)), c(2).max(c(3)))
+    }
+    assert(psigs.distinct.size === psigs.size,
+      "projection pool repeats a signed coordinate-set hyperplane")
     // SimHash width ladder (round 15): floor 32 bits at every fixture
     // SF (bit-identical history, zero oracle churn), monotone to the
     // 64-bit production width past the floor
