@@ -1620,7 +1620,30 @@ object Extended {
     * trailing distinct dedups full rows exactly as the old
     * pairs-distinct did.
     */
-  private[ops] def embScoredPairs(vs: DataFrame): DataFrame = {
+  /** The adaptive band-code frame WITHOUT the vector payload —
+    * (vec_id, band, code) for every active band. Shares every bit
+    * expression with [[embScoredPairs]] (the single-source discipline:
+    * the code columns are built by the same embCodeExpr/embExtExpr/
+    * embBaseXExpr/embProjExpr/xcodes/pcodes builders), so a probe over
+    * this frame measures the REGISTERED queries' candidate generation.
+    * Exists for AnnProbe's 10M-vector recall mode: the full in-bucket
+    * scoring pipeline ships each 64-float vector once per band (~73 GB
+    * of banded shuffle at 10M × 26 bands), which filled the probe box's
+    * disk before any recall number came out — candidate recall only
+    * needs codes (20 B/row) and bucket sizes.
+    */
+  private[graft] def embBandCodes(vs: DataFrame): DataFrame =
+    embBanded(vs, payload = false)
+      .select(col("bs.band").as("band"), col("bs.code").as("code"),
+        col("m.vec_id").as("vec_id"))
+
+  /** The shared banding prefix: (nbands, m, bs = struct(band, code))
+    * rows, one per vector per candidate band, before the nbands filter
+    * collapses inactive bands. `payload` controls whether m carries the
+    * scoring payload (vec_id, v, nrm — the in-bucket-scoring path) or
+    * just vec_id (the probe's code-only path).
+    */
+  private def embBanded(vs: DataFrame, payload: Boolean): DataFrame = {
     val nb = vs.agg(count(lit(1)).as("nv"))
       .select(expr(nbLadder("nv")).as("nb"),
         expr(nBandsLadder("nv")).as("nbands"))
@@ -1677,11 +1700,19 @@ object Extended {
       .withColumn("pac", typedlit(PCoordC))
       .withColumn("pad", typedlit(PCoordD))
       .withColumn("pcodes", expr(pcodes))
-      .select(Seq(col("vec_id"), col("v"), col("nrm"), col("nbands")) ++
+      .select((if (payload)
+          Seq(col("vec_id"), col("v"), col("nrm"), col("nbands"))
+        else Seq(col("vec_id"), col("nbands"))) ++
         codeCols: _*)
-      .select(col("nbands"), struct(col("vec_id"), col("v"), col("nrm")).as("m"),
+      .select(col("nbands"),
+        (if (payload) struct(col("vec_id"), col("v"), col("nrm"))
+         else struct(col("vec_id"))).as("m"),
         explode(expr(s"array($bandStructs)")).as("bs"))
       .filter(col("bs.band") < col("nbands"))
+  }
+
+  private[ops] def embScoredPairs(vs: DataFrame): DataFrame =
+    embBanded(vs, payload = true)
       .select(col("bs.band").as("band"), col("bs.code").as("code"), col("m"))
       .groupBy(col("band"), col("code"))
       .agg(expr("array_sort(collect_list(m))").as("ms"))
@@ -1695,7 +1726,6 @@ object Extended {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
         Text.hround(col("p.cos"), 6).as("cos6"))
       .distinct()
-  }
 
   /** DuckDB mirror of embCandidates (expects a vec CTE named `vsrc` with
     * (vec_id, v) in scope; includes the 2..1000 cap on both sides).

@@ -46,7 +46,8 @@ object AnnProbe {
         val Array(_, src, out, factorS, plantS) = args.take(5)
         gen(spark, src, out, factorS.toInt, plantS.toInt)
       case "eval" => eval(spark, args(1))
-      case other  => sys.error(s"AnnProbe: unknown mode $other (gen|eval)")
+      case "recall" => recall(spark, args(1))
+      case other  => sys.error(s"AnnProbe: unknown mode $other (gen|eval|recall)")
     }
     spark.stop()
   }
@@ -111,5 +112,56 @@ object AnnProbe {
     println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"nb":${ladder.getInt(0)},""" +
       s""""nbands":${ladder.getInt(1)},"pairs":$nPairs,"secs":$secs,""" +
       s""""truth":$nTruth,"hit":$nHit,"recall":${nHit.toDouble / nTruth}}""")
+  }
+
+  /** CANDIDATE-recall probe for corpora where the full in-bucket-scoring
+    * run is output/disk-bound (the 10M-vector probe filled 75 GB of
+    * shuffle before finishing — 26 bands × 64-float payload per banded
+    * row, then a data-quadratic cos ≥ 0.2 output on the isotropic
+    * corpus; both are properties of the probe configuration, not the
+    * candidate machinery the ladder governs). This mode measures exactly
+    * what the band ladder is for — P(planted pair shares ≥ 1 band code
+    * in an under-cap bucket) — over the PAYLOAD-FREE code frame
+    * ([[graft.ops.Extended.embBandCodes]], 20 B/row: same bit
+    * expressions as the registered queries), plus the bucket-occupancy
+    * distribution. A planted pair at cos 0.92 that reaches a shared
+    * bucket always survives the exact verify at any production cut, so
+    * candidate recall IS end-to-end recall for the planted truth.
+    */
+  private def recall(spark: SparkSession, out: String): Unit = {
+    val t0 = System.nanoTime()
+    val vecs = Tables.embeddings(spark, out)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val codes = graft.ops.Extended.embBandCodes(vecs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val occ = codes.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"),
+        expr("percentile(n, 0.99e0)").as("p99"),
+        sum(when(col("n") > 1000, 1).otherwise(0)).as("over_cap"))
+      .head()
+    val truth = spark.read.parquet(s"$out/planted.parquet")
+    val nTruth = truth.count()
+    val sizes = codes.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("bn"))
+    val t1c = truth.join(codes.withColumnRenamed("vec_id", "d1"), Seq("d1"))
+    val t2c = truth.join(codes.withColumnRenamed("vec_id", "d2"), Seq("d2"))
+      .select(col("d1"), col("d2"), col("band"), col("code"))
+    val nHit = t1c.join(t2c, Seq("d1", "d2", "band", "code"))
+      .join(sizes, Seq("band", "code"))
+      .filter(col("bn").between(2, 1000))
+      .select(col("d1"), col("d2")).distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nVecs = vecs.count()
+    val ladder = spark.sql(
+      s"SELECT ${graft.ops.Extended.nbLadder(nVecs.toString)} AS nb, " +
+        s"${graft.ops.Extended.nBandsLadder(nVecs.toString)} AS nbands")
+      .head()
+    codes.unpersist()
+    println(s"""{"metric":"ann_probe_recall","n_vecs":$nVecs,"nb":${ladder.getInt(0)},""" +
+      s""""nbands":${ladder.getInt(1)},"secs":$secs,"truth":$nTruth,"hit":$nHit,""" +
+      s""""recall":${nHit.toDouble / nTruth},"bucket_max":${occ.getLong(0)},""" +
+      s""""bucket_mean":${occ.getDouble(1)},"bucket_p99":${occ.getDouble(2)},""" +
+      s""""over_cap":${occ.getLong(3)}}""")
   }
 }
