@@ -58,30 +58,35 @@ THRESHOLD_QUERIES = {
 
 # Composite-mix gates whose non-vacuity is a RATIO over the dump, not a
 # row count (round-15 verdict task 6 — previously hand-audited in round
-# sections). Each entry: (label, SQL over the dump returning (num, den)).
-# Degenerate iff num == 0 (gate never fires → tests nothing) or
-# num == den (gate always fires → cuts nothing).
+# sections). Each entry: (label, SQL returning (num, den), kind).
+# kind "filter": the ratio is a CUT — degenerate at 0 (never fires)
+# AND at num == den (cuts nothing). kind "metric": the ratio is an
+# emitted audit statistic — only 0 is degenerate (saturation is an
+# informative reading: k_anonymity 147/147 at sf0.001 just says every
+# 500-customer class is under k=3; rrf_fusion 20/20 at small SFs says
+# both retrieval legs agree on a tiny corpus — both still discriminate
+# the moment the data changes).
 RATIO_QUERIES = {
     "k_anonymity": (
         "violating classes",
-        "SELECT n_violating, n_classes FROM T"),
+        "SELECT n_violating, n_classes FROM {T}", "metric"),
     "rrf_fusion": (
         "both-leg overlap",
         "SELECT count(*) FILTER (r_lex IS NOT NULL AND r_dense IS NOT NULL),"
-        " count(*) FROM T"),
+        " count(*) FROM {T}", "metric"),
     "preference_pairs": (
         "usable margin >= 0.05",
-        "SELECT count(*) FILTER (usable), count(*) FROM T"),
+        "SELECT count(*) FILTER (usable), count(*) FROM {T}", "filter"),
     "dup_max_spans": (
         "docs with dup spans",
-        "SELECT count(*) FILTER (n_spans > 0), count(*) FROM T"),
+        "SELECT count(*) FILTER (n_spans > 0), count(*) FROM {T}", "filter"),
     "contrastive_pairs": (
         "same-source positive share",
-        "SELECT count(*) FILTER (same_source), count(*) FROM T"),
+        "SELECT count(*) FILTER (same_source), count(*) FROM {T}", "filter"),
     "gopher_rules": (
         "full-battery pass share",
         "SELECT CAST(sum(n_pass) AS BIGINT), CAST(sum(n_docs) AS BIGINT)"
-        " FROM T"),
+        " FROM {T}", "filter"),
 }
 
 
@@ -96,7 +101,7 @@ def rows(outdir: str, q: str):
 def ratio(outdir: str, q: str, sql: str):
     try:
         return duckdb.sql(
-            sql.replace("T", f"'{outdir}/{q}/*.parquet'")).fetchone()
+            sql.replace("{T}", f"'{outdir}/{q}/*.parquet'")).fetchone()
     except Exception:
         return None
 
@@ -115,13 +120,13 @@ def main() -> int:
             bad.append((q, cells))
     print("\n| query | ratio gate | sf0.001 | sf0.01 | sf0.1 |")
     print("|---|---|---|---|---|")
-    for q, (label, sql) in RATIO_QUERIES.items():
+    for q, (label, sql, kind) in RATIO_QUERIES.items():
         cells = [ratio(d, q, sql) for d in (d001, d01, d1)]
         def rfmt(c):
             return "MISSING" if c is None else f"{c[0]}/{c[1]}"
         print(f"| {q} | {label} | {rfmt(cells[0])} | {rfmt(cells[1])} | {rfmt(cells[2])} |")
         for c in cells:
-            if c is None or c[0] == 0 or c[0] == c[1]:
+            if c is None or c[0] == 0 or (kind == "filter" and c[0] == c[1]):
                 bad.append((q, label, cells))
                 break
     if bad:
