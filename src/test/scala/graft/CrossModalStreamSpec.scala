@@ -88,6 +88,40 @@ class CrossModalStreamSpec extends SparkSpec {
     assert(after === want, "replayed batch diverged (idempotency broken)")
   }
 
+  test("late-arriving longest member RE-ELECTS the canonical (and its phash)") {
+    // Planted adversary: docs A and B (near-identical word sets, so the
+    // MinHash bands co-bucket them) arrive first — B is longer, so B is
+    // canonical and A's verdict compares against B's phash. Then C
+    // arrives: near-dup of both and LONGEST — the batch election rule
+    // (n_chars desc, doc_id asc) now makes C canonical, so the snapshot
+    // must RE-emit A and B against C's phash and retire the old
+    // (A vs B) verdict. A snapshot that only appends verdicts for NEW
+    // arrivals would keep the stale row — this pins the re-election.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docA = (1L, s"$base alpha", (base.length + 6).toLong)
+    val docB = (2L, s"$base beta gamma", (base.length + 11).toLong)
+    val docC = (3L, s"$base beta gamma delta epsilon zeta", // longest
+      (base.length + 31).toLong)
+    val stateDir = tmp("graft_xm_reelect")
+    import org.apache.spark.sql.functions.{col => c}
+    EventStream.mergeCrossModalSnapshot(
+      Seq(docA, docB).toDF("doc_id", "text", "n_chars"), stateDir, 0L)
+    val after1 = spark.read.parquet(s"$stateDir/bid=0/verdicts")
+      .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
+    // non-vacuity: the planted texts must actually have co-bucketed
+    assert(after1.map(v => (v._1, v._3)) === Set((1L, 2L)),
+      s"planted near-dups failed to cluster in batch 0: $after1")
+    EventStream.mergeCrossModalSnapshot(
+      Seq(docC).toDF("doc_id", "text", "n_chars"), stateDir, 1L)
+    val after2 = spark.read.parquet(s"$stateDir/bid=1/verdicts")
+      .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
+    assert(after2.map(v => (v._1, v._3)) === Set((1L, 3L), (2L, 3L)),
+      s"canonical not re-elected to the late-arriving longest doc: $after2")
+    // and the whole snapshot equals the batch query's semantics on the
+    // union — derived expectation, the round-13 twin rule
+    assert(after2.map(_._2) === Set(1L), "cluster root must be the min id")
+  }
+
   test("end-to-end stream wiring: file-per-trigger micro-batches") {
     val dir = sfDir
     val stage = tmp("graft_xm_src")
