@@ -493,8 +493,99 @@ object Learn {
     """),
     doc = "Fleiss' kappa per source: 3-rater chance-corrected agreement")
 
+  /** Token-budget epoch planning — the data-budget computation a
+    * data-constrained training run does before sampling (the
+    * repeat-vs-mix question of Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models", public): given per-source token
+    * totals, a TOTAL training budget, and per-source repetition caps,
+    * allocate tokens per source. Here: budget = 2.5 epochs of the
+    * corpus (5·T in half-token units — exact integers), caps = 4
+    * epochs for the higher-quality half of sources and 2 for the rest
+    * (quality proxy: mean tokens/doc, ranked with a deterministic
+    * source tie-break — an exact integer rank, no cross-engine float
+    * risk), and the allocation is the exact TWO-TIER WATER-FILL: the
+    * low tier always caps (2 < 2.5 ≤ λ), the high tier gets the water
+    * level λ = (5T − 4L)/(2H) unless λ would exceed its own cap (then
+    * everything caps and the plan reports the shortfall via epochs).
+    * All arithmetic is BIGINT (per-source allocation =
+    * (5T−4L)·t DIV (2H); overflow bound: needs Σtokens·max-source
+    * tokens < 2^63/5 ≈ 1.8e18 — move to DECIMAL(38) past ~1e9-token
+    * sources). The group domain is the bounded source dim (~100), so
+    * the totals ride unpartitioned windows (the round-11 rule).
+    * Non-vacuity (the round-4 gate rule): low tier pinned at epochs4 =
+    * 2.0, high tier strictly between 2.5 and 4 at every fixture SF —
+    * both caps and the water level are all VISIBLE in the output.
+    */
+  val tokenBudgetPlan: QueryDef = QueryDef(
+    "token_budget_plan",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(expr("(t * 1000000) DIV docs").desc, col("source"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(Text.words(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).as("t"), count(lit(1)).as("docs"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("ns", count(lit(1)).over(wAll))
+        .withColumn("cap",
+          when(col("rnk") * 2 <= col("ns"), lit(4L)).otherwise(lit(2L)))
+        .withColumn("tt", sum(col("t")).over(wAll))
+        .withColumn("lo",
+          sum(when(col("cap") === 2, col("t")).otherwise(0L)).over(wAll))
+        .withColumn("hi",
+          sum(when(col("cap") === 4, col("t")).otherwise(0L)).over(wAll))
+        .withColumn("a_tokens", expr(
+          """CASE WHEN 5 * tt - 4 * lo <= 8 * hi THEN
+               CASE WHEN cap = 2 THEN 2 * t
+                    ELSE ((5 * tt - 4 * lo) * t) DIV (2 * hi) END
+             ELSE cap * t END"""))
+        .select(col("source"), col("t").as("t_tokens"), col("docs"),
+          col("cap").as("cap_epochs"), col("a_tokens"),
+          Text.hround(col("a_tokens").cast("double") / col("t"), 4)
+            .as("epochs4"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT source,
+               CAST(sum(len(${Text.sqlWords("text")})) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS docs
+        FROM documents GROUP BY 1),
+      rk AS (
+        SELECT *,
+          CAST(row_number() OVER (ORDER BY (t * 1000000) // docs DESC, source)
+            AS BIGINT) AS rnk,
+          CAST(count(*) OVER () AS BIGINT) AS ns,
+          CAST(sum(t) OVER () AS BIGINT) AS tt
+        FROM per),
+      tiers AS (
+        SELECT *, CASE WHEN rnk * 2 <= ns THEN 4 ELSE 2 END AS cap FROM rk),
+      tot AS (
+        SELECT *,
+          CAST(sum(CASE WHEN cap = 2 THEN t ELSE 0 END) OVER () AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN cap = 4 THEN t ELSE 0 END) OVER () AS BIGINT) AS hi
+        FROM tiers)
+      SELECT source, t AS t_tokens, docs, CAST(cap AS BIGINT) AS cap_epochs,
+             CAST(CASE WHEN 5 * tt - 4 * lo <= 8 * hi THEN
+                    CASE WHEN cap = 2 THEN 2 * t
+                         ELSE ((5 * tt - 4 * lo) * t) // (2 * hi) END
+                  ELSE cap * t END AS BIGINT) AS a_tokens,
+             ${Text.sqlHround(
+      """CAST(CASE WHEN 5 * tt - 4 * lo <= 8 * hi THEN
+               CASE WHEN cap = 2 THEN 2 * t
+                    ELSE ((5 * tt - 4 * lo) * t) // (2 * hi) END
+             ELSE cap * t END AS DOUBLE) / t""", 4)} AS epochs4
+      FROM tot ORDER BY source
+    """),
+    doc = "token-budget epoch plan: exact two-tier water-fill under per-source repetition caps")
+
   val all: Seq[QueryDef] = Seq(qualityLogit, scoreCalibration, qualityAuc,
-    cohenKappa, fleissKappa, preferencePairs, bradleyTerry, winRateMatrix)
+    cohenKappa, fleissKappa, preferencePairs, bradleyTerry, winRateMatrix,
+    tokenBudgetPlan)
 
   /** Wilson-interval win-rate leaderboard over the heaviest matchups —
     * the per-pair view [[bradleyTerry]] aggregates away (a leaderboard
