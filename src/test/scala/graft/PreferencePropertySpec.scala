@@ -91,4 +91,36 @@ class PreferencePropertySpec extends SparkSpec {
     assert(rows.exists(_._8), "no usable pair at sf0.001 — vacuous margin cut")
     assert(rows.exists(!_._8), "every pair usable — cut not discriminating")
   }
+
+  test("token_budget_plan: INFEASIBLE branch — budget above all caps, plan saturates") {
+    // The fixtures always land in the feasible two-tier water-fill
+    // (low tier > 3× high tier in tokens never happens there), so the
+    // infeasible branch (5T − 4L > 8H ⇔ L > 3H: even capping the high
+    // tier at 4 epochs can't spend a 2.5-epoch budget) is planted:
+    // source "many" holds 70 short docs (mean 10 tokens/doc → cap 2)
+    // with 75%+ of all tokens; source "rare" holds 2 long docs
+    // (cap 4). The plan must saturate EVERY source at exactly its cap
+    // and the visible shortfall is budget − allocation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbp").toString
+    val docs =
+      (1L to 70L).map(i => (i, (1 to 10).map(j => s"m${i}x$j").mkString(" "),
+        "xx", "many", 60L)) ++
+      (101L to 102L).map(i => (i, (1 to 100).map(j => s"r${i}x$j").mkString(" "),
+        "xx", "rare", 600L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Learn.tokenBudgetPlan.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (tMany, tRare) = (700L, 200L)
+    assert(got("many")._2 === tMany && got("rare")._2 === tRare)
+    // tier check: "rare" has the higher mean tokens/doc → cap 4
+    assert(got("rare")._4 === 4L && got("many")._4 === 2L)
+    // infeasibility: L = 700 > 3·200 = 3H → both saturate at cap
+    assert(got("many")._5 === 2 * tMany && got("rare")._5 === 4 * tRare,
+      s"infeasible plan must saturate every cap: $got")
+    assert(got("many")._6 === 2.0 && got("rare")._6 === 4.0)
+    val shortfall = 5 * (tMany + tRare) - 2 * (2 * tMany + 4 * tRare)
+    assert(shortfall > 0, "planted skew failed to make the budget infeasible")
+  }
 }
