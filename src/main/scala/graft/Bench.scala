@@ -194,12 +194,18 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"regressions":$regJson,"sf":"$sfDir","full":"target/bench_result.json"}""")
   }
 
-  /** Queries above the 0.5 s noise floor that run >2x their baseline
-    * entry, with the ratio rounded to 2 dp. Pure so BenchShardSpec can
-    * exercise the guard against the COMMITTED baseline file — round 8
-    * shipped with this guard silently dead (parseQueries required the
-    * compact token `"queries":{` while the refreshed baseline was
-    * pretty-printed with a space), masking a real 13-query >2x tail.
+  /** Queries that run >2x their baseline entry when the pin is above the
+    * 0.5 s noise floor, PLUS (round 16, r15 verdict defect 2) >3x
+    * blowups on SUB-0.5 s pins whose measured time itself exceeds 0.5 s
+    * — the r15 driver run carried anomaly_zscore at 7.3x a 0.42 s pin
+    * and the old pin>0.5 gate shipped it unflagged. The measured-time
+    * floor keeps pure sub-noise jitter (0.05->0.2 s) out while a genuine
+    * small-pin blowup (0.42->3.05 s) is loud. Ratios rounded to 2 dp.
+    * Pure so BenchShardSpec can exercise the guard against the COMMITTED
+    * baseline file — round 8 shipped with this guard silently dead
+    * (parseQueries required the compact token `"queries":{` while the
+    * refreshed baseline was pretty-printed with a space), masking a real
+    * 13-query >2x tail.
     */
   private[graft] def flagRegressions(
       results: Map[String, Double],
@@ -207,7 +213,8 @@ object Bench {
     if (base.isEmpty) Map.empty
     else results.collect {
       case (name, t)
-          if t > 0 && base.get(name).exists(o => o > 0.5 && t > 2 * o) =>
+          if t > 0 && base.get(name).exists(o =>
+            (o > 0.5 && t > 2 * o) || (o > 0 && o <= 0.5 && t > 0.5 && t > 3 * o)) =>
         name -> BigDecimal(t / base(name)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     }
 

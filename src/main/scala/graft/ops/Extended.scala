@@ -126,6 +126,12 @@ object Extended {
     * so the extra column is O(corpus × bands) ids — the membership a
     * real dedup state must persist anyway to answer deletions. Join-side
     * consumers project (band, bkey, old_min) and prune the list at scan.
+    * SCHEMA BREAK (round 15): `members` is new — a store written by the
+    * pre-round-15 layout lacks the column and cannot be compacted until
+    * a one-time rebuild/backfill populates it (every in-repo query
+    * rewrites its own store per run, so only external stores are
+    * affected; the production contract documented here includes that
+    * migration step).
     */
   private[graft] def bucketStoreOf(docs: DataFrame): DataFrame =
     bandsOf(signaturesOf(

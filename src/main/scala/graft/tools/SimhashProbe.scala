@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *    admits (only computed when the uncapped expand is feasible), i.e.
   *    the concrete true-pair loss the cap causes at that scale.
   *
-  * Usage: runMain graft.tools.SimhashProbe <sfDir> [uncapped01]
+  * Usage: runMain graft.tools.SimhashProbe <sfDir> [uncapped] [uncapped64] [phash]
+  * Unrecognized extra args fail loudly (the round-14 subset-harness rule:
+  * a silently ignored flag makes the probe's capped-only output look like
+  * a completed pair-loss measurement).
   */
 object SimhashProbe {
 
@@ -38,8 +41,8 @@ object SimhashProbe {
         sum(when(col("m") > cap, 1).otherwise(0)).as("over_cap"),
         sum(when(col("m") > cap, col("m")).otherwise(0L)).as("docs_in_over"))
       .head()
-    println(s"[simhash-probe] bits=$bits bandBits=$bandBits cap=$cap " +
-      s"max=${occ.getLong(0)} p99=${occ.getDouble(1)}%.1f mean=${occ.getDouble(2)}" +
+    println(f"[simhash-probe] bits=$bits bandBits=$bandBits cap=$cap " +
+      f"max=${occ.getLong(0)} p99=${occ.getDouble(1)}%.1f mean=${occ.getDouble(2)}%.1f" +
       f" buckets=${occ.getLong(3)} overCap=${occ.getLong(4)} docsInOver=${occ.getLong(5)}")
   }
 
@@ -72,6 +75,10 @@ object SimhashProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val known = Set("uncapped", "uncapped64", "phash")
+    val unknown = args.drop(1).filterNot(known)
+    require(unknown.isEmpty,
+      s"unknown SimhashProbe flags: ${unknown.mkString(", ")} (known: ${known.mkString(", ")})")
     val uncapped = args.contains("uncapped")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")

@@ -55,11 +55,21 @@ class BenchShardSpec extends AnyFunSuite {
     val flagged = Bench.flagRegressions(Map(name -> base * 3), b)
     assert(flagged.contains(name), s"3x run of $name not flagged")
     assert(flagged(name) === BigDecimal(3).setScale(2))
-    // within 2x is NOT flagged; sub-noise-floor baselines are NOT flagged
+    // within 2x is NOT flagged
     assert(Bench.flagRegressions(Map(name -> base * 1.9), b).isEmpty)
-    val small = b.collectFirst { case (n, v) if v < 0.5 => n }
-    small.foreach { n =>
-      assert(Bench.flagRegressions(Map(n -> b(n) * 10), b).isEmpty)
-    }
+  }
+
+  test("sub-0.5s-pin guard (r15 verdict defect 2): >3x blowups flag when the run exceeds 0.5s") {
+    val b = Map("tiny" -> 0.42, "micro" -> 0.05, "big" -> 2.0)
+    // the anomaly_zscore shape: 0.42 s pin, 3.05 s run -> must flag now
+    val blown = Bench.flagRegressions(Map("tiny" -> 3.05), b)
+    assert(blown.contains("tiny") && blown("tiny") > 7)
+    // sub-noise jitter on a tiny pin (run itself under 0.5 s) stays quiet
+    assert(Bench.flagRegressions(Map("micro" -> 0.2), b).isEmpty)
+    // a small pin within 3x stays quiet even above the run floor
+    assert(Bench.flagRegressions(Map("tiny" -> 1.2), b).isEmpty)
+    // the classic >0.5 s pin rule is unchanged (2x threshold)
+    assert(Bench.flagRegressions(Map("big" -> 4.2), b).contains("big"))
+    assert(Bench.flagRegressions(Map("big" -> 3.9), b).isEmpty)
   }
 }
