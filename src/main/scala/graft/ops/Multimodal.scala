@@ -167,36 +167,65 @@ object Multimodal {
     * Hamming search). The DECODE STEP IS THE DETERMINISTIC FAKE this
     * file documents: a real codec would emit an 8×4 luma thumbnail; here
     * the payload is decoded back to tokens and each of 32 "pixels" is a
-    * CHUNK aggregate (sum of word hashes mod 256) — deliberately
-    * locality-preserving exactly like real block-averaged pixels, so a
-    * small payload edit perturbs one pixel, not the whole hash (a plain
-    * payload-md5 expansion was measured vacuous: zero near-dup pairs at
-    * two of three SFs). Everything downstream is REAL and scale-true:
+    * CONTENT-DEFINED aggregate (round 16): every 2-word shingle (bigram)
+    * hashes to hb = (h32(w_i)·33 + h32(w_{i+1})) mod 2^32, is assigned
+    * to pixel (hb div 256) % 32 by its OWN hash, and contributes hb to
+    * that pixel's sum (mod 256). Locality: an
+    * edit perturbs exactly the ≤ 2 bigrams it touches → ≤ 4 pixels, at
+    * ANY document length — which is what the round-15 fixed-size
+    * chunking lacked (trailing empty chunks zeroed the high pixels
+    * across unrelated docs → the measured over-cap hot buckets and 3.9%
+    * silent pair loss at 50k docs) and what the rejected balanced
+    * chunking destroyed (length edits shifted every boundary →
+    * decorrelated all 32 pixels → zero fixture pairs). Fixture
+    * non-vacuity measured BEFORE wiring (round-15 rule; Scratch run,
+    * 2026-08-16): Hamming≤1 pairs 18/17/146 at sf0.001/0.01/0.1 with
+    * exact-dup cores 9/8/84, vs expected incidental collisions ≈ 0.06
+    * pairs at sf0.1. Everything downstream is REAL and scale-true:
     * average-threshold bits stay exact integers (32·p_i ≥ Σp), the
     * 32-bit hash shards into 4×8-bit bands (pigeonhole-complete for
     * Hamming ≤ 3; the emit filter keeps the tight ≤ 1 matches), and
     * candidates come from the simhash_near_dup groupBy+pair-expand —
     * never a hash self-join, buckets capped at 1000. Payloads below 32
-    * words are dropped (sub-thumbnail images): their trailing zero
-    * pixels otherwise correlate every short doc with every other.
+    * words are dropped (sub-thumbnail images).
     */
   /** Perceptual hash (aHash) of each payload — factored so both the
     * banded near-dup search below and the cross-modal composition can
     * consume it. Input: (doc_id, payload BINARY); payloads under 32
-    * words carry no hash (sub-thumbnail images — their trailing zero
-    * pixels otherwise correlate every short doc with every other).
+    * words carry no hash (sub-thumbnail images — too few bigrams to
+    * populate the 32-pixel thumbnail with usable entropy).
     */
   private[graft] def phashOf(payloads: DataFrame): DataFrame = {
     val h32x = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+    // One exploded pass + ONE hash-agg keyed on doc_id with 32 codegen'd
+    // conditional sums (pixel j collects bigrams whose own hash picks j).
+    // The first cut of this computed pixels row-locally as 32
+    // filter()+aggregate() lambda passes over the bigram array — O(32·L)
+    // Catalyst lambda evals per doc, measured 2.4 → 41 s at the 50k-doc
+    // probe. Here the per-row work is 32 branch-free codegen expressions
+    // and map-side combine collapses each doc to one row pre-shuffle.
+    val pixelSums = (0 until 32).map { j =>
+      sum(when(expr("(h div 256) % 32") === j, col("h"))
+        .otherwise(lit(0L))).as(s"p$j")
+    }
     payloads
       .select(col("doc_id"),
         Text.words(decode(col("payload"), "UTF-8")).as("w"))
       .filter(size(col("w")) >= 32)
-      .withColumn("cs", expr("(size(w) + 31) div 32"))
+      // bigram hash = word hashes combined arithmetically ((a·33 + b)
+      // mod 2^32): one md5 per WORD, each reused by both bigrams it
+      // joins — md5 over concat_ws'd bigram strings doubled the hashed
+      // bytes and allocated per bigram (A/B at the 500k probe: 28 → 17 s)
+      .withColumn("hw", expr(s"transform(w, x -> $h32x)"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(hw) - 1), i -> " +
+          "(element_at(hw, i) * 33 + element_at(hw, i + 1)) % 4294967296)"))
+          .as("h"))
+      .groupBy(col("doc_id"))
+      .agg(pixelSums.head, pixelSums.tail: _*)
       .withColumn("px", expr(
-        "transform(sequence(1, 32), i -> " +
-          s"aggregate(slice(w, (i - 1) * cs + 1, cs), CAST(0 AS BIGINT), " +
-          s"(a, x) -> a + $h32x) % 256)"))
+        s"transform(array(${(0 until 32).map(j => s"p$j").mkString(", ")}), " +
+          "p -> p % 256)"))
       .withColumn("sp", expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
       .withColumn("ph", expr(
         "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
@@ -227,12 +256,16 @@ object Multimodal {
   private[graft] val sqlPhash: String =
     s"""pws AS (SELECT doc_id, ${Text.sqlWords("text")} AS w FROM documents),
       pws32 AS (SELECT * FROM pws WHERE len(w) >= 32),
+      hw AS (SELECT doc_id, [${Text.sqlH32("x")} FOR x IN w] AS hw FROM pws32),
+      bg AS (SELECT doc_id,
+               [(hw[i] * 33 + hw[i + 1]) % 4294967296
+                FOR i IN generate_series(1, len(hw) - 1)] AS hg
+             FROM hw),
       px AS (SELECT doc_id,
-              [CAST(coalesce(list_sum([${Text.sqlH32("x")}
-                  FOR x IN w[(i-1)*((len(w)+31)//32)+1 : i*((len(w)+31)//32)]]),
+              [CAST(coalesce(list_sum([h FOR h IN hg IF (h // 256) % 32 = i - 1]),
                   0) AS BIGINT) % 256
                FOR i IN generate_series(1, 32)] AS px
-             FROM pws32),
+             FROM bg),
       ph0 AS (SELECT doc_id,
               CAST(list_sum([CASE WHEN 32 * px[i] >= CAST(list_sum(px) AS BIGINT)
                        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END
@@ -258,6 +291,13 @@ object Multimodal {
     * codes); at every fixture SF the masked low word IS the historical
     * aHash, so outputs stay bit-identical (zero oracle churn). The emit
     * threshold stays Hamming ≤ 1 at the effective width.
+    *
+    * Round 16 (r15 verdict task 1): the RESIDUAL over-cap buckets the
+    * 64-bit rung left (75 of 169,701 at 500k docs; 3.9% pair loss at
+    * 50k) were an artifact of the fixed-size pixel chunking, not the
+    * banding — fixed at the source by the content-defined bigram pixels
+    * ([[phashOf]]); SimhashProbe's phash mode re-measured occupancy and
+    * pair loss after the change (SCALING.md round 16).
     */
   val imagePhashNearDup: QueryDef = QueryDef(
     "image_phash_near_dup",

@@ -352,7 +352,8 @@ class ScaleSpec extends SparkSpec {
     val audited: Map[String, String] = Map(
       // -- count-adaptive ladders (in-plan one-row count frame) --
       "simhash_near_dup" -> "simWidthLadder 32→64-bit signature; floor ≤ 8192 docs",
-      "image_phash_near_dup" -> "simWidthLadder 32-bit aHash → 64-bit aHash|dHash",
+      "image_phash_near_dup" -> ("simWidthLadder 32-bit aHash → 64-bit aHash|dHash; " +
+        "content-defined bigram pixels (r16): probe 500k docs zero over-cap, zero pair loss"),
       "embed_near_dup" -> "nbLadder/nBandsLadder 8→20 bits (round 13/14)",
       "paraphrase_pairs" -> "nbLadder (embCandidates consumer)",
       "semantic_dedup" -> "nbLadder (embCandidates consumer)",
