@@ -2129,6 +2129,44 @@ object Extended {
     """),
     doc = "embedding near-dup via banded sign-LSH candidates, cosine >= 0.2")
 
+  /** The production-cut scale twin of [[embedNearDup]] (r15 verdict task
+    * 6): the fixture's 0.2 cut is DATA-TRUTH quadratic on the isotropic
+    * corpus (measured: 34× output rows for 10× vectors; 75 GB of shuffle
+    * at the 10M-vector probe was OUTPUT, not candidate machinery), so the
+    * bench and scale probes also need the sparse-output shape a
+    * production near-dup run (cut ≥ 0.9) actually has. 0.40 is the
+    * tightest ROBUSTLY non-vacuous fixture cut — numpy brute-force
+    * simulation over all three SFs before registration (round-4 rule):
+    * pairs above {0.30, 0.35, 0.40, 0.45, 0.50} = {920, 257, 66, 7, 0}
+    * at sf0.001 / {990, 271, 59, 14, 1} at sf0.01 / {14 922, 4 137,
+    * 920, 144, 14} at sf0.1 (fixture max cosine 0.48/0.51/0.60), and
+    * EMITTED pairs (LSH candidates ∩ cut — the banding is tuned for the
+    * isotropic corpus, so its recall at cos 0.4+ trims the brute
+    * counts) measured 12/8/84 at 0.40 vs a fragile 4/1/15 at 0.45.
+    * Same candidate machinery
+    * (adaptive-width sign-LSH banding), same oracle family; only the
+    * emit filter differs, so the plan-shape audit entries mirror
+    * embed_near_dup's.
+    */
+  val embedNearDupStrict: QueryDef = QueryDef(
+    "embed_near_dup_strict",
+    (s, d) =>
+      embScoredPairs(vecs(s, d))
+        .filter(col("cos6") >= 0.40)
+        .orderBy(col("d1"), col("d2")),
+    Some(s"""
+      WITH vsrc AS ($sqlVecs),
+      $sqlEmbCandidates
+      SELECT d1, d2, cos6 FROM (
+        SELECT p.d1, p.d2,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM epairs p
+        JOIN vsrc a ON a.vec_id = p.d1
+        JOIN vsrc b ON b.vec_id = p.d2)
+      WHERE cos6 >= 0.40e0 ORDER BY d1, d2
+    """),
+    doc = "embedding near-dup at the tightest non-vacuous strict cut (production output shape)")
+
   /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
     * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
     * sign-LSH candidates — embed_near_dup's verified subplan) but whose
@@ -6393,7 +6431,7 @@ object Extended {
     editDistancePairs,
     docEntropy,
     cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
-    embedNearDup, paraphrasePairs,
+    embedNearDup, embedNearDupStrict, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,

@@ -120,8 +120,8 @@ class ScaleSpec extends SparkSpec {
       // the embCandidates adaptive-bit-width fix (round 13) broadcast-
       // crosses a one-row corpus-count frame into every consumer of the
       // embedding near-dup banding — the scalar-subquery shape.
-      "embed_near_dup", "paraphrase_pairs", "semantic_dedup",
-      "curation_pipeline", "curation_funnel",
+      "embed_near_dup", "embed_near_dup_strict", "paraphrase_pairs",
+      "semantic_dedup", "curation_pipeline", "curation_funnel",
       // perplexity_interp/kneser_ney ride their one-row bigram-total /
       // bigram-type frames exactly like perplexity_unigram/bigram.
       "perplexity_interp", "perplexity_kneser_ney",
@@ -355,6 +355,7 @@ class ScaleSpec extends SparkSpec {
       "image_phash_near_dup" -> ("simWidthLadder 32-bit aHash → 64-bit aHash|dHash; " +
         "content-defined bigram pixels (r16): probe 500k docs zero over-cap, zero pair loss"),
       "embed_near_dup" -> "nbLadder/nBandsLadder 8→20 bits (round 13/14)",
+      "embed_near_dup_strict" -> "nbLadder (embCandidates consumer; strict 0.40 emit cut)",
       "paraphrase_pairs" -> "nbLadder (embCandidates consumer)",
       "semantic_dedup" -> "nbLadder (embCandidates consumer)",
       "semantic_decontaminate" -> "nbLadder (embCandidates consumer)",
