@@ -1643,16 +1643,39 @@ object Extended {
       .select(col("bs.band").as("band"), col("bs.code").as("code"),
         col("m.vec_id").as("vec_id"))
 
+  /** Band codes for `vs` at a PINNED one-row (nb, nbands) layout frame —
+    * the persisted-index seam: an incremental append must code the new
+    * batch at the STORE's layout version (the width/band count the
+    * corpus pinned at build, [[embLayoutOf]]), never at a width the
+    * appended total would re-rung to (ann_state_append).
+    */
+  private[graft] def embBandCodesPinned(vs: DataFrame,
+      layout: DataFrame): DataFrame =
+    embBanded(vs, payload = false, Some(layout))
+      .select(col("bs.band").as("band"), col("bs.code").as("code"),
+        col("m.vec_id").as("vec_id"))
+
   /** The shared banding prefix: (nbands, m, bs = struct(band, code))
     * rows, one per vector per candidate band, before the nbands filter
     * collapses inactive bands. `payload` controls whether m carries the
     * scoring payload (vec_id, v, nrm — the in-bucket-scoring path) or
     * just vec_id (the probe's code-only path).
     */
-  private def embBanded(vs: DataFrame, payload: Boolean): DataFrame = {
-    val nb = vs.agg(count(lit(1)).as("nv"))
+  /** One-row (nb, nbands) layout frame for a corpus — what a persisted
+    * index stores as its layout version (ann_state_append's `_layout`).
+    */
+  private[graft] def embLayoutOf(corpus: DataFrame): DataFrame =
+    corpus.agg(count(lit(1)).as("nv"))
       .select(expr(nbLadder("nv")).as("nb"),
         expr(nBandsLadder("nv")).as("nbands"))
+
+  private def embBanded(vs: DataFrame, payload: Boolean,
+      layout: Option[DataFrame] = None): DataFrame = {
+    // The ladder width normally follows the frame being coded; a
+    // PERSISTED index instead pins its layout at build time (a store
+    // cannot re-rung per append), so the append path passes the stored
+    // one-row (nb, nbands) layout frame (ann_state_append).
+    val nb = layout.getOrElse(embLayoutOf(vs))
     // Base-band codes stay as 4 SEPARATE Project columns (the
     // historical codegen'd hot path; ProjectExec splits generated code
     // per expression, so none overflows Janino's 64 KB method limit —
@@ -1753,7 +1776,11 @@ object Extended {
       .map(b => s"SELECT vec_id, $b AS band, ${sqlEmbCode(MpBits)("v", b)} AS code FROM vsrc")
       .mkString(" UNION ALL ")
 
-  private def sqlEmbCandidates: String = {
+  /** The per-band adaptive code UNION (expects `vsrc` and a one-row
+    * `nbv(nb, nbands)` CTE in scope) — shared by [[sqlEmbCandidates]]
+    * and the ann_state_append full-rebuild oracle.
+    */
+  private def sqlEmbBandCodesRaw: String = {
     val raw = ((0 until EmbBands)
       .map(b => s"SELECT vec_id, $b AS band, " +
         s"${sqlEmbCode(EmbBits)("v", b)} + " +
@@ -1767,13 +1794,17 @@ object Extended {
           s"((${sqlEmbProj("v", b)}) % (1 << greatest(nb - $EmbCmpBits, 0))) * ${1 << EmbCmpBits}" +
           s" AS code FROM vsrc, nbv"))
       .mkString(" UNION ALL ")
+    raw
+  }
+
+  private def sqlEmbCandidates: String = {
     // nbv: the adaptive bit/band-count one-row frame (the nbLadder /
     // nBandsLadder exact twins); at every fixture SF nb = 8, nbands = 4,
     // the extra bands drop out, and code ≡ the historical 8-bit code
     s"""nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
                        ${nBandsLadder("count(*)")} AS nbands FROM vsrc),
        ebands AS (
-         SELECT vec_id, band, code FROM ($raw)
+         SELECT vec_id, band, code FROM ($sqlEmbBandCodesRaw)
          WHERE band < (SELECT nbands FROM nbv)),
        epairs AS (
          SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -2166,6 +2197,65 @@ object Extended {
       WHERE cos6 >= 0.40e0 ORDER BY d1, d2
     """),
     doc = "embedding near-dup at the tightest non-vacuous strict cut (production output shape)")
+
+  /** Persisted ANN index state + incremental append (r15 verdict task 3
+    * — the dedup-state discipline applied to the vector index): a real
+    * 100 TB pipeline MAINTAINS its band-code index between runs; every
+    * other ANN query here re-codes the corpus per query. The corpus
+    * (vec_id % 10 < 8) is coded once and written as the band-partitioned
+    * parquet store (the dedup_state_roundtrip layout: a probe prunes to
+    * its band directories; a refresh replaces bands, not the store);
+    * the new batch (vec_id % 10 >= 8) is then coded and APPENDED into
+    * the band partitions — batch-proportional work, no corpus access
+    * (AnnStateProbe measures it, SCALING.md round 16).
+    *
+    * Layout pinning: the adaptive nb/nBands ladder normally follows the
+    * coded frame's count, but a persisted index cannot re-rung per
+    * append — the batch is coded at the STORE's layout version, i.e.
+    * the ladder evaluated on the CORPUS count ([[embBandCodesPinned]]);
+    * re-runging happens only on full rebuild, exactly like a production
+    * index's layout-version bump. The ORACLE is deliberately
+    * INDEPENDENT (the dedup_state_compact / ppjoin discipline): DuckDB
+    * rebuilds the merged index FROM SCRATCH over corpus + batch at the
+    * corpus-pinned layout, so the hash match proves append ≡ rebuild —
+    * the index-maintenance contract — rather than mirroring the two-step
+    * write. Eager sink round-trip (ScaleSpec `eager`); the one-row
+    * ladder frame broadcast-crosses in (`intended`).
+    */
+  val annStateAppend: QueryDef = QueryDef(
+    "ann_state_append",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "ann_state")
+      val all = vecs(s, d)
+      val corpus = all.filter(col("vec_id") % 10 < 8)
+      val batch = all.filter(col("vec_id") % 10 >= 8)
+      embBandCodesPinned(corpus, embLayoutOf(corpus))
+        .select(col("vec_id"), col("code").cast("long").as("code"), col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(dir)
+      // layout version persisted WITH the index (underscore path: hidden
+      // from the store read; written AFTER the store overwrite, which
+      // truncates the directory) — the append codes the batch off this
+      // one-row frame, touching nothing corpus-sized
+      embLayoutOf(corpus).write.mode("overwrite").parquet(s"$dir/_layout")
+      embBandCodesPinned(batch, s.read.parquet(s"$dir/_layout"))
+        .select(col("vec_id"), col("code").cast("long").as("code"), col("band"))
+        .write.mode("append").partitionBy("band").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("band").cast("int").as("band"), col("code"),
+          col("vec_id"))
+        .orderBy(col("band"), col("code"), col("vec_id"))
+    },
+    Some(s"""
+      WITH vsrc AS ($sqlVecs),
+      nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
+                     ${nBandsLadder("count(*)")} AS nbands
+              FROM vsrc WHERE vec_id % 10 < 8)
+      SELECT CAST(band AS INTEGER) AS band, CAST(code AS BIGINT) AS code, vec_id
+      FROM ($sqlEmbBandCodesRaw)
+      WHERE band < (SELECT nbands FROM nbv)
+      ORDER BY band, code, vec_id
+    """),
+    doc = "persisted ANN band-code index: incremental batch append == full rebuild (independent oracle)")
 
   /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
     * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
@@ -6431,7 +6521,7 @@ object Extended {
     editDistancePairs,
     docEntropy,
     cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
-    embedNearDup, embedNearDupStrict, paraphrasePairs,
+    embedNearDup, embedNearDupStrict, annStateAppend, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,

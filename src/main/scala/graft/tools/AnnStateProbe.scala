@@ -1,0 +1,85 @@
+package graft.tools
+
+import graft.core.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Probe for the persisted ANN index's APPEND cost (r15 verdict task 3,
+  * SCALING.md round 16): the `ann_state_append` contract is that merging
+  * a new embedding batch into the band-partitioned store is
+  * BATCH-proportional — coding the batch at the store's persisted layout
+  * version plus an append write, no corpus access. This measures, on a
+  * large fixture dir (GenScale 10×/100×):
+  *
+  *  - build+write of the corpus store (the one-time cost appends avoid);
+  *  - append of a SMALL batch (2% of ids) vs a LARGE batch (20% of ids)
+  *    into the same store — batch-proportionality shows as the ratio of
+  *    these two tracking the batch-size ratio, not the store size;
+  *  - a full rebuild over corpus+large-batch for contrast (what a
+  *    maintenance-free pipeline would pay per refresh).
+  *
+  * Usage: runMain graft.tools.AnnStateProbe <sfDir>
+  * Unrecognized extra args fail loudly (round-14 harness rule).
+  */
+object AnnStateProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1,
+      s"usage: AnnStateProbe <sfDir>; got ${args.mkString(" ")}")
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-ann-state-probe")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(tag: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[ann-state-probe] $tag%-34s $s%8.2f s")
+      s
+    }
+
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val corpus = all.filter(col("vec_id") % 10 < 8)
+    val small = all.filter(col("vec_id") % 100 >= 98)
+    val large = all.filter(col("vec_id") % 10 >= 8)
+    println(s"[ann-state-probe] dir=$dir corpus=${corpus.count()} " +
+      s"small=${small.count()} large=${large.count()}")
+
+    val store = "target/ann_state_probe_store"
+    def codes(vs: org.apache.spark.sql.DataFrame,
+        layout: org.apache.spark.sql.DataFrame) =
+      graft.ops.Extended.embBandCodesPinned(vs, layout)
+        .select(col("vec_id"), col("code").cast("long").as("code"), col("band"))
+
+    time("build+write corpus store") {
+      codes(corpus, graft.ops.Extended.embLayoutOf(corpus))
+        .write.mode("overwrite").partitionBy("band").parquet(store)
+    }
+    graft.ops.Extended.embLayoutOf(corpus)
+      .write.mode("overwrite").parquet(s"$store/_layout")
+    val layout = spark.read.parquet(s"$store/_layout")
+    val tS = time("append small batch (2% ids)") {
+      codes(small, layout)
+        .write.mode("append").partitionBy("band").parquet(store)
+    }
+    val tL = time("append large batch (20% ids)") {
+      codes(large, layout)
+        .write.mode("append").partitionBy("band").parquet(store)
+    }
+    time("full rebuild corpus+large") {
+      codes(corpus.unionByName(large), layout)
+        .write.mode("overwrite").partitionBy("band")
+        .parquet("target/ann_state_probe_rebuild")
+    }
+    println(f"[ann-state-probe] large/small append ratio ${tL / tS}%.2f " +
+      s"(batch-size ratio ${large.count().toDouble / small.count()})")
+    spark.stop()
+  }
+}

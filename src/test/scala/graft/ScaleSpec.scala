@@ -120,7 +120,7 @@ class ScaleSpec extends SparkSpec {
       // the embCandidates adaptive-bit-width fix (round 13) broadcast-
       // crosses a one-row corpus-count frame into every consumer of the
       // embedding near-dup banding — the scalar-subquery shape.
-      "embed_near_dup", "embed_near_dup_strict", "paraphrase_pairs",
+      "embed_near_dup", "embed_near_dup_strict", "ann_state_append", "paraphrase_pairs",
       "semantic_dedup", "curation_pipeline", "curation_funnel",
       // perplexity_interp/kneser_ney ride their one-row bigram-total /
       // bigram-type frames exactly like perplexity_unigram/bigram.
@@ -356,6 +356,7 @@ class ScaleSpec extends SparkSpec {
         "content-defined bigram pixels (r16): probe 500k docs zero over-cap, zero pair loss"),
       "embed_near_dup" -> "nbLadder/nBandsLadder 8→20 bits (round 13/14)",
       "embed_near_dup_strict" -> "nbLadder (embCandidates consumer; strict 0.40 emit cut)",
+      "ann_state_append" -> "nbLadder pinned at the store's build-time corpus count (layout version)",
       "paraphrase_pairs" -> "nbLadder (embCandidates consumer)",
       "semantic_dedup" -> "nbLadder (embCandidates consumer)",
       "semantic_decontaminate" -> "nbLadder (embCandidates consumer)",
@@ -420,7 +421,7 @@ class ScaleSpec extends SparkSpec {
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
       "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
-      "dedup_state_compact", "incremental_agg_maintain",
+      "dedup_state_compact", "ann_state_append", "incremental_agg_maintain",
       "grid_source_roundtrip",
       // bpeLoop truncates each round's lineage with a LAZY
       // localCheckpoint (the ccOverEdges discipline — without it
