@@ -749,29 +749,77 @@ object Extended {
     * one exchange instead of re-running the vote computation.
     */
   private[graft] def simhashSigs(s: SparkSession, d: String,
-      bits: Int = SimBits): DataFrame = {
+      bits: Int = SimBits, nd: Option[DataFrame] = None,
+      idf: Boolean = false): DataFrame = {
     val base = docWords(s, d)
       .select(col("doc_id"), explode(col("w")).as("word"))
-    // bits > 32 need more hash material than one h32 supplies: the upper
-    // word comes from a SALTED h32 ('#'||word) — an independent 32-bit
-    // hash of the same token, the standard multi-hash widening (mirrored
-    // bit-for-bit in the oracle CTEs).
-    val wh =
-      if (bits <= 32)
-        base.select(col("doc_id"), expr(sqlSparkH32("word")).as("h"))
-      else
-        base.select(col("doc_id"), expr(sqlSparkH32("word")).as("h"),
-          expr(sqlSparkH32("concat('#', word)")).as("h2"))
-    val votes = (0 until bits).map { b =>
-      val src = if (b < 32) s"shiftright(h, $b)"
-                else s"shiftright(h2, ${b - 32})"
-      sum(when(expr(s"($src & 1) = 1"), 1L).otherwise(-1L)).as(s"s$b")
+    // bits > 32 need more hash material than one h32 supplies: signature
+    // word k's bits come from a SALTED h32 (k '#'s prepended) — an
+    // independent 32-bit hash of the same token, the standard multi-hash
+    // widening (mirrored bit-for-bit in the oracle CTEs for bits ≤ 64;
+    // the 128-bit rung never activates at any fixture count, so its hash
+    // material is GATED in-plan on the crossed-in corpus count — below
+    // Sim128N the two top salted md5s are never computed and their vote
+    // sums are all-negative → simhash2 ≡ 0, bit-identically).
+    val nw = (bits + 31) / 32
+    require(nw <= 2 || nd.nonEmpty,
+      "bits > 64 requires the one-row count frame (the 128 rung is count-gated)")
+    require(!idf || nd.nonEmpty, "idf votes require the one-row count frame")
+    val hashCols = (0 until nw).map { k =>
+      val h = if (k == 0) sqlSparkH32("word")
+        else sqlSparkH32(s"concat('${"#" * k}', word)")
+      val gated = if (k < 2) h else s"IF(nd > $Sim128N, $h, CAST(0 AS BIGINT))"
+      expr(gated).as(s"h$k")
     }
-    val sim = (0 until bits)
+    // Charikar idf-weighted votes — IMPLEMENTED, MEASURED, AND REJECTED
+    // for the registered queries (r15 verdict task 4; SCALING.md round
+    // 16): a token's ±vote weighted by the EXACT integer idf surrogate
+    // w = max(1, bitlen(N) − bitlen(df)) ≈ log2(N/df) (bitlen via
+    // length(bin(x)) — never floor(log2()), the round-13 libm rule;
+    // count-gated at the ladder floor so fixtures stay ±1). The 500k
+    // probe showed the r15 "stopword hot-spot" hypothesis wrong in its
+    // mechanism: the over-cap bucket is a shared-VOCABULARY cluster
+    // (98% one GenScale cipher replica — the fixture analog of a
+    // topical cluster) whose mode words carry df ≈ 3-5k → weight 7-8,
+    // so weighting cannot split it; measured: tail improves mildly
+    // (p99 84→74) but capped pair LOSS worsens (0.36% → 0.86%) and the
+    // bucket survives. What does split it is band WIDTH — the 128-bit
+    // rung's 32-bit bands take the same bucket's loss to exactly 0
+    // (SimhashProbe bits128). Kept here behind `idf` so the probe can
+    // reproduce the rejection measurement.
+    val withNd = nd match {
+      case None => base.withColumn("nd", lit(0L))
+      case Some(ndF) => base.crossJoin(broadcast(ndF))
+    }
+    val hw = withNd.select(
+      Seq(col("doc_id"), col("word"), col("nd")) ++ hashCols: _*)
+    val wh =
+      if (!idf) hw.withColumn("vw", lit(1L)).drop("word", "nd")
+      else {
+        val dfc = base.select(col("doc_id"), col("word")).distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("dfc"))
+        hw.join(dfc.hint("shuffle_hash"), Seq("word"))
+          .withColumn("vw", expr(
+            s"IF(nd <= $SimWidthLadderN, CAST(1 AS BIGINT), " +
+              "greatest(CAST(1 AS BIGINT), " +
+              "CAST(length(bin(nd)) - length(bin(dfc)) AS BIGINT)))"))
+          .drop("word", "nd", "dfc")
+      }
+    val votes = (0 until bits).map { b =>
+      sum(when(expr(s"(shiftright(h${b / 32}, ${b % 32}) & 1) = 1"),
+        col("vw")).otherwise(-col("vw"))).as(s"s$b")
+    }
+    val agg = wh.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val simLo = (0 until math.min(bits, 64))
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    wh.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sim.as("simhash"))
+    if (bits <= 64) agg.select(col("doc_id"), simLo.as("simhash"))
+    else {
+      val simHi = (64 until bits)
+        .map(b => when(col(s"s$b") > 0, lit(1L << (b - 64))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), simLo.as("simhash"), simHi.as("simhash2"))
+    }
   }
 
   /** DuckDB CTEs ws → hss2 → bits → sims mirroring simhashSigs at any
@@ -845,13 +893,22 @@ object Extended {
     // mask AFTER the shift: shiftright on LONG is arithmetic (sign-
     // extending), so the top band of a 64-bit signature needs the mask
     // to strip the replicated sign bits (SimhashPropertySpec plants
-    // top-bit flips at both widths to pin this down)
+    // top-bit flips at every width to pin this down). Past 64 bits the
+    // signature is the two-word (simhash, simhash2) form: band offsets
+    // must not straddle the word seam (holds for 4 bands at 32/64/128).
+    val s2 = if (sims.columns.contains("simhash2")) sims
+      else sims.withColumn("simhash2", lit(0L))
     val bandStructs = (0 until bands).map { b =>
-      s"struct($b AS band, shiftright(simhash, ${bandBits * b}) & ${(1L << bandBits) - 1} AS code)"
+      val off = bandBits * b
+      require(off % 64 + bandBits <= 64,
+        s"band $b straddles the 64-bit word seam (bits=$bits, bands=$bands)")
+      val src = if (off < 64) s"shiftright(simhash, $off)"
+        else s"shiftright(simhash2, ${off - 64})"
+      s"struct($b AS band, $src & ${(1L << bandBits) - 1} AS code)"
     }.mkString(", ")
     bandedHammingVerify(
-      sims.select(explode(expr(s"array($bandStructs)")).as("bs"),
-        col("doc_id"), col("simhash")),
+      s2.select(explode(expr(s"array($bandStructs)")).as("bs"),
+        col("doc_id"), col("simhash"), col("simhash2")),
       bands, cap)
   }
 
@@ -868,7 +925,7 @@ object Extended {
       cap: Int): DataFrame =
     banded
       .select(col("bs.band").as("band"), col("bs.code").as("code"),
-        struct(col("doc_id"), col("simhash")).as("m"))
+        struct(col("doc_id"), col("simhash"), col("simhash2")).as("m"))
       .groupBy(col("band"), col("code"))
       .agg(expr("array_sort(collect_list(m))").as("ms"))
       .filter(size(col("ms")).between(2, cap))
@@ -876,7 +933,8 @@ object Extended {
         "flatten(transform(ms, (x, i) -> " +
           "transform(slice(ms, i + 2, size(ms)), y -> " +
           "struct(x.doc_id AS d1, y.doc_id AS d2, " +
-          "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"))
+          "CAST(bit_count(x.simhash ^ y.simhash) + " +
+          "bit_count(x.simhash2 ^ y.simhash2) AS INT) AS hamming))))"))
         .as("p"))
       .filter(col("p.hamming") <= bands - 1)
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
@@ -908,6 +966,25 @@ object Extended {
   private[graft] def simWidthLadder(n: String): String =
     s"(CASE WHEN $n <= $SimWidthLadderN THEN 32 ELSE 64 END)"
 
+  /** Third-rung threshold (r15 verdict task 4): past ~50M docs the
+    * 64-bit rung's incidental band occupancy nears the 1000 cap
+    * (mean N/65 536 ≈ 760 at 50M), so the signature widens to the
+    * 128-bit two-word form (simhash, simhash2) with 32-bit bands.
+    */
+  private[graft] val Sim128N = 50000000L
+
+  /** The Spark-side THREE-rung ladder. The shared [[simWidthLadder]]
+    * string stays two-rung because it is interpolated into the DuckDB
+    * oracle SQL, which the r15 verdict pinned as UNCHANGED: no fixture
+    * count comes within four orders of magnitude of [[Sim128N]], so the
+    * two ladders coincide on every count an oracle can ever see; the
+    * 128 rung's machinery is covered by SimhashPropertySpec's planted
+    * adversaries (word-boundary flips, rung equivalences) instead.
+    */
+  private[graft] def simWidthLadder3(n: String): String =
+    s"(CASE WHEN $n <= $SimWidthLadderN THEN 32 " +
+      s"WHEN $n <= $Sim128N THEN 64 ELSE 128 END)"
+
   /** The adaptive-width banding over a 64-bit signature frame and a
     * ONE-ROW document-count frame (broadcast-crossed in — the
     * scalar-subquery shape, ScaleSpec `intended`): the effective
@@ -919,27 +996,43 @@ object Extended {
     */
   private[graft] def simhashPairsAdaptiveFrom(sims64: DataFrame,
       nd: DataFrame, cap: Int = 1000): DataFrame = {
-    val ladder = simWidthLadder("nd")
+    // A two-word input frame rides the full THREE-rung ladder; a
+    // single-word one (image_phash's 64 pixel bits ARE its whole hash)
+    // honestly caps at 64 — there is no wider signature to widen to.
+    val has2 = sims64.columns.contains("simhash2")
+    val ladder = if (has2) simWidthLadder3("nd") else simWidthLadder("nd")
+    val s2 = if (has2) sims64 else sims64.withColumn("simhash2", lit(0L))
     val bandStructs = (0 until SimBands).map { b =>
-      s"struct($b AS band, shiftright(simhash, CAST(bb * $b AS INT)) & " +
+      s"struct($b AS band, IF(bb * $b < 64, " +
+        s"shiftright(simhash, CAST(bb * $b AS INT)), " +
+        s"shiftright(simhash2, CAST(bb * $b - 64 AS INT))) & " +
         "(shiftleft(CAST(1 AS BIGINT), bb) - 1) AS code)"
     }.mkString(", ")
     bandedHammingVerify(
-      sims64.crossJoin(broadcast(nd))
+      s2.crossJoin(broadcast(nd))
         .select(col("doc_id"),
           expr(s"CASE WHEN $ladder = 32 THEN simhash & 4294967295 " +
             "ELSE simhash END").as("simhash"),
+          expr(s"CASE WHEN $ladder = 128 THEN simhash2 " +
+            "ELSE CAST(0 AS BIGINT) END").as("simhash2"),
           expr(s"CAST($ladder DIV $SimBands AS INT)").as("bb"))
         .select(explode(expr(s"array($bandStructs)")).as("bs"),
-          col("doc_id"), col("simhash")),
+          col("doc_id"), col("simhash"), col("simhash2")),
       SimBands, cap)
   }
 
   val simhashNearDup: QueryDef = QueryDef(
     "simhash_near_dup",
-    (s, d) => simhashPairsAdaptiveFrom(
-      simhashSigs(s, d, SimWideBits),
-      Tables.documents(s, d).agg(count(lit(1)).as("nd"))),
+    // 128-bit signatures, count-gated (r16): below Sim128N the top two
+    // hash words are never computed (their md5s sit behind an IF on the
+    // crossed-in count; simhash2 ≡ 0) — every fixture SF's output is
+    // bit-identical to the r15 behavior, proven by the UNCHANGED
+    // oracle's hash parity at all three SFs. Votes stay ±1 at every
+    // scale: idf weighting was measured and REJECTED (see simhashSigs).
+    (s, d) => {
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      simhashPairsAdaptiveFrom(simhashSigs(s, d, 128, Some(nd)), nd)
+    },
     Some(s"""
       WITH ${sqlSimhashCtesOf(SimWideBits)},
       nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),

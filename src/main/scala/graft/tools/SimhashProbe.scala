@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    admits (only computed when the uncapped expand is feasible), i.e.
   *    the concrete true-pair loss the cap causes at that scale.
   *
-  * Usage: runMain graft.tools.SimhashProbe <sfDir> [uncapped] [uncapped64] [phash]
+  * Usage: runMain graft.tools.SimhashProbe <sfDir> [uncapped] [uncapped64] [phash] [idf]
   * Unrecognized extra args fail loudly (the round-14 subset-harness rule:
   * a silently ignored flag makes the probe's capped-only output look like
   * a completed pair-loss measurement).
@@ -73,9 +73,34 @@ object SimhashProbe {
   private def pairCount(sims: DataFrame, bits: Int, cap: Int): Long =
     Extended.simhashPairsOf(sims, bits, Extended.SimBands, cap).count()
 
+  /** Occupancy over the 128-bit two-word signature's 32-bit bands
+    * (bands 0-1 from simhash, 2-3 from simhash2).
+    */
+  private def occupancy128(sims: DataFrame, cap: Int): Unit = {
+    val bandStructs = (0 until Extended.SimBands).map { b =>
+      val off = 32 * b
+      val src = if (off < 64) s"shiftright(simhash, $off)"
+        else s"shiftright(simhash2, ${off - 64})"
+      s"struct($b AS band, $src & 4294967295 AS code)"
+    }.mkString(", ")
+    val occ = sims
+      .select(explode(expr(s"array($bandStructs)")).as("bs"))
+      .groupBy(col("bs.band"), col("bs.code"))
+      .agg(count(lit(1)).as("m"))
+      .agg(max(col("m")).as("mx"),
+        expr("percentile(m, 0.99e0)").as("p99"),
+        avg(col("m")).as("mean"),
+        count(lit(1)).as("buckets"),
+        sum(when(col("m") > cap, 1).otherwise(0)).as("over_cap"))
+      .head()
+    println(f"[simhash-probe] bits=128 bandBits=32 cap=$cap " +
+      f"max=${occ.getLong(0)} p99=${occ.getDouble(1)}%.1f mean=${occ.getDouble(2)}%.1f" +
+      f" buckets=${occ.getLong(3)} overCap=${occ.getLong(4)}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val known = Set("uncapped", "uncapped64", "phash")
+    val known = Set("uncapped", "uncapped64", "phash", "idf", "bits128")
     val unknown = args.drop(1).filterNot(known)
     require(unknown.isEmpty,
       s"unknown SimhashProbe flags: ${unknown.mkString(", ")} (known: ${known.mkString(", ")})")
@@ -91,14 +116,21 @@ object SimhashProbe {
 
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val phashMode = args.contains("phash")
-    println(s"[simhash-probe] dir=$sfDir docs=$nDocs mode=${if (phashMode) "phash" else "simhash"}")
+    // `idf` runs the registered queries' weighted-vote path (count-gated:
+    // weights activate above the ladder floor, which every probe dir is)
+    val idf = args.contains("idf")
+    println(s"[simhash-probe] dir=$sfDir docs=$nDocs " +
+      s"mode=${if (phashMode) "phash" else "simhash"} idf=$idf")
+    val ndF = graft.core.Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("nd"))
     val sims64raw =
       if (phashMode)
         graft.ops.Multimodal.phashOf(
           graft.ops.Multimodal.media(spark, sfDir)
             .select(col("doc_id"), col("payload")))
           .select(col("doc_id"), col("ph64").as("simhash"))
-      else Extended.simhashSigs(spark, sfDir, 64)
+      else Extended.simhashSigs(spark, sfDir, 64,
+        if (idf) Some(ndF) else None, idf = idf)
     val sims64 = sims64raw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sims32 = sims64.select(col("doc_id"),
@@ -117,6 +149,22 @@ object SimhashProbe {
     if (args.contains("uncapped64")) {
       val un64 = pairCount(sims64, 64, Int.MaxValue)
       println(s"[simhash-probe] pairs64 UNCAPPED=$un64 lost=${un64 - capped64}")
+    }
+    if (args.contains("bits128")) {
+      // FORCED third rung: the hash-material gate runs at a synthetic
+      // count just past Sim128N so the two top words materialize at
+      // probe scale — band-code occupancy at 32-bit bands is what this
+      // row measures (add `idf` to reproduce the rejected weighted run).
+      val forced = spark.range(1)
+        .select(lit(Extended.Sim128N + 1).as("nd"))
+      val sims128 = Extended.simhashSigs(spark, sfDir, 128, Some(forced),
+        idf = idf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      occupancy128(sims128, 1000)
+      val capped128 = pairCount(sims128, 128, 1000)
+      val un128 = pairCount(sims128, 128, Int.MaxValue)
+      println(s"[simhash-probe] pairs128 capped=$capped128 UNCAPPED=$un128 lost=${un128 - capped128}")
+      sims128.unpersist()
     }
     sims64.unpersist()
     spark.stop()

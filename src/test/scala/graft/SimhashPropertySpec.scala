@@ -79,6 +79,79 @@ class SimhashPropertySpec extends SparkSpec {
     check(Extended.SimWideBits, Extended.SimBands)
   }
 
+  /** The 128-bit two-word rung (r16): same adversary construction over
+    * (simhash, simhash2) with the flips that only exist at this width —
+    * the 64/65 WORD-SEAM straddle (one flip in each word, adjacent bit
+    * positions, different bands), the lo-word band-0/1 straddle, the
+    * hi-word top band under the second word's sign bit, and the
+    * hamming-4 one-per-band negative.
+    */
+  test("banded pairs == brute force on adversarial 128-bit two-word signatures") {
+    val bands = Extended.SimBands
+    val bandBits = 128 / bands // 32
+    val rnd = new scala.util.Random(31)
+    val base = (1L to 60L).map(i => i -> (rnd.nextLong(), rnd.nextLong())).toMap
+    def flip(sig: (Long, Long), fbits: Seq[Int]): (Long, Long) =
+      fbits.foldLeft(sig) { case ((lo, hi), b) =>
+        if (b < 64) (lo ^ (1L << b), hi) else (lo, hi ^ (1L << (b - 64)))
+      }
+    var next = 100L
+    def derive(from: Long, fbits: Seq[Int]): (Long, (Long, Long)) = {
+      next += 1; next -> flip(base(from), fbits)
+    }
+    val planted = Map(
+      derive(1L, Nil), // exact duplicate
+      derive(2L, Seq(5)), // 1 flip inside band 0
+      derive(3L, Seq(bandBits - 1, bandBits)), // band-0/1 straddle (lo word)
+      derive(4L, Seq(63, 64)), // WORD-SEAM straddle: bands 1 and 2, two words
+      derive(5L, Seq(31, 63, 95)), // 3 flips in 3 different bands/words
+      // hamming 4, one per band: MUST be absent
+      derive(6L, Seq(3, 35, 67, 99)),
+      derive(7L, Seq(127)), // top bit of the SECOND word (sign/mask edge)
+      derive(8L, Seq(127, 126, 125)) // 3 flips in the top band
+    )
+    val sigs = base ++ planted
+    val brute = (for {
+      i <- sigs.keys.toSeq.sorted; j <- sigs.keys.toSeq.sorted if i < j
+      h = java.lang.Long.bitCount(sigs(i)._1 ^ sigs(j)._1) +
+        java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= bands - 1
+    } yield (i, j, h)).toSet
+    val df = sigs.toSeq.map { case (id, (lo, hi)) => (id, lo, hi) }
+      .toDF("doc_id", "simhash", "simhash2")
+    val got = Extended.simhashPairsOf(df, 128, bands)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute,
+      s"128-bit: missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.size >= 7, s"128-bit vacuous: only ${brute.size} true pairs")
+    assert(!got.exists(p => p._1 == 6L && p._2 == 106L),
+      "128-bit: hamming-4 negative leaked through the verify filter")
+  }
+
+  /** Three-rung adaptive equivalence (r16): on a two-word signature
+    * frame the adaptive path must reproduce the fixed-width path at
+    * EVERY rung — 32 below the floor, 64 between the floor and Sim128N
+    * (simhash2 zeroed), 128 above Sim128N.
+    */
+  test("adaptive path == fixed-width path at all three rungs") {
+    val rnd = new scala.util.Random(47)
+    val sims = (1L to 300L).map(i => (i, rnd.nextLong(), rnd.nextLong()))
+    val df128 = sims.toDF("doc_id", "simhash", "simhash2")
+    val df64 = sims.map { case (i, lo, _) => (i, lo) }.toDF("doc_id", "simhash")
+    val df32 = sims.map { case (i, lo, _) => (i, lo & 0xFFFFFFFFL) }
+      .toDF("doc_id", "simhash")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    assert(run(Extended.simhashPairsAdaptiveFrom(df128, Seq(100L).toDF("nd")))
+      === run(Extended.simhashPairsOf(df32, 32, 4)))
+    assert(run(Extended.simhashPairsAdaptiveFrom(df128,
+        Seq(Extended.SimWidthLadderN + 1).toDF("nd")))
+      === run(Extended.simhashPairsOf(df64, 64, 4)))
+    assert(run(Extended.simhashPairsAdaptiveFrom(df128,
+        Seq(Extended.Sim128N + 1).toDF("nd")))
+      === run(Extended.simhashPairsOf(df128, 128, 4)))
+  }
+
   /** The round-15 verdict adversary: an over-cap band bucket DROPS the
     * one true pair whose ONLY shared band is the flooded one — the cap
     * is a silent recall hole at fixed width (measured live: 6.9% of
