@@ -190,9 +190,13 @@ class ScaleSpec extends SparkSpec {
         s"simhash_near_dup re-grew a signature join-back ($j) — the " +
           s"banded collect_list should carry the simhash itself:\n$simPlan")
     }
-    assert("BroadcastNestedLoopJoin".r.findAllIn(simPlan).size === 1,
-      s"simhash_near_dup should have exactly the one-row count-ladder " +
-        s"broadcast cross join:\n$simPlan")
+    // TWO one-row count broadcast crosses since round 16: the width
+    // ladder's (banding side) plus the 128-rung hash-material gate
+    // inside simhashSigs (the top two salted md5s sit behind an
+    // IF(nd > Sim128N, ...) evaluated per word row).
+    assert("BroadcastNestedLoopJoin".r.findAllIn(simPlan).size === 2,
+      s"simhash_near_dup should have exactly the two one-row count " +
+        s"broadcast cross joins (ladder + 128-rung hash gate):\n$simPlan")
   }
 
   test("rrf_fusion: both legs depth-cut by TakeOrdered before any global window") {
