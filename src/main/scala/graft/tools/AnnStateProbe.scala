@@ -73,11 +73,19 @@ object AnnStateProbe {
       codes(large, layout)
         .write.mode("append").partitionBy("band").parquet(store)
     }
+    // corpus-sized batch: makes the append's DATA term visible over the
+    // ~1.5 s fixed per-job overhead (2%/20% batches sit under it)
+    val tX = time("append xl batch (80% ids)") {
+      codes(corpus, layout)
+        .write.mode("append").partitionBy("band").parquet(store)
+    }
     time("full rebuild corpus+large") {
       codes(corpus.unionByName(large), layout)
         .write.mode("overwrite").partitionBy("band")
         .parquet("target/ann_state_probe_rebuild")
     }
+    println(f"[ann-state-probe] xl/large append ratio ${tX / tL}%.2f " +
+      s"(batch-size ratio ${corpus.count().toDouble / large.count()})")
     println(f"[ann-state-probe] large/small append ratio ${tL / tS}%.2f " +
       s"(batch-size ratio ${large.count().toDouble / small.count()})")
     spark.stop()
