@@ -133,6 +133,12 @@ object SimhashProbe {
         if (idf) Some(ndF) else None, idf = idf)
     val sims64 = sims64raw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage attribution: first action materializes the signature/pixel
+    // compute into the cache; the later pairCount on the persisted frame
+    // times banding + pair-expand + verify alone
+    val tSig0 = System.nanoTime()
+    val nSig = sims64.count()
+    println(f"[simhash-probe] stage sig-compute ${(System.nanoTime() - tSig0) / 1e9}%.2f s rows=$nSig")
     val sims32 = sims64.select(col("doc_id"),
       expr("simhash & 4294967295").as("simhash"))
     occupancy(sims32, 32, 1000)
@@ -144,7 +150,9 @@ object SimhashProbe {
       val un32 = pairCount(sims32, 32, Int.MaxValue)
       println(s"[simhash-probe] pairs32 UNCAPPED=$un32 lost=${un32 - capped32}")
     }
+    val tP0 = System.nanoTime()
     val capped64 = pairCount(sims64, 64, 1000)
+    println(f"[simhash-probe] stage band+pairs64 ${(System.nanoTime() - tP0) / 1e9}%.2f s")
     println(s"[simhash-probe] pairs64 capped=$capped64")
     if (args.contains("uncapped64")) {
       val un64 = pairCount(sims64, 64, Int.MaxValue)
