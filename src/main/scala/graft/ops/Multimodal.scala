@@ -178,16 +178,28 @@ object Multimodal {
     * silent pair loss at 50k docs) and what the rejected balanced
     * chunking destroyed (length edits shifted every boundary →
     * decorrelated all 32 pixels → zero fixture pairs). Fixture
-    * non-vacuity measured BEFORE wiring (round-15 rule; Scratch run,
-    * 2026-08-16): Hamming≤1 pairs 18/17/146 at sf0.001/0.01/0.1 with
-    * exact-dup cores 9/8/84, vs expected incidental collisions ≈ 0.06
-    * pairs at sf0.1. Everything downstream is REAL and scale-true:
+    * non-vacuity measured BEFORE wiring (round-15 rule): the
+    * md5-per-bigram DRAFT hash (preserved in Scratch.phashCdp for the
+    * A/B record) measured Hamming≤1 pairs 18/17/146 at
+    * sf0.001/0.01/0.1; the SHIPPED arithmetic-combine hash below
+    * measured 13/13/146 with exact-dup cores 9/8/84 (SCALING.md round
+    * 16), vs expected incidental collisions ≈ 0.06 pairs at sf0.1. Everything downstream is REAL and scale-true:
     * average-threshold bits stay exact integers (32·p_i ≥ Σp), the
     * 32-bit hash shards into 4×8-bit bands (pigeonhole-complete for
     * Hamming ≤ 3; the emit filter keeps the tight ≤ 1 matches), and
     * candidates come from the simhash_near_dup groupBy+pair-expand —
     * never a hash self-join, buckets capped at 1000. Payloads below 32
     * words are dropped (sub-thumbnail images).
+    *
+    * VALUE-BREAK migration note (round 16 → mirrors bucketStoreOf's
+    * round-15 members-schema note): the content-defined pixel semantics
+    * change every persisted `ph`/`ph64` VALUE, not just the plan — any
+    * externally persisted pre-round-16 phash state (most notably the
+    * crossModalStream snapshot's members store, which carries `ph` per
+    * doc) silently stops matching hashes computed by the new code. Such
+    * state needs a ONE-TIME full rebuild at the new semantics; there is
+    * no in-place migration because the old chunked pixels are not
+    * recoverable from the hash.
     */
   /** Perceptual hash (aHash) of each payload — factored so both the
     * banded near-dup search below and the cross-modal composition can

@@ -17,6 +17,13 @@ object Scratch {
     * and contributes its full h32 to that pixel's sum (mod 256). No
     * positional chunking at all, so no trailing-zero pixels and no
     * boundary shift under length edits.
+    *
+    * NOTE: this deliberately preserves the md5-per-BIGRAM DRAFT hash
+    * (concat_ws + md5 per bigram — the 18/17/146 non-vacuity numbers)
+    * for the round-16 A/B record; the SHIPPED Multimodal.phashOf uses
+    * the arithmetic word-hash combine ((h32(w_i)·33 + h32(w_{i+1})) mod
+    * 2^32 — 13/13/146, and 28 → 17 s at the 500k probe). Re-running
+    * this measures the draft, not the registered scheme.
     */
   private def phashCdp(payloads: DataFrame): DataFrame = {
     val h32x = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"

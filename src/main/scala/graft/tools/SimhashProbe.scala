@@ -119,6 +119,11 @@ object SimhashProbe {
     // `idf` runs the registered queries' weighted-vote path (count-gated:
     // weights activate above the ladder floor, which every probe dir is)
     val idf = args.contains("idf")
+    // phash pixels carry no per-word votes, so idf is inapplicable there —
+    // fail loudly instead of printing idf=true and silently ignoring it
+    // (the round-14 silent-flag class)
+    require(!(phashMode && idf),
+      "idf is inapplicable in phash mode (pixel sums have no word votes)")
     println(s"[simhash-probe] dir=$sfDir docs=$nDocs " +
       s"mode=${if (phashMode) "phash" else "simhash"} idf=$idf")
     val ndF = graft.core.Tables.documents(spark, sfDir)
