@@ -84,6 +84,24 @@ object AnnStateProbe {
         .write.mode("overwrite").partitionBy("band")
         .parquet("target/ann_state_probe_rebuild")
     }
+    // r16 verdict task 1 — the SEARCH rows: a store-backed search must
+    // track PROBE size (the fixed ≤201-query batch), not corpus size.
+    // Run at sf1 vs sf10, the store-search row should stay ~flat while
+    // the store (and the build row — what a fresh-recode search pays per
+    // query batch, since every non-store ANN query re-codes the corpus)
+    // grows 10×.
+    val vecsAll = graft.ops.Extended.vecs(spark, dir)
+    val searchStore = "target/ann_search_probe_store"
+    val tB = time("build search store (sorted)") {
+      graft.ops.Extended.annSearchStoreWrite(spark, vecsAll, searchStore)
+    }
+    val tQ = time("store search (fixed query batch)") {
+      println(s"[ann-state-probe]   search top-5 rows=${
+        graft.ops.Extended.annStoreSearchFrom(spark, vecsAll, searchStore)
+          .count()}")
+    }
+    println(f"[ann-state-probe] search/build ratio ${tQ / tB}%.2f " +
+      "(a fresh-recode search pays ~the build row per query batch)")
     println(f"[ann-state-probe] xl/large append ratio ${tX / tL}%.2f " +
       s"(batch-size ratio ${corpus.count().toDouble / large.count()})")
     println(f"[ann-state-probe] large/small append ratio ${tL / tS}%.2f " +

@@ -120,7 +120,8 @@ class ScaleSpec extends SparkSpec {
       // the embCandidates adaptive-bit-width fix (round 13) broadcast-
       // crosses a one-row corpus-count frame into every consumer of the
       // embedding near-dup banding — the scalar-subquery shape.
-      "embed_near_dup", "embed_near_dup_strict", "ann_state_append", "paraphrase_pairs",
+      "embed_near_dup", "embed_near_dup_strict", "ann_state_append",
+      "ann_store_search", "paraphrase_pairs",
       "semantic_dedup", "curation_pipeline", "curation_funnel",
       // perplexity_interp/kneser_ney ride their one-row bigram-total /
       // bigram-type frames exactly like perplexity_unigram/bigram.
@@ -361,6 +362,8 @@ class ScaleSpec extends SparkSpec {
       "embed_near_dup" -> "nbLadder/nBandsLadder 8→20 bits (round 13/14)",
       "embed_near_dup_strict" -> "nbLadder (embCandidates consumer; strict 0.40 emit cut)",
       "ann_state_append" -> "nbLadder pinned at the store's build-time corpus count (layout version)",
+      "ann_store_search" -> ("nbLadder pinned at the store's _layout version; probe side is the " +
+        "fixed query batch (codes ship as scan literals, partition-pruned)"),
       "paraphrase_pairs" -> "nbLadder (embCandidates consumer)",
       "semantic_dedup" -> "nbLadder (embCandidates consumer)",
       "semantic_decontaminate" -> "nbLadder (embCandidates consumer)",
@@ -425,7 +428,8 @@ class ScaleSpec extends SparkSpec {
       "cluster_canonical", "semantic_dedup", "compact_small_files",
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
       "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
-      "dedup_state_compact", "ann_state_append", "incremental_agg_maintain",
+      "dedup_state_compact", "ann_state_append", "ann_store_search",
+      "incremental_agg_maintain",
       "grid_source_roundtrip",
       // bpeLoop truncates each round's lineage with a LAZY
       // localCheckpoint (the ccOverEdges discipline — without it
@@ -585,6 +589,25 @@ class ScaleSpec extends SparkSpec {
     val statuses = spark.read.parquet(out)
       .select("o_orderstatus").distinct().count()
     assert(statuses >= 2) // pruning is meaningful
+  }
+
+  test("ann_store_search scans ONLY probed band partitions + pushes the code probe list") {
+    // The store-backed search contract (r16 verdict task 1): the scan of
+    // the persisted index must carry (a) the probed-tables predicate as a
+    // PARTITION filter — only band directories the search probes are
+    // read — and (b) the query batch's code list as a PUSHED parquet
+    // filter, so code-sorted row groups outside the probe list are
+    // skipped. Together these are what make search cost track probe
+    // size, not corpus size (AnnStateProbe measures it).
+    val plan = planOf(ops.Extended.annStoreSearch.fn(spark, sfDir))
+    val scan = plan.linesIterator.find(l =>
+      l.contains("ann_search_store") && l.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no partitioned scan of the search store:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*band[^\]]* IN""".r
+      .findFirstIn(scan.get).isDefined,
+      s"band probe set is not a partition filter: ${scan.get}")
+    assert(scan.get.contains("In(code"),
+      s"code probe list not pushed to the parquet scan: ${scan.get}")
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true)") {
