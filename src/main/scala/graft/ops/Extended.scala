@@ -2481,6 +2481,178 @@ object Extended {
     """),
     doc = "ANN search answered FROM the persisted band store: partition-pruned probes, code row-group skipping (independent fresh-search oracle)")
 
+  // ---- persisted ANN store: deletions + GC (r16 verdict task 3) ----------
+
+  /** Compaction trigger: a band directory is rewritten when its
+    * accumulated tombstones reach 1/[[AnnGcTrigger]] of its physical
+    * rows (integer-exact comparison `trigger·tc ≥ nrows` — never a
+    * float fraction, the ladder discipline). The LSM amortization
+    * argument: every band rewrite clears ≥ nrows/trigger tombstones, so
+    * total rewrite IO over the store's lifetime is ≤ trigger × total
+    * deletes — GC cost tracks the DELETED FRACTION (amortized), never
+    * the corpus. Declared above the query whose oracle interpolates the
+    * stage predicates (round-15 object-init rule).
+    */
+  val AnnGcTrigger = 20
+
+  /** Append a delete batch to the store as TOMBSTONES — one row per
+    * (vec_id, band, code), coded at the store's pinned `_layout` AT
+    * DELETE TIME (while the vector is still retrievable; production
+    * processes takedowns the same way) — strictly batch-proportional:
+    * no store scan, no corpus access. `_tombstones` is an
+    * underscore-prefixed sidecar, invisible to the store's own scans
+    * (the `_layout` discipline).
+    */
+  private[graft] def annStoreDelete(s: SparkSession, deleted: DataFrame,
+      dir: String): Unit = {
+    val layout = s.read.parquet(s"$dir/_layout")
+    embBandCodesPinned(deleted, layout)
+      .select(col("vec_id"), col("code").cast("long").as("code"),
+        col("band").cast("int").as("band"))
+      .write.mode("append").parquet(s"$dir/_tombstones")
+  }
+
+  /** Threshold compaction over the tombstoned store: rewrite ONLY band
+    * partitions whose tombstone count crossed the [[AnnGcTrigger]]
+    * fraction of their physical rows (per-band `_stats` sidecar — no
+    * store scan to count), via staging-write → partition-dir delete →
+    * append; bands under the trigger are NOT touched (their tombstones
+    * stay, masked at read by [[annStoreView]]). The driver round-trips
+    * only band-level aggregates (≤ nbands rows — directory-listing
+    * scale). Sidecar rewrites are materialized BEFORE overwriting their
+    * own paths (the lazy-read-under-overwrite trap).
+    */
+  private[graft] def annStoreGc(s: SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones"))) return
+    val tomb = s.read.parquet(s"$dir/_tombstones")
+    val stats = s.read.parquet(s"$dir/_stats")
+    val triggered = tomb.groupBy(col("band")).agg(count(lit(1)).as("tc"))
+      .join(stats, Seq("band"))
+      .filter(col("tc") * AnnGcTrigger >= col("nrows"))
+      .select(col("band"), col("tc")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (triggered.nonEmpty) {
+      val bands = triggered.keys.toSeq
+      val survivors = s.read.parquet(dir)
+        .where(col("band").isin(bands: _*))
+        .join(tomb.filter(col("band").isin(bands: _*))
+          .select(col("band"), col("vec_id")),
+          Seq("band", "vec_id"), "left_anti")
+        .select(col("vec_id"), col("code"), col("band"))
+      val staging = s"$dir/_staging"
+      survivors.write.mode("overwrite").partitionBy("band").parquet(staging)
+      bands.foreach(b => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dir/band=$b"), true))
+      s.read.parquet(staging)
+        .select(col("vec_id"), col("code"), col("band"))
+        .write.mode("append").partitionBy("band").parquet(dir)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      // sidecars last (round-16 overwrite-order lesson): stats drop the
+      // cleared rows; compacted bands' tombstones are removed
+      import s.implicits._
+      val statRows = stats.collect().map(r => (r.getInt(0), r.getLong(1)))
+      statRows.map { case (b, n) => (b, n - triggered.getOrElse(b, 0L)) }
+        .toSeq.toDF("band", "nrows")
+        .write.mode("overwrite").parquet(s"$dir/_stats")
+      val remaining = tomb.filter(!col("band").isin(bands: _*))
+        .localCheckpoint()
+      remaining.write.mode("overwrite").parquet(s"$dir/_tombstones")
+    }
+  }
+
+  /** The store's LIVE read view: physical rows minus uncompacted
+    * tombstones (a (band, vec_id) anti-join against the sidecar — the
+    * masking a tombstoned index serves reads with between compactions).
+    */
+  private[graft] def annStoreView(s: SparkSession, dir: String): DataFrame = {
+    val data = s.read.parquet(dir)
+      .select(col("band").cast("int").as("band"), col("code"), col("vec_id"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
+      data.join(s.read.parquet(s"$dir/_tombstones")
+        .select(col("band"), col("vec_id")),
+        Seq("band", "vec_id"), "left_anti")
+    else data
+  }
+
+  /** Build the GC-maintained store: the search-store layout plus the
+    * per-band `_stats` sidecar the compaction trigger reads.
+    */
+  private[graft] def annGcStoreInit(s: SparkSession, all: DataFrame,
+      dir: String): Unit = {
+    annSearchStoreWrite(s, all, dir)
+    val nbands = s.read.parquet(s"$dir/_layout").collect()(0)
+      .getAs[Int]("nbands")
+    val n = all.count()
+    import s.implicits._
+    (0 until nbands).map(b => (b, n)).toDF("band", "nrows")
+      .write.mode("overwrite").parquet(s"$dir/_stats")
+  }
+
+  /** ANN store deletions + GC (r16 verdict task 3 — completing the
+    * index-maintenance contract append started): takedowns arrive as
+    * delete batches; the store must serve correct reads immediately and
+    * reclaim space without corpus-proportional per-delete cost. The
+    * design is the LSM tombstone pattern:
+    *
+    *  - DELETE appends (vec_id, band, code) tombstones coded at the
+    *    store's pinned layout — batch-proportional, no store access;
+    *  - READS mask tombstones with a keyed anti-join ([[annStoreView]]);
+    *  - GC rewrites ONLY band partitions whose tombstone fraction
+    *    crossed the integer trigger (amortized IO ≤ trigger × deletes —
+    *    the "GC cost tracks the deleted fraction" contract, measured by
+    *    AnnStateProbe's gc rows at sf1/sf10, SCALING.md round 17).
+    *
+    * The query runs the full life cycle at both trigger branches: a 1%
+    * delete (below trigger: tombstones retained, view masks them — no
+    * data rewrite, asserted physically in AnnGcSpec) then a 10% delete
+    * (cumulative 11% ≥ 5%: every band compacts, tombstones drain). Both
+    * stage views are emitted; stage 1 is materialized (localCheckpoint)
+    * before stage 2 mutates the store. The ORACLE is INDEPENDENT
+    * (dedup_state_compact discipline): DuckDB rebuilds each stage's
+    * view FROM SCRATCH over the surviving vectors at the ORIGINAL
+    * pinned layout, so the hash match proves delete+GC ≡
+    * rebuild-over-survivors in every compaction state. Eager sink
+    * round-trip (ScaleSpec `eager`); the layout frame broadcast-crosses
+    * in (`intended`).
+    */
+  val annStoreGcQ: QueryDef = QueryDef(
+    "ann_store_gc",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "ann_gc_store")
+      val all = vecs(s, d)
+      annGcStoreInit(s, all, dir)
+      annStoreDelete(s, all.filter(col("vec_id") % 100 === 7), dir)
+      annStoreGc(s, dir)
+      val v1 = annStoreView(s, dir).withColumn("stage", lit(1))
+        .localCheckpoint()
+      annStoreDelete(s, all.filter(col("vec_id") % 10 === 3), dir)
+      annStoreGc(s, dir)
+      val v2 = annStoreView(s, dir).withColumn("stage", lit(2))
+      v1.unionByName(v2)
+        .select(col("stage"), col("band"), col("code"), col("vec_id"))
+        .orderBy(col("stage"), col("band"), col("code"), col("vec_id"))
+    },
+    Some(s"""
+      WITH vsrc AS ($sqlVecs),
+      nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
+                     ${nBandsLadder("count(*)")} AS nbands FROM vsrc),
+      codes AS (SELECT vec_id, CAST(band AS INTEGER) AS band,
+                       CAST(code AS BIGINT) AS code
+                FROM ($sqlEmbBandCodesRaw)
+                WHERE band < (SELECT nbands FROM nbv))
+      SELECT CAST(1 AS INTEGER) AS stage, band, code, vec_id FROM codes
+      WHERE vec_id % 100 <> 7
+      UNION ALL
+      SELECT CAST(2 AS INTEGER) AS stage, band, code, vec_id FROM codes
+      WHERE vec_id % 100 <> 7 AND vec_id % 10 <> 3
+      ORDER BY stage, band, code, vec_id
+    """),
+    doc = "persisted ANN store deletions: tombstone masking + threshold GC == rebuild over survivors (independent oracle)")
+
   /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
     * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
     * sign-LSH candidates — embed_near_dup's verified subplan) but whose
@@ -6746,7 +6918,7 @@ object Extended {
     docEntropy,
     cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
     embedNearDup, embedNearDupStrict, annStateAppend, annStoreSearch,
-    paraphrasePairs,
+    annStoreGcQ, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,

@@ -102,6 +102,26 @@ object AnnStateProbe {
     }
     println(f"[ann-state-probe] search/build ratio ${tQ / tB}%.2f " +
       "(a fresh-recode search pays ~the build row per query batch)")
+    // r16 verdict task 3 — the GC rows: delete cost must track the
+    // DELETED FRACTION. A below-trigger batch pays only the tombstone
+    // append (batch-proportional, no data rewrite); the compacting batch
+    // pays the threshold rewrite, amortized ≤ AnnGcTrigger × deletes.
+    val gcStore = "target/ann_gc_probe_store"
+    time("build gc store") {
+      graft.ops.Extended.annGcStoreInit(spark, vecsAll, gcStore)
+    }
+    val tD1 = time("delete 0.5% + GC (tombstones only)") {
+      graft.ops.Extended.annStoreDelete(spark,
+        vecsAll.filter(col("vec_id") % 200 === 7), gcStore)
+      graft.ops.Extended.annStoreGc(spark, gcStore)
+    }
+    val tD2 = time("delete 10% + GC (compaction)") {
+      graft.ops.Extended.annStoreDelete(spark,
+        vecsAll.filter(col("vec_id") % 10 === 3), gcStore)
+      graft.ops.Extended.annStoreGc(spark, gcStore)
+    }
+    println(f"[ann-state-probe] compacting/tombstone-only GC ratio ${tD2 / tD1}%.2f " +
+      "(deleted-fraction ratio 21.0)")
     println(f"[ann-state-probe] xl/large append ratio ${tX / tL}%.2f " +
       s"(batch-size ratio ${corpus.count().toDouble / large.count()})")
     println(f"[ann-state-probe] large/small append ratio ${tL / tS}%.2f " +
