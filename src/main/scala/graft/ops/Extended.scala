@@ -981,9 +981,16 @@ object Extended {
     * 128 rung's machinery is covered by SimhashPropertySpec's planted
     * adversaries (word-boundary flips, rung equivalences) instead.
     */
-  private[graft] def simWidthLadder3(n: String): String =
+  /** `n128` parameterizes the third-rung threshold (r16 task 4): the
+    * phash family's content produces hotter buckets than text SimHash
+    * at the same count (measured occupancy mean 7.0 at 500k vs text's
+    * ~4), so it opens its 128 rung earlier
+    * ([[graft.ops.Multimodal.Phash128N]]); text keeps [[Sim128N]].
+    */
+  private[graft] def simWidthLadder3(n: String,
+      n128: Long = Sim128N): String =
     s"(CASE WHEN $n <= $SimWidthLadderN THEN 32 " +
-      s"WHEN $n <= $Sim128N THEN 64 ELSE 128 END)"
+      s"WHEN $n <= $n128 THEN 64 ELSE 128 END)"
 
   /** The adaptive-width banding over a 64-bit signature frame and a
     * ONE-ROW document-count frame (broadcast-crossed in — the
@@ -995,12 +1002,13 @@ object Extended {
     * unchanged on the (band, code) stream.
     */
   private[graft] def simhashPairsAdaptiveFrom(sims64: DataFrame,
-      nd: DataFrame, cap: Int = 1000): DataFrame = {
-    // A two-word input frame rides the full THREE-rung ladder; a
-    // single-word one (image_phash's 64 pixel bits ARE its whole hash)
-    // honestly caps at 64 — there is no wider signature to widen to.
+      nd: DataFrame, cap: Int = 1000, n128: Long = Sim128N): DataFrame = {
+    // A two-word input frame rides the full THREE-rung ladder (with the
+    // caller's third-rung threshold — phash opens its rung earlier than
+    // text, see simWidthLadder3); a single-word one honestly caps at 64
+    // — there is no wider signature to widen to.
     val has2 = sims64.columns.contains("simhash2")
-    val ladder = if (has2) simWidthLadder3("nd") else simWidthLadder("nd")
+    val ladder = if (has2) simWidthLadder3("nd", n128) else simWidthLadder("nd")
     val s2 = if (has2) sims64 else sims64.withColumn("simhash2", lit(0L))
     val bandStructs = (0 until SimBands).map { b =>
       s"struct($b AS band, IF(bb * $b < 64, " +

@@ -207,7 +207,21 @@ object Multimodal {
     * words carry no hash (sub-thumbnail images — too few bigrams to
     * populate the 32-pixel thumbnail with usable entropy).
     */
-  private[graft] def phashOf(payloads: DataFrame): DataFrame = {
+  /** Count gate for the phash 128-bit rung (r16 verdict task 4): the
+    * 64-bit aHash|dHash's 16-bit band occupancy grew mean 1.6 → 7.0
+    * over the 50k → 500k decade (SCALING.md round 16) — hotter than
+    * text SimHash at the same count — so phash opens its two-word rung
+    * at 2M docs (text's [[graft.ops.Extended.Sim128N]] is 50M). Below
+    * the gate the second pixel plane is never aggregated (the 32 extra
+    * sums sit behind a crossed-in count predicate) and the ladder zeroes
+    * simhash2 — every fixture SF stays bit-identical (oracles
+    * unchanged, proven by hash parity at three SFs). Declared above
+    * [[phashOf]] (object-init interpolation rule).
+    */
+  val Phash128N = 2000000L
+
+  private[graft] def phashOf(payloads: DataFrame,
+      nd: Option[DataFrame] = None): DataFrame = {
     val h32x = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
     // One exploded pass + ONE hash-agg keyed on doc_id with 32 codegen'd
     // conditional sums (pixel j collects bigrams whose own hash picks j).
@@ -220,7 +234,17 @@ object Multimodal {
       sum(when(expr("(h div 256) % 32") === j, col("h"))
         .otherwise(lit(0L))).as(s"p$j")
     }
-    payloads
+    // second pixel plane (the 128-bit rung's hash material): pixel
+    // assignment from an INDEPENDENT slice of the same bigram hash
+    // (bits 13..17 vs plane 1's 8..12) — same content-defined locality
+    // (an edit perturbs ≤ 4 pixels per plane at any length), zero extra
+    // hashing. Computed ONLY when the crossed-in count clears the gate;
+    // below it the sums are branch-skipped per row.
+    val plane2Sums = (0 until 32).map { j =>
+      sum(when(col("wide") && expr("(h div 8192) % 32") === j, col("h"))
+        .otherwise(lit(0L))).as(s"q$j")
+    }
+    val exploded = payloads
       .select(col("doc_id"),
         Text.words(decode(col("payload"), "UTF-8")).as("w"))
       .filter(size(col("w")) >= 32)
@@ -233,8 +257,15 @@ object Multimodal {
         explode(expr("transform(sequence(1, size(hw) - 1), i -> " +
           "(element_at(hw, i) * 33 + element_at(hw, i + 1)) % 4294967296)"))
           .as("h"))
+    val gated = nd match {
+      case Some(ndF) => exploded.crossJoin(broadcast(ndF))
+        .withColumn("wide", col("nd") > Phash128N)
+      case None => exploded
+    }
+    gated
       .groupBy(col("doc_id"))
-      .agg(pixelSums.head, pixelSums.tail: _*)
+      .agg(pixelSums.head,
+        (pixelSums.tail ++ (if (nd.isDefined) plane2Sums else Nil)): _*)
       .withColumn("px", expr(
         s"transform(array(${(0 until 32).map(j => s"p$j").mkString(", ")}), " +
           "p -> p % 256)"))
@@ -257,8 +288,30 @@ object Multimodal {
         "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
           "a + IF(element_at(px, i) > element_at(px, IF(i = 32, 1, i + 1)), " +
           "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
-      .select(col("doc_id"), col("ph"),
-        expr("ph + shiftleft(dh, 32)").as("ph64"))
+      .transform { base =>
+        if (nd.isEmpty)
+          base.select(col("doc_id"), col("ph"),
+            expr("ph + shiftleft(dh, 32)").as("ph64"))
+        else base
+          // the second word (aHash2 | dHash2 over plane-2 pixels): only
+          // meaningful above the gate — the adaptive ladder zeroes it
+          // below 128-bit width, so the below-gate constant is masked
+          .withColumn("qx", expr(
+            s"transform(array(${(0 until 32).map(j => s"q$j").mkString(", ")}), " +
+              "p -> p % 256)"))
+          .withColumn("sq", expr("aggregate(qx, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("ph2", expr(
+            "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
+              "a + IF(32 * element_at(qx, i) >= sq, " +
+              "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
+          .withColumn("dh2", expr(
+            "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) -> " +
+              "a + IF(element_at(qx, i) > element_at(qx, IF(i = 32, 1, i + 1)), " +
+              "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"))
+          .select(col("doc_id"), col("ph"),
+            expr("ph + shiftleft(dh, 32)").as("ph64"),
+            expr("ph2 + shiftleft(dh2, 32)").as("ph64b"))
+      }
   }
 
   /** DuckDB mirror of [[phashOf]]: CTE chain ending in ph(doc_id, ph)
@@ -314,10 +367,17 @@ object Multimodal {
   val imagePhashNearDup: QueryDef = QueryDef(
     "image_phash_near_dup",
     (s, d) => {
-      val ph = phashOf(media(s, d).select(col("doc_id"), col("payload")))
-        .select(col("doc_id"), col("ph64").as("simhash"))
+      // two-word signatures since r17: ph64b (the gated second pixel
+      // plane) rides along as simhash2, and the adaptive banding opens
+      // the 128-bit rung at the phash-specific Phash128N threshold —
+      // below it simhash2 is zeroed by the ladder and every output is
+      // bit-identical to the r16 behavior (oracle unchanged).
       val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
-      graft.ops.Extended.simhashPairsAdaptiveFrom(ph, nd)
+      val ph = phashOf(media(s, d).select(col("doc_id"), col("payload")),
+          Some(nd))
+        .select(col("doc_id"), col("ph64").as("simhash"),
+          col("ph64b").as("simhash2"))
+      graft.ops.Extended.simhashPairsAdaptiveFrom(ph, nd, n128 = Phash128N)
         .filter(col("hamming") <= 1)
         .orderBy(col("d1"), col("d2"))
     },

@@ -548,23 +548,154 @@ object EventStream {
       }
       .start()
 
+  /** Delta-dir budget for the cross-modal state: when a batch would be
+    * the XmFoldEvery-th live delta, it FOLDS the whole resolved state
+    * into its own bid instead — the full rewrite the pre-r17 layout
+    * paid EVERY batch now amortizes to 1/XmFoldEvery of batches, and
+    * the per-batch read fan-in (live delta dirs) stays bounded.
+    */
+  private[graft] val XmFoldEvery = 64
+
+  /** Live delta bids of a state subdir for a read strictly below
+    * `bound`: everything from the newest FOLDED snapshot (inclusive —
+    * a fold supersedes all earlier bids) up to bound−1.
+    */
+  private def xmLiveBids(s: org.apache.spark.sql.SparkSession, sub: String,
+      bound: Long): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val ids = snapshotIds(s, sub).filter(_ < bound).sorted
+    val folds = ids.filter(i => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$sub/bid=$i/_folded")))
+    if (folds.isEmpty) ids else ids.filter(_ >= folds.max)
+  }
+
+  /** Union of a subdir's live deltas below `bound`, with the `bid`
+    * partition column retained (basePath read — the verdict upsert
+    * needs it); None when the state is empty.
+    */
+  private def xmRead(s: org.apache.spark.sql.SparkSession, sub: String,
+      bound: Long): Option[org.apache.spark.sql.DataFrame] = {
+    val ids = xmLiveBids(s, sub, bound)
+    if (ids.isEmpty) None
+    else Some(s.read.option("basePath", sub)
+      .parquet(ids.map(i => s"$sub/bid=$i"): _*))
+  }
+
+  /** The canonical election + media verdict over a resolved members
+    * frame — the batch query's exact row semantics (cross_modal_check).
+    */
+  private def xmElect(m: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wElect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("root"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    m.withColumn("nmem",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("root"))))
+      .filter(col("nmem") >= 2)
+      .withColumn("canon_id", first(col("doc_id")).over(wElect))
+      .withColumn("cph", first(col("ph")).over(wElect))
+      .filter(col("doc_id") =!= col("canon_id"))
+      .select(col("doc_id"), col("root").as("cluster_id"), col("canon_id"),
+        expr("CAST(bit_count(ph ^ cph) AS INT)").as("hamming"),
+        coalesce(expr("bit_count(ph ^ cph) <= 1"), lit(false))
+          .as("media_match"))
+  }
+
+  /** The cross-modal verdict READ VIEW at a bid bound: verdict rows are
+    * UPSERTS (a touched cluster re-emits every non-canonical member),
+    * so the view is each doc's newest row. A doc once emitted always
+    * has a current verdict — members never leave clusters, clusters
+    * only grow/merge, and a non-canonical doc can never become
+    * canonical (the merged cluster's canonical is one of the two old
+    * canonicals) — so upsert-latest needs no retirement leg.
+    */
+  private[graft] def crossModalVerdictsAt(
+      s: org.apache.spark.sql.SparkSession, stateDir: String,
+      bound: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    xmRead(s, s"$stateDir/verdicts", bound) match {
+      case None => Seq.empty[(Long, Long, Long, Option[Int], Boolean)]
+        .toDF("doc_id", "cluster_id", "canon_id", "hamming", "media_match")
+      case Some(v) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("bid").desc)
+        v.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+            col("hamming"), col("media_match"))
+    }
+  }
+
+  /** Current cross-modal verdicts (the stream's queryable output). */
+  def crossModalVerdicts(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): org.apache.spark.sql.DataFrame =
+    crossModalVerdictsAt(s, stateDir, Long.MaxValue)
+
   /** One micro-batch of the cross-modal union-find merge (factored out
     * so the spec can drive batches directly). See [[crossModalStream]].
+    *
+    * r17 layout (r16 verdict task 2 — the full-snapshot overwrite was
+    * the one measured state-linear term left, ~2.3 s/decade): the state
+    * is APPEND-ONLY deltas plus a compact remap table, so a batch
+    * WRITES only batch-proportional data:
+    *
+    *  - `members/bid=<id>`: this batch's docs, stored with their
+    *    ARRIVAL root — member rows are immutable forever;
+    *  - `buckets/bid=<id>`: only bucket keys NOT already in the store,
+    *    with their arrival root — bucket rows are immutable too;
+    *  - `remap/bid=<id>`: the (old_root → current_root) table, fully
+    *    rewritten each batch but MERGE-sized, not state-sized (one row
+    *    per root ever merged away; composition keeps it path-compressed
+    *    so reads resolve in ONE join);
+    *  - `verdicts/bid=<id>`: verdict rows ONLY for clusters this batch
+    *    touched (upserts — [[crossModalVerdictsAt]] is the view).
+    *
+    * State-sided work left per batch: columnar SCANS of the member
+    * and bucket views (the bucket (band,bkey) probe and the remap
+    * joins) — no state-sized WRITE. Every XmFoldEvery-th batch FOLDS
+    * the resolved state into its own bid (markers: `_folded`), which
+    * amortizes the old full rewrite to 1/64 of batches and bounds the
+    * delta fan-in. Replay safety is unchanged: batch `id` reads only
+    * bids < id (a crashed attempt's own torn dirs are invisible) and
+    * overwrites its own bid dirs; GC deletes only dirs superseded by a
+    * fold at or below the COMMITTED predecessor, so a replay always
+    * finds its full read chain.
     */
   private[graft] def mergeCrossModalSnapshot(
       batch: Dataset[org.apache.spark.sql.Row], stateDir: String,
-      id: Long): Unit = {
+      id: Long, foldEvery: Int = XmFoldEvery): Unit = {
     val s = batch.sparkSession
-    val prev = latestSnapshotId(s, stateDir, id)
-    val (pm, pb) = prev match {
-      case Some(p) => (s.read.parquet(s"$stateDir/bid=$p/members"),
-        s.read.parquet(s"$stateDir/bid=$p/buckets"))
-      case None =>
-        import s.implicits._
-        (Seq.empty[(Long, Long, Long, Option[Long])]
-          .toDF("doc_id", "root", "n_chars", "ph"),
-          Seq.empty[(Int, String, Long)].toDF("band", "bkey", "root"))
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val mSub = s"$stateDir/members"; val bSub = s"$stateDir/buckets"
+    val vSub = s"$stateDir/verdicts"; val rSub = s"$stateDir/remap"
+    // remap is written every batch, so it is the commit chain marker
+    val prev = latestSnapshotId(s, rSub, id)
+    val remapOld = prev match {
+      case Some(p) => s.read.parquet(s"$rSub/bid=$p")
+      case None => Seq.empty[(Long, Long)].toDF("old_root", "new_root")
     }
+    def resolve(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val others = df.columns.filter(_ != "root").toSeq
+      df.alias("x")
+        .join(remapOld.alias("r"), col("x.root") === col("r.old_root"), "left")
+        .select(others.map(c => col(s"x.$c")) :+
+          coalesce(col("r.new_root"), col("x.root")).as("root"): _*)
+    }
+    val membersOldRaw = xmRead(s, mSub, id)
+      .map(_.select(col("doc_id"), col("root"), col("n_chars"), col("ph")))
+      .getOrElse(Seq.empty[(Long, Long, Long, Option[Long])]
+        .toDF("doc_id", "root", "n_chars", "ph"))
+    val bucketsOldRaw = xmRead(s, bSub, id)
+      .map(_.select(col("band"), col("bkey"), col("root")))
+      .getOrElse(Seq.empty[(Int, String, Long)].toDF("band", "bkey", "root"))
+    val bucketsOld = resolve(bucketsOldRaw)
+
     val bdocs = batch
       .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n_chars"))
     val words = bdocs.select(col("doc_id"), col("n_chars"),
@@ -586,60 +717,101 @@ object EventStream {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
     val prevEdges = bStar
       .select(col("band"), col("bkey"), expr("element_at(ds, 1)").as("d1"))
-      .join(pb, Seq("band", "bkey"))
+      .join(bucketsOld, Seq("band", "bkey"))
       .select(col("d1"), col("root").as("d2"))
+      .localCheckpoint(false)
     val cc = graft.ops.Extended.ccOverEdges(
       batchEdges.unionByName(prevEdges)).localCheckpoint(false)
     val rootMap = cc
       .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
-    val members = pm.alias("m")
-      .join(rootMap, col("m.root") === col("old_root"), "left")
-      .select(col("m.doc_id"), coalesce(col("new_root"), col("m.root")).as("root"),
-        col("m.n_chars"), col("m.ph"))
-      .unionByName(
-        words.select(col("doc_id"), col("n_chars"))
-          .join(ph, Seq("doc_id"), "left")
-          .join(cc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("root"),
-            col("n_chars"), col("ph")))
-    val buckets = pb.alias("b")
-      .join(rootMap, col("b.root") === col("old_root"), "left")
-      .select(col("b.band"), col("b.bkey"),
-        coalesce(col("new_root"), col("b.root")).as("root"))
-      .unionByName(
-        bStar.select(col("band"), col("bkey"),
-            expr("element_at(ds, 1)").as("doc_id"))
-          .join(cc, Seq("doc_id"), "left")
-          .select(col("band"), col("bkey"),
-            coalesce(col("cluster_id"), col("doc_id")).as("root")))
-      .groupBy(col("band"), col("bkey")).agg(min(col("root")).as("root"))
-    members.write.mode("overwrite").parquet(s"$stateDir/bid=$id/members")
-    buckets.write.mode("overwrite").parquet(s"$stateDir/bid=$id/buckets")
-    val mFin = s.read.parquet(s"$stateDir/bid=$id/members")
-    val wElect = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("root"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    mFin
-      .withColumn("nmem",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("root"))))
-      .filter(col("nmem") >= 2)
-      .withColumn("canon_id", first(col("doc_id")).over(wElect))
-      .withColumn("cph", first(col("ph")).over(wElect))
-      .filter(col("doc_id") =!= col("canon_id"))
-      .select(col("doc_id"), col("root").as("cluster_id"), col("canon_id"),
-        expr("CAST(bit_count(ph ^ cph) AS INT)").as("hamming"),
-        coalesce(expr("bit_count(ph ^ cph) <= 1"), lit(false))
-          .as("media_match"))
-      .write.mode("overwrite").parquet(s"$stateDir/bid=$id/verdicts")
+
+    // remap: compose the old table through this batch's rootMap, then
+    // add entries for TOUCHED PRIOR ROOTS that moved (never for batch
+    // docs — their member rows are appended with the post-CC root
+    // directly, so adding them would grow the table corpus-sized)
+    val touchedPrior = prevEdges.select(col("d2").as("old_root")).distinct()
+    val remapDelta = rootMap
+      .join(touchedPrior, Seq("old_root"), "semi")
+      .filter(col("old_root") =!= col("new_root"))
+    val remapNew = remapOld.alias("o")
+      .join(rootMap.alias("m2"), col("o.new_root") === col("m2.old_root"), "left")
+      .select(col("o.old_root"),
+        coalesce(col("m2.new_root"), col("o.new_root")).as("new_root"))
+      .unionByName(remapDelta)
+      .localCheckpoint(false)
+
+    val newMembers = words.select(col("doc_id"), col("n_chars"))
+      .join(ph, Seq("doc_id"), "left")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("root"),
+        col("n_chars"), col("ph"))
+    val newBuckets = bStar
+      .select(col("band"), col("bkey"), expr("element_at(ds, 1)").as("doc_id"))
+      .join(bucketsOldRaw.select(col("band"), col("bkey")),
+        Seq("band", "bkey"), "left_anti")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("band"), col("bkey"),
+        coalesce(col("cluster_id"), col("doc_id")).as("root"))
+
+    val willFold = xmLiveBids(s, mSub, id).size + 1 >= foldEvery
+    if (!willFold) {
+      newMembers.write.mode("overwrite").parquet(s"$mSub/bid=$id")
+      newBuckets.write.mode("overwrite").parquet(s"$bSub/bid=$id")
+      // post-batch members of TOUCHED clusters only (read the written
+      // delta back — never recompute the batch phash for the verdicts)
+      val membersNow = resolve(membersOldRaw).alias("m")
+        .join(rootMap.alias("m3"), col("m.root") === col("m3.old_root"), "left")
+        .select(col("m.doc_id"),
+          coalesce(col("m3.new_root"), col("m.root")).as("root"),
+          col("m.n_chars"), col("m.ph"))
+        .unionByName(s.read.parquet(s"$mSub/bid=$id"))
+      val touchedRoots = remapDelta.select(col("new_root").as("root"))
+        .unionByName(s.read.parquet(s"$mSub/bid=$id").select(col("root")))
+        .distinct()
+      xmElect(membersNow.join(touchedRoots, Seq("root"), "semi"))
+        .write.mode("overwrite").parquet(s"$vSub/bid=$id")
+      remapNew.write.mode("overwrite").parquet(s"$rSub/bid=$id")
+    } else {
+      // FOLD: the resolved full state lands in THIS bid (markers make
+      // it supersede every earlier delta); remap resets to empty
+      resolve(membersOldRaw).alias("m")
+        .join(rootMap.alias("m3"), col("m.root") === col("m3.old_root"), "left")
+        .select(col("m.doc_id"),
+          coalesce(col("m3.new_root"), col("m.root")).as("root"),
+          col("m.n_chars"), col("m.ph"))
+        .unionByName(newMembers)
+        .write.mode("overwrite").parquet(s"$mSub/bid=$id")
+      bucketsOld.alias("b")
+        .join(rootMap.alias("m4"), col("b.root") === col("m4.old_root"), "left")
+        .select(col("b.band"), col("b.bkey"),
+          coalesce(col("m4.new_root"), col("b.root")).as("root"))
+        .unionByName(newBuckets)
+        .write.mode("overwrite").parquet(s"$bSub/bid=$id")
+      xmElect(s.read.parquet(s"$mSub/bid=$id"))
+        .write.mode("overwrite").parquet(s"$vSub/bid=$id")
+      Seq.empty[(Long, Long)].toDF("old_root", "new_root")
+        .write.mode("overwrite").parquet(s"$rSub/bid=$id")
+      Seq(mSub, bSub, vSub).foreach { sub =>
+        fs.create(new org.apache.hadoop.fs.Path(s"$sub/bid=$id/_folded"),
+          true).close()
+      }
+    }
+    // GC: a replay of THIS batch re-reads bids < id, whose chain starts
+    // at the newest fold ≤ prev — anything below that fold is
+    // superseded and safe to drop; remap needs only the predecessor.
     prev.foreach { p =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
-      snapshotIds(s, stateDir).filter(_ < p).foreach { old =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/bid=$old"), true)
+      Seq(mSub, bSub, vSub).foreach { sub =>
+        val folds = snapshotIds(s, sub).filter(i => i <= p && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$sub/bid=$i/_folded")))
+        folds.maxOption.foreach { f =>
+          snapshotIds(s, sub).filter(_ < f).foreach { old =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$sub/bid=$old"), true)
+          }
+        }
+      }
+      snapshotIds(s, rSub).filter(_ < p).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$rSub/bid=$old"), true)
       }
     }
   }

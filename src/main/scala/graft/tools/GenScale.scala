@@ -145,6 +145,19 @@ object GenScale {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
     require(factor >= 1)
+    // optional 4th arg: comma-separated table subset (fail loudly on
+    // unknown names — the round-14 harness rule). Lets a single-family
+    // probe (e.g. the 5M-doc phash occupancy run) upsample only the
+    // table it reads instead of a full 15 GB fixture set.
+    val knownTables =
+      Set("dims", "orders", "lineitem", "events", "documents", "embeddings")
+    val sel: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else knownTables
+    val unknownT = sel -- knownTables
+    require(unknownT.isEmpty,
+      s"unknown GenScale tables: ${unknownT.mkString(", ")} " +
+        s"(known: ${knownTables.mkString(", ")})")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-genscale")
@@ -161,24 +174,30 @@ object GenScale {
     }
 
     // dims: straight copies
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      write(Tables.table(spark, src, t), t, 1)
-    }
+    if (sel("dims"))
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        write(Tables.table(spark, src, t), t, 1)
+      }
 
     def replicate(df: DataFrame, build: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => build(df, i)).reduce(_.unionAll(_))
 
     // orders/lineitem: shift the order-key space per replica
-    val orders = Tables.orders(spark, src)
-    val keyBase = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-    write(replicate(orders, (d, i) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * keyBase))),
-      "orders", 8)
-    write(replicate(Tables.lineitem(spark, src), (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyBase))),
-      "lineitem", 16)
+    if (sel("orders") || sel("lineitem")) {
+      val orders = Tables.orders(spark, src)
+      val keyBase = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      if (sel("orders"))
+        write(replicate(orders, (d, i) =>
+          d.withColumn("o_orderkey", col("o_orderkey") + lit(i * keyBase))),
+          "orders", 8)
+      if (sel("lineitem"))
+        write(replicate(Tables.lineitem(spark, src), (d, i) =>
+          d.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyBase))),
+          "lineitem", 16)
+    }
 
     // events: new users per replica, same per-user history shape
+    if (sel("events")) {
     val events = Tables.events(spark, src)
     val evBase = events.agg(max(col("event_id"))).head().getLong(0) + 1
     val userBase = events.agg(max(col("user_id"))).head().getLong(0) + 1
@@ -186,8 +205,10 @@ object GenScale {
       d.withColumn("event_id", col("event_id") + lit(i * evBase))
         .withColumn("user_id", col("user_id") + lit(i * userBase))),
       "events", 8)
+    }
 
     // documents: per-replica vocabulary isomorphism (replica 0 verbatim)
+    if (sel("documents")) {
     val docs = Tables.documents(spark, src)
     val docBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     write(replicate(docs, (d, i) =>
@@ -197,13 +218,16 @@ object GenScale {
           transform(split(col("text"), " "), w => mapWord(w, i))))
         .withColumn("n_chars", length(col("text")))),
       "documents", 8)
+    }
 
     // embeddings: rotate dimensions by the replica index (isometry)
+    if (sel("embeddings")) {
     val emb = Tables.embeddings(spark, src)
     val vecBase = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     write(replicate(emb, (d, i) => embReplica(d, i, vecBase, dim)),
       "embeddings", 8)
+    }
 
     spark.stop()
     println(s"[genscale] done: $out (factor $factor)")

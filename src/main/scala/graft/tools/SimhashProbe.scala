@@ -165,14 +165,28 @@ object SimhashProbe {
     }
     if (args.contains("bits128")) {
       // FORCED third rung: the hash-material gate runs at a synthetic
-      // count just past Sim128N so the two top words materialize at
-      // probe scale — band-code occupancy at 32-bit bands is what this
-      // row measures (add `idf` to reproduce the rejected weighted run).
-      val forced = spark.range(1)
-        .select(lit(Extended.Sim128N + 1).as("nd"))
-      val sims128 = Extended.simhashSigs(spark, sfDir, 128, Some(forced),
-        idf = idf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // count just past the family's rung threshold so the wide words
+      // materialize at probe scale — band-code occupancy at 32-bit
+      // bands is what this row measures. In phash mode (r16 task 4)
+      // the second word is the gated plane-2 aHash|dHash from
+      // Multimodal.phashOf and the gate is the phash-specific
+      // Phash128N; in text mode it is the salted-md5 pair behind
+      // Sim128N (add `idf` there to reproduce the rejected weighted
+      // run).
+      val sims128 = (if (phashMode) {
+        val forced = spark.range(1)
+          .select(lit(graft.ops.Multimodal.Phash128N + 1).as("nd"))
+        graft.ops.Multimodal.phashOf(
+            graft.ops.Multimodal.media(spark, sfDir)
+              .select(col("doc_id"), col("payload")),
+            Some(forced))
+          .select(col("doc_id"), col("ph64").as("simhash"),
+            col("ph64b").as("simhash2"))
+      } else {
+        val forced = spark.range(1)
+          .select(lit(Extended.Sim128N + 1).as("nd"))
+        Extended.simhashSigs(spark, sfDir, 128, Some(forced), idf = idf)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       occupancy128(sims128, 1000)
       val capped128 = pairCount(sims128, 128, 1000)
       val un128 = pairCount(sims128, 128, Int.MaxValue)

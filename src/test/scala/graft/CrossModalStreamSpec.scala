@@ -22,11 +22,8 @@ class CrossModalStreamSpec extends SparkSpec {
     graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
 
-  private def finalVerdicts(stateDir: String): DataFrame = {
-    val id = EventStream.latestSnapshotId(spark, stateDir, Long.MaxValue)
-      .getOrElse(fail(s"no snapshot in $stateDir"))
-    spark.read.parquet(s"$stateDir/bid=$id/verdicts")
-  }
+  private def finalVerdicts(stateDir: String): DataFrame =
+    EventStream.crossModalVerdicts(spark, stateDir)
 
   private def batchWant(dir: String) =
     graft.ops.Multimodal.crossModalCheck.fn(spark, dir)
@@ -106,14 +103,14 @@ class CrossModalStreamSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col => c}
     EventStream.mergeCrossModalSnapshot(
       Seq(docA, docB).toDF("doc_id", "text", "n_chars"), stateDir, 0L)
-    val after1 = spark.read.parquet(s"$stateDir/bid=0/verdicts")
+    val after1 = EventStream.crossModalVerdictsAt(spark, stateDir, 1L)
       .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
     // non-vacuity: the planted texts must actually have co-bucketed
     assert(after1.map(v => (v._1, v._3)) === Set((1L, 2L)),
       s"planted near-dups failed to cluster in batch 0: $after1")
     EventStream.mergeCrossModalSnapshot(
       Seq(docC).toDF("doc_id", "text", "n_chars"), stateDir, 1L)
-    val after2 = spark.read.parquet(s"$stateDir/bid=1/verdicts")
+    val after2 = EventStream.crossModalVerdictsAt(spark, stateDir, 2L)
       .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
     assert(after2.map(v => (v._1, v._3)) === Set((1L, 3L), (2L, 3L)),
       s"canonical not re-elected to the late-arriving longest doc: $after2")
