@@ -1841,7 +1841,7 @@ object Extended {
       .filter(col("bs.band") < col("nbands"))
   }
 
-  private[ops] def embScoredPairs(vs: DataFrame): DataFrame =
+  private[graft] def embScoredPairs(vs: DataFrame): DataFrame =
     embBanded(vs, payload = true)
       .select(col("bs.band").as("band"), col("bs.code").as("code"), col("m"))
       .groupBy(col("band"), col("code"))

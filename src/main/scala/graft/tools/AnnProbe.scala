@@ -46,8 +46,10 @@ object AnnProbe {
         val Array(_, src, out, factorS, plantS) = args.take(5)
         gen(spark, src, out, factorS.toInt, plantS.toInt)
       case "eval" => eval(spark, args(1))
+      case "evalstrict" => evalStrict(spark, args(1))
       case "recall" => recall(spark, args(1))
-      case other  => sys.error(s"AnnProbe: unknown mode $other (gen|eval|recall)")
+      case other  => sys.error(
+        s"AnnProbe: unknown mode $other (gen|eval|evalstrict|recall)")
     }
     spark.stop()
   }
@@ -112,6 +114,43 @@ object AnnProbe {
     println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"nb":${ladder.getInt(0)},""" +
       s""""nbands":${ladder.getInt(1)},"pairs":$nPairs,"secs":$secs,""" +
       s""""truth":$nTruth,"hit":$nHit,"recall":${nHit.toDouble / nTruth}}""")
+  }
+
+  /** PRODUCTION-CUT probe for the near-dup/semantic-dedup family (r16
+    * verdict task 5): the registered `embed_near_dup_strict` emits at
+    * 0.40 — the tightest cut the ISOTROPIC fixtures keep non-vacuous —
+    * and its sf10 output is chance-dominated (P(cos ≥ 0.4) = 4.8e-4 at
+    * 64 dims). This mode runs the SAME machinery (embScoredPairs — the
+    * banded in-bucket-scoring subplan every strict/semantic consumer
+    * shares) at a REAL production cut of 0.90 over a corpus with
+    * PLANTED cos ≈ 0.92 truth (`gen`'s partners): chance pairs at 0.9
+    * are probabilistically impossible (P ≈ 1e-24), so the output is
+    * exactly the surviving planted pairs — recall IS the banding's
+    * recall at the production operating point, and output size is
+    * linear in the planted count (scaled with the corpus across probe
+    * sizes, the replica-linear leg).
+    */
+  private def evalStrict(spark: SparkSession, out: String): Unit = {
+    val t0 = System.nanoTime()
+    val found = graft.ops.Extended.embScoredPairs(
+        graft.ops.Extended.vecs(spark, out))
+      .filter(col("cos6") >= 0.90)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = found.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val truth = spark.read.parquet(s"$out/planted.parquet")
+    val nTruth = truth.count()
+    val nHit = truth.join(found, Seq("d1", "d2"), "left_semi").count()
+    found.unpersist()
+    val nVecs = Tables.embeddings(spark, out).count()
+    val ladder = spark.sql(
+      s"SELECT ${graft.ops.Extended.nbLadder(nVecs.toString)} AS nb, " +
+        s"${graft.ops.Extended.nBandsLadder(nVecs.toString)} AS nbands")
+      .head()
+    println(s"""{"metric":"ann_probe_strict","n_vecs":$nVecs,"nb":${ladder.getInt(0)},""" +
+      s""""nbands":${ladder.getInt(1)},"pairs":$nPairs,"secs":$secs,""" +
+      s""""truth":$nTruth,"hit":$nHit,"recall":${nHit.toDouble / nTruth},""" +
+      s""""chance":${nPairs - nHit}}""")
   }
 
   /** CANDIDATE-recall probe for corpora where the full in-bucket-scoring

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * micro-batches (5 000 docs, then 500 docs) against it. Ran at both the
   * 10× (50k) and 100× (500k) fixtures, the comparison separates the
   * batch-proportional work (banding + CC over the contracted edge space)
-  * from the state-proportional work (the root-remap join scans the
-  * members/buckets snapshot, and the snapshot OVERWRITE rewrites all of
-  * it — the mergeAggSnapshot discipline's known full-rewrite shape).
+  * from the state-proportional work. Since r17 the state layout is
+  * append-only deltas + a compact remap table (the full members/buckets/
+  * verdicts OVERWRITE this probe measured at ~2.3 s/decade in r16 is
+  * gone — amortized into the 1/XmFoldEvery fold); the remaining
+  * state-sided terms are the columnar member/bucket view SCANS.
   *
   * Usage: runMain graft.tools.CrossModalProbe <sfDir>
   * Unrecognized extra args fail loudly (round-14 harness rule).

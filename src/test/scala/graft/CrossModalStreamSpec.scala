@@ -119,6 +119,49 @@ class CrossModalStreamSpec extends SparkSpec {
     assert(after2.map(_._2) === Set(1L), "cluster root must be the min id")
   }
 
+  test("FOLD: state folds into one bid; replay around the fold + GC keep parity") {
+    // r17 layout: the 3rd live delta triggers the fold (foldEvery=3
+    // here; XmFoldEvery=64 in production). The folding batch must
+    // supersede every earlier delta, a REPLAY of the folding batch must
+    // still find its pre-fold read chain (GC keys on the COMMITTED
+    // predecessor, never on the replayed batch's own fold), and the
+    // next batch's GC must then drop the superseded deltas.
+    val dir = sfDir
+    val stateDir = tmp("graft_xm_fold")
+    val docs = docsOf(dir)
+    val splits = (0L to 3L).map(b => docs.filter(col("doc_id") % 4 === b))
+    (0 to 2).foreach { i =>
+      EventStream.mergeCrossModalSnapshot(splits(i), stateDir, i.toLong,
+        foldEvery = 3)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def bids(sub: String): Set[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/$sub")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("bid="))
+        .map(_.stripPrefix("bid=").toLong).toSet
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$stateDir/members/bid=2/_folded")), "3rd batch did not fold")
+    val got3 = EventStream.crossModalVerdicts(spark, stateDir)
+      .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
+    // replay the FOLDING batch: pre-fold deltas (bids 0,1) must still be
+    // readable — GC never ran against the fold at an uncommitted bid
+    assert(bids("members").contains(0L) && bids("members").contains(1L),
+      "fold GC'd its own read chain before committing")
+    EventStream.mergeCrossModalSnapshot(splits(2), stateDir, 2L, foldEvery = 3)
+    val got3r = EventStream.crossModalVerdicts(spark, stateDir)
+      .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
+    assert(got3r === got3, "replaying the folding batch changed the view")
+    // batch 3 commits on top: its GC drops the superseded pre-fold deltas
+    EventStream.mergeCrossModalSnapshot(splits(3), stateDir, 3L, foldEvery = 3)
+    assert(bids("members") === Set(2L, 3L),
+      s"superseded deltas not GC'd after the fold committed: ${bids("members")}")
+    val gotAll = EventStream.crossModalVerdicts(spark, stateDir)
+      .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
+    assert(gotAll === batchWant(dir),
+      "post-fold stream diverged from the batch query on the full corpus")
+  }
+
   test("end-to-end stream wiring: file-per-trigger micro-batches") {
     val dir = sfDir
     val stage = tmp("graft_xm_src")
