@@ -715,11 +715,18 @@ object EventStream {
         "transform(slice(ds, 2, size(ds) - 1), " +
           "y -> struct(element_at(ds, 1) AS d1, y AS d2))")).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-    val prevEdges = bStar
-      .select(col("band"), col("bkey"), expr("element_at(ds, 1)").as("d1"))
+    // ONE bucket-store pass: the inner probe (broadcast batch side)
+    // yields both the star edges AND the matched-key set; the
+    // new-bucket anti then runs against the TINY matched set instead of
+    // the 20M-row store — the naive bStar-anti-bucketsOld shape
+    // SHUFFLES the whole store per batch (LeftAnti cannot broadcast its
+    // big right side), measured as the dominant term of the 5M-member
+    // probe's +8 s/decade before this fix.
+    val hits = broadcast(bStar
+        .select(col("band"), col("bkey"), expr("element_at(ds, 1)").as("d1")))
       .join(bucketsOld, Seq("band", "bkey"))
-      .select(col("d1"), col("root").as("d2"))
       .localCheckpoint(false)
+    val prevEdges = hits.select(col("d1"), col("root").as("d2"))
     val cc = graft.ops.Extended.ccOverEdges(
       batchEdges.unionByName(prevEdges)).localCheckpoint(false)
     val rootMap = cc
@@ -748,7 +755,7 @@ object EventStream {
         col("n_chars"), col("ph"))
     val newBuckets = bStar
       .select(col("band"), col("bkey"), expr("element_at(ds, 1)").as("doc_id"))
-      .join(bucketsOldRaw.select(col("band"), col("bkey")),
+      .join(broadcast(hits.select(col("band"), col("bkey"))),
         Seq("band", "bkey"), "left_anti")
       .join(cc, Seq("doc_id"), "left")
       .select(col("band"), col("bkey"),

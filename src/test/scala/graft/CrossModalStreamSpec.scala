@@ -162,6 +162,26 @@ class CrossModalStreamSpec extends SparkSpec {
       "post-fold stream diverged from the batch query on the full corpus")
   }
 
+  test("EMPTY micro-batch: merge is a no-op on the view, chain still advances") {
+    // Streams fire triggers with zero rows routinely; an empty batch
+    // must neither crash the contracted-CC merge (empty edge frame) nor
+    // disturb the view, and must still write its remap chain marker so
+    // replay bookkeeping sees the bid.
+    val stateDir = tmp("graft_xm_empty")
+    val docs = docsOf(sfDir)
+    EventStream.mergeCrossModalSnapshot(docs, stateDir, 0L)
+    val before = EventStream.crossModalVerdicts(spark, stateDir)
+      .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
+    EventStream.mergeCrossModalSnapshot(docs.filter(col("doc_id") < 0),
+      stateDir, 1L)
+    val after = EventStream.crossModalVerdicts(spark, stateDir)
+      .as[(Long, Long, Long, Option[Int], Boolean)].collect().toSet
+    assert(after === before, "empty batch changed the verdict view")
+    assert(EventStream.latestSnapshotId(spark, s"$stateDir/remap", 2L)
+      === Some(1L), "empty batch did not advance the remap chain")
+    assert(before === batchWant(sfDir))
+  }
+
   test("end-to-end stream wiring: file-per-trigger micro-batches") {
     val dir = sfDir
     val stage = tmp("graft_xm_src")
