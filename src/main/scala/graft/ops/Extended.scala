@@ -2437,10 +2437,22 @@ object Extended {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val probedBands = probe.map(_._1).distinct.toSeq
     val probedCodes = probe.map(_._2).distinct.toSeq
-    val cands = s.read.parquet(dir)
+    val hits = s.read.parquet(dir)
       .where(col("band").isin(probedBands: _*) &&
         col("code").isin(probedCodes: _*))
       .join(broadcast(qcodes), Seq("band", "code"))
+    // a GC-maintained store may carry uncompacted tombstones — the
+    // search masks them exactly as annStoreView does (keyed anti-join
+    // over the probed rows only — the between-compactions read path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val live = if (fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
+      hits.join(s.read.parquet(s"$dir/_tombstones")
+        .select(col("band"), col("vec_id")),
+        Seq("band", "vec_id"), "left_anti")
+    else hits
+    val cands = live
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
     val scored = cands
@@ -2660,6 +2672,55 @@ object Extended {
       ORDER BY stage, band, code, vec_id
     """),
     doc = "persisted ANN store deletions: tombstone masking + threshold GC == rebuild over survivors (independent oracle)")
+
+  /** The index life cycle's closing composition (round 17): SEARCH a
+    * store that carries uncompacted deletions — the read path a
+    * production index serves between compactions. Build the
+    * GC-maintained store, delete 10% of ids (tombstones only — the
+    * batch deliberately stays un-GC'd so the masked path, not the
+    * compacted one, answers the query), then run the store-backed
+    * search: the probed partitions/row groups are pruned exactly as in
+    * [[annStoreSearch]], and the tombstone mask anti-joins ONLY the
+    * probed rows (never a store pass). The ORACLE is an INDEPENDENT
+    * fresh search over the SURVIVING vectors at the ORIGINAL pinned
+    * layout — the hash match proves masked-store search ≡ search over
+    * a corpus the deletions never touched. (The fixed query batch is
+    * disjoint from the delete batch by construction: vec_id % 100 = 0
+    * implies % 10 = 0 ≠ 3.)
+    */
+  val annStoreSearchLive: QueryDef = QueryDef(
+    "ann_store_search_live",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "ann_live_store")
+      val all = vecs(s, d)
+      annGcStoreInit(s, all, dir)
+      annStoreDelete(s, all.filter(col("vec_id") % 10 === 3), dir)
+      annStoreSearchFrom(s, all, dir)
+    },
+    Some(s"""
+      WITH vsrc AS ($sqlVecs),
+      nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
+                     ${nBandsLadder("count(*)")} AS nbands FROM vsrc),
+      eb AS (SELECT vec_id, band, CAST(code AS BIGINT) AS code
+             FROM ($sqlEmbBandCodesRaw)
+             WHERE band < $AnnProbeTables AND vec_id % 10 <> 3),
+      qb AS (SELECT vec_id AS q_id, band, code FROM eb
+             WHERE vec_id % 100 = 0 AND vec_id <= 20000),
+      cand AS (SELECT DISTINCT q.q_id, e.vec_id AS nn_id
+               FROM qb q JOIN eb e
+                 ON e.band = q.band AND e.code = q.code AND e.vec_id <> q.q_id),
+      scored AS (
+        SELECT c.q_id, c.nn_id,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM cand c
+        JOIN vsrc a ON a.vec_id = c.q_id
+        JOIN vsrc b ON b.vec_id = c.nn_id),
+      r AS (SELECT q_id, nn_id, cos6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
+            FROM scored)
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """),
+    doc = "search the tombstoned store between compactions: masked probe == fresh search over survivors")
 
   /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
     * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
@@ -6926,7 +6987,7 @@ object Extended {
     docEntropy,
     cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
     embedNearDup, embedNearDupStrict, annStateAppend, annStoreSearch,
-    annStoreGcQ, paraphrasePairs,
+    annStoreGcQ, annStoreSearchLive, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,
