@@ -2443,14 +2443,16 @@ object Extended {
       .join(broadcast(qcodes), Seq("band", "code"))
     // a GC-maintained store may carry uncompacted tombstones — the
     // search masks them exactly as annStoreView does (keyed anti-join
-    // over the probed rows only — the between-compactions read path)
+    // over the probed rows only — the between-compactions read path;
+    // the key includes `code` so an upsert's fresh row outlives its
+    // tombstoned predecessor — see [[annStoreUpsert]])
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     val live = if (fs.exists(
         new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
       hits.join(s.read.parquet(s"$dir/_tombstones")
-        .select(col("band"), col("vec_id")),
-        Seq("band", "vec_id"), "left_anti")
+        .select(col("band"), col("vec_id"), col("code")),
+        Seq("band", "vec_id", "code"), "left_anti")
     else hits
     val cands = live
       .filter(col("vec_id") =!= col("q_id"))
@@ -2558,8 +2560,8 @@ object Extended {
       val survivors = s.read.parquet(dir)
         .where(col("band").isin(bands: _*))
         .join(tomb.filter(col("band").isin(bands: _*))
-          .select(col("band"), col("vec_id")),
-          Seq("band", "vec_id"), "left_anti")
+          .select(col("band"), col("vec_id"), col("code")),
+          Seq("band", "vec_id", "code"), "left_anti")
         .select(col("vec_id"), col("code"), col("band"))
       val staging = s"$dir/_staging"
       survivors.write.mode("overwrite").partitionBy("band").parquet(staging)
@@ -2583,8 +2585,13 @@ object Extended {
   }
 
   /** The store's LIVE read view: physical rows minus uncompacted
-    * tombstones (a (band, vec_id) anti-join against the sidecar — the
-    * masking a tombstoned index serves reads with between compactions).
+    * tombstones (a (band, vec_id, code) anti-join against the sidecar —
+    * the masking a tombstoned index serves reads with between
+    * compactions). The key carries `code` so an upsert's fresh row —
+    * same (band, vec_id), new code — outlives its tombstoned
+    * predecessor; for pure deletes the extra key column is inert
+    * (coding is deterministic at the pinned layout, so a delete
+    * tombstone's code always equals the stored row's).
     */
   private[graft] def annStoreView(s: SparkSession, dir: String): DataFrame = {
     val data = s.read.parquet(dir)
@@ -2593,8 +2600,11 @@ object Extended {
       s.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
       data.join(s.read.parquet(s"$dir/_tombstones")
-        .select(col("band"), col("vec_id")),
-        Seq("band", "vec_id"), "left_anti")
+        .select(col("band"), col("vec_id"), col("code")),
+        Seq("band", "vec_id", "code"), "left_anti")
+        // the using-join reorders columns to key order — restore the
+        // store's (band, code, vec_id) so both mask branches agree
+        .select(col("band"), col("code"), col("vec_id"))
     else data
   }
 
@@ -2721,6 +2731,102 @@ object Extended {
       SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
     """),
     doc = "search the tombstoned store between compactions: masked probe == fresh search over survivors")
+
+  /** Upsert a RE-EMBEDDING batch into the persisted store: the caller
+    * supplies the ids' OLD vectors (what the store indexed) and their
+    * NEW vectors; both are coded at the store's pinned `_layout`, and
+    * only (band, id) slots whose code actually CHANGED are touched —
+    * one tombstone for the old code, one appended row for the new. A
+    * re-embed that lands on the same code (including the common
+    * byte-identical re-embed) writes NOTHING, so upsert IO tracks the
+    * CHANGED-code count — never the batch's full band rows, never the
+    * store. The store never re-rungs (the append path's layout-pinning
+    * seam); `_stats` is bumped by the appended rows per band (collected
+    * first — ≤ nbands rows — before its own overwrite, the
+    * lazy-read-under-overwrite trap). Single-round contract: the caller
+    * owns the OLD vectors (a re-embedding job always does); chaining
+    * upserts of the same id requires feeding the previous round's NEW
+    * vectors back as old — the store itself never needs scanning.
+    */
+  private[graft] def annStoreUpsert(s: SparkSession, oldVecs: DataFrame,
+      newVecs: DataFrame, dir: String): Unit = {
+    val layout = s.read.parquet(s"$dir/_layout")
+    val oldC = embBandCodesPinned(oldVecs, layout)
+      .select(col("vec_id"), col("band").cast("int").as("band"),
+        col("code").cast("long").as("code_old"))
+    val newC = embBandCodesPinned(newVecs, layout)
+      .select(col("vec_id"), col("band").cast("int").as("band"),
+        col("code").cast("long").as("code_new"))
+    val changed = oldC.join(newC, Seq("vec_id", "band"))
+      .filter(col("code_old") =!= col("code_new"))
+      .localCheckpoint() // two sinks + the stats fold read it; batch-sized
+    changed.select(col("vec_id"), col("code_old").as("code"), col("band"))
+      .write.mode("append").parquet(s"$dir/_tombstones")
+    changed.select(col("vec_id"), col("code_new").as("code"), col("band"))
+      .write.mode("append").partitionBy("band").parquet(dir)
+    val appended = changed.groupBy(col("band")).agg(count(lit(1)).as("ap"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (appended.nonEmpty) {
+      import s.implicits._
+      val statRows = s.read.parquet(s"$dir/_stats").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      statRows.map { case (b, n) => (b, n + appended.getOrElse(b, 0L)) }
+        .toSeq.toDF("band", "nrows")
+        .write.mode("overwrite").parquet(s"$dir/_stats")
+    }
+  }
+
+  /** Persisted ANN store UPSERT — the re-embedding path that closes the
+    * store life cycle (append → search → delete/GC → live search →
+    * upsert): a production index receives re-embeddings whenever docs
+    * are re-processed or the embedding model revs, and must replace the
+    * ids' old postings without re-indexing the corpus. Mechanism in
+    * [[annStoreUpsert]]; the (band, vec_id, code) mask key lets the
+    * fresh row outlive its tombstoned predecessor (a plain
+    * (band, vec_id) key would mask BOTH — the upsert trap the key
+    * carries `code` for; for pure deletes the extra column is inert
+    * because coding is deterministic at the pinned layout). The batch
+    * mixes both real-world branches (fixture non-vacuity simulated in
+    * DuckDB BEFORE wiring, round-4 rule — changed/unchanged band rows
+    * 52/48, 52/48, 200/200 at the three SFs): ids % 40 == 5 re-embed to
+    * reverse(v) (an isometry; codes move), ids % 40 == 25 re-embed
+    * byte-identically (zero writes — the no-op re-embed an upsert must
+    * not bloat the store with). The per-band PARTIAL change (one id,
+    * one band moved) is fixture-absent — AnnGcSpec plants it by hand.
+    * The ORACLE is INDEPENDENT (the family's discipline): DuckDB
+    * rebuilds the store FROM SCRATCH over the FINAL vector set at the
+    * original pinned layout, so the hash match proves upsert ≡
+    * re-index. Eager sink round-trip (ScaleSpec `eager`); the layout
+    * one-row frame broadcast-crosses in (`intended`).
+    */
+  val annStoreUpsertQ: QueryDef = QueryDef(
+    "ann_store_upsert",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "ann_upsert_store")
+      val all = vecs(s, d)
+      annGcStoreInit(s, all, dir)
+      val batchOld = all.filter(col("vec_id") % 20 === 5)
+      val batchNew = batchOld
+        .withColumn("v", when(col("vec_id") % 40 === 5,
+          reverse(col("v"))).otherwise(col("v")))
+        .withColumn("nrm", sqrt(expr(sqlSparkDot("v", "v"))))
+      annStoreUpsert(s, batchOld, batchNew, dir)
+      annStoreView(s, dir)
+        .orderBy(col("band"), col("code"), col("vec_id"))
+    },
+    Some(s"""
+      WITH vraw AS ($sqlVecs),
+      nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
+                     ${nBandsLadder("count(*)")} AS nbands FROM vraw),
+      vsrc AS (SELECT vec_id,
+                      CASE WHEN vec_id % 40 = 5 THEN list_reverse(v) ELSE v END AS v,
+                      nrm FROM vraw)
+      SELECT CAST(band AS INTEGER) AS band, CAST(code AS BIGINT) AS code, vec_id
+      FROM ($sqlEmbBandCodesRaw)
+      WHERE band < (SELECT nbands FROM nbv)
+      ORDER BY band, code, vec_id
+    """),
+    doc = "persisted ANN store upsert: changed-code tombstone+append == re-index over final vectors (independent oracle)")
 
   /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
     * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
@@ -6987,7 +7093,7 @@ object Extended {
     docEntropy,
     cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
     embedNearDup, embedNearDupStrict, annStateAppend, annStoreSearch,
-    annStoreGcQ, annStoreSearchLive, paraphrasePairs,
+    annStoreGcQ, annStoreSearchLive, annStoreUpsertQ, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,

@@ -844,6 +844,118 @@ object EventStream {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  // ---- persisted ANN store maintenance, streaming twin (round 17) --------
+
+  /** Streaming twin of the persisted ANN store's maintenance ops
+    * (ops/Extended.scala: ann_state_append / ann_store_gc /
+    * ann_store_upsert): vector lifecycle events — add / delete /
+    * re-embed — arrive on a stream and fold into the index
+    * incrementally, so the store a search client reads is never more
+    * than one micro-batch stale. Events carry the vectors themselves
+    * (op = 'add': v; 'del': v = the STORED vector — the delete-time
+    * coding contract [[graft.ops.Extended.annStoreDelete]] already
+    * uses; 'ups': v_old + v), and every batch codes ONLY its events at
+    * the BASE store's pinned `_layout` — never a corpus pass, never a
+    * store re-rung. Upserts keep the batch path's changed-only
+    * discipline (identical-code re-embeds write nothing).
+    *
+    * The batch store's append path is NOT replay-safe (a replayed
+    * append doubles its rows), so the stream uses the
+    * [[idempotentParquetSink]] discipline instead: each batch
+    * OVERWRITES its own `adds/bid=<id>` and `tombs/bid=<id>` delta
+    * dirs. The read view ([[annStoreStreamView]]) unions base +
+    * add-deltas and masks tombstones TEMPORALLY — a tombstone kills
+    * only (band, vec_id, code) rows with bid ≤ its own — which the
+    * batch store's plain code-keyed mask cannot express: a delete
+    * followed by a RE-ADD at the same embedding (same code) must
+    * resurrect the row, and only the bid order separates those states.
+    * AnnStoreStreamSpec plants exactly that adversary, proves exact
+    * parity with a from-scratch coding of the net final vector set,
+    * and replays a batch to prove idempotence.
+    */
+  def annStoreMaintainStream(events: DataFrame, stateDir: String,
+      ckDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeAnnStoreBatch(batch, stateDir, id)
+      }
+      .start()
+
+  /** One micro-batch of the ANN store maintenance fold (factored out so
+    * the spec can drive and REPLAY batches directly). See
+    * [[annStoreMaintainStream]]. Delta writes repartition(1): a
+    * zero-event op still writes a schema-bearing part file, so the
+    * view's delta read never hits an unreadable empty dir.
+    */
+  private[graft] def mergeAnnStoreBatch(
+      batch: Dataset[org.apache.spark.sql.Row], stateDir: String,
+      id: Long): Unit = {
+    val s = batch.sparkSession
+    val layout = s.read.parquet(s"$stateDir/base/_layout")
+    def codesOf(vs: DataFrame): DataFrame =
+      graft.ops.Extended.embBandCodesPinned(vs, layout)
+        .select(col("vec_id"), col("code").cast("long").as("code"),
+          col("band").cast("int").as("band"))
+    val adds = codesOf(batch.filter(col("op") === "add")
+      .select(col("vec_id"), col("v")))
+    val dels = codesOf(batch.filter(col("op") === "del")
+      .select(col("vec_id"), col("v")))
+    val ups = batch.filter(col("op") === "ups")
+    val upsOld = codesOf(ups.select(col("vec_id"), col("v_old").as("v")))
+      .withColumnRenamed("code", "code_old")
+    val upsNew = codesOf(ups.select(col("vec_id"), col("v")))
+    val changed = upsOld.join(upsNew, Seq("vec_id", "band"))
+      .filter(col("code_old") =!= col("code"))
+      .localCheckpoint() // both delta sinks read it; batch-sized
+    adds.unionByName(changed.select(col("vec_id"), col("code"), col("band")))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$stateDir/adds/bid=$id")
+    dels.unionByName(
+        changed.select(col("vec_id"), col("code_old").as("code"), col("band")))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$stateDir/tombs/bid=$id")
+  }
+
+  /** The stream-maintained store's LIVE read view: base rows (bid −1)
+    * plus add-deltas, with temporal tombstone masking (see
+    * [[annStoreMaintainStream]]). The mask shuffles only
+    * (band, vec_id, code, bid) keys — never vectors.
+    */
+  def annStoreStreamView(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val base = s.read.parquet(s"$stateDir/base")
+      .select(col("band").cast("int").as("band"), col("code"),
+        col("vec_id"), lit(-1L).as("bid"))
+    def deltas(sub: String): Option[DataFrame] = {
+      val ids = snapshotIds(s, s"$stateDir/$sub")
+      if (ids.isEmpty) None
+      else Some(s.read.option("basePath", s"$stateDir/$sub")
+        .parquet(ids.map(i => s"$stateDir/$sub/bid=$i"): _*)
+        .select(col("band").cast("int").as("band"), col("code"),
+          col("vec_id"), col("bid").cast("long").as("bid")))
+    }
+    val phys = deltas("adds").map(base.unionByName(_)).getOrElse(base)
+    deltas("tombs") match {
+      case None => phys.select(col("band"), col("code"), col("vec_id"))
+      case Some(t) =>
+        val tmax = t.groupBy(col("band"), col("vec_id"), col("code"))
+          .agg(max(col("bid")).as("tbid"))
+        phys.join(tmax, Seq("band", "vec_id", "code"), "left")
+          .filter(col("tbid").isNull || col("bid") > col("tbid"))
+          .select(col("band"), col("code"), col("vec_id"))
+    }
+  }
+
+  /** One ANN-store lifecycle event (see [[annStoreMaintainStream]]):
+    * op ∈ add | del | ups; `v` is the (new) vector, `v_old` only rides
+    * on ups (the re-embedding's previous vector — what the store
+    * indexed; null otherwise).
+    */
+  final case class AnnEv(op: String, vec_id: Long, v: Seq[Double],
+    v_old: Seq[Double])
+
   // ---- custom state: mapGroupsWithState sessionization -------------------
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

@@ -122,6 +122,19 @@ object AnnStateProbe {
     }
     println(f"[ann-state-probe] compacting/tombstone-only GC ratio ${tD2 / tD1}%.2f " +
       "(deleted-fraction ratio 21.0)")
+    // r17 upsert row: a re-embedding batch must cost two batch codings
+    // plus changed-only writes — never a store pass. The batch picks
+    // GC-surviving ids (% 50 == 21 avoids both delete batches above);
+    // half re-embed to reverse(v) (codes move), half identically (zero
+    // writes), mirroring the registered ann_store_upsert mix.
+    val upOld = vecsAll.filter(col("vec_id") % 50 === 21)
+    val upNew = upOld.withColumn("v",
+      when(col("vec_id") % 100 === 21, reverse(col("v"))).otherwise(col("v")))
+    val tU = time("upsert 2% ids (half changed)") {
+      graft.ops.Extended.annStoreUpsert(spark, upOld, upNew, gcStore)
+    }
+    println(f"[ann-state-probe] upsert/small-append ratio ${tU / tS}%.2f " +
+      "(upsert codes its batch twice + changed-only writes + stats fold)")
     println(f"[ann-state-probe] xl/large append ratio ${tX / tL}%.2f " +
       s"(batch-size ratio ${corpus.count().toDouble / large.count()})")
     println(f"[ann-state-probe] large/small append ratio ${tL / tS}%.2f " +

@@ -100,4 +100,73 @@ class AnnGcSpec extends SparkSpec {
     assert(viewAfter.toSeq === viewBefore.toSeq,
       "partial compaction changed the read view")
   }
+
+  test("upsert writes ONLY changed codes; identical re-embeds leave the store untouched") {
+    val (all, dir, n, nbands) = freshStore("upsert")
+    val before = rawRows(dir)
+    val batchOld = all.filter(col("vec_id") % 20 === 5)
+    val batchNew = batchOld
+      .withColumn("v", when(col("vec_id") % 40 === 5,
+        reverse(col("v"))).otherwise(col("v")))
+    ops.Extended.annStoreUpsert(spark, batchOld, batchNew, dir)
+    val tombs = spark.read.parquet(s"$dir/_tombstones")
+    val changed = tombs.count()
+    assert(changed > 0, "upsert produced no changed codes (vacuous)")
+    // minimality: appended rows == tombstoned rows == changed codes only
+    assert(rawRows(dir) === before + changed,
+      "upsert appended more than the changed codes")
+    // the identical half of the batch (% 40 == 25) wrote NOTHING
+    assert(tombs.filter(col("vec_id") % 40 === 25).count() === 0,
+      "a byte-identical re-embed was tombstoned")
+    // the read view now equals a re-index over the FINAL vectors
+    val finalVecs = all
+      .withColumn("v", when(col("vec_id") % 40 === 5,
+        reverse(col("v"))).otherwise(col("v")))
+    val layout = spark.read.parquet(s"$dir/_layout")
+    val expect = ops.Extended.embBandCodesPinned(finalVecs, layout)
+      .select(col("band").cast("int").as("band"),
+        col("code").cast("long").as("code"), col("vec_id"))
+      .orderBy(col("band"), col("code"), col("vec_id")).collect()
+    val got = ops.Extended.annStoreView(spark, dir)
+      .orderBy(col("band"), col("code"), col("vec_id")).collect()
+    assert(got.toSeq === expect.toSeq, "upserted view != re-index over final vectors")
+    // stats followed the physical growth (the GC trigger stays honest)
+    val stats = spark.read.parquet(s"$dir/_stats")
+    assert(stats.agg(sum(col("nrows"))).head().getLong(0) === before + changed)
+  }
+
+  test("PLANTED per-band partial change: one band's slot moves, the others' rows are not touched") {
+    // fixture upserts flip all-or-none of an id's bands (reverse moves
+    // every band's code; identity moves none) — the per-band PARTIAL
+    // branch needs a planted vector. Band b's code reads coords
+    // 16b+1..16b+16 only (the generated sign/comparison pools), so a
+    // synthetic pair differing ONLY at coord 49 moves band 3 alone.
+    val dim = ops.Extended.vecs(spark, sfDir).select(size(col("v")))
+      .head().getInt(0)
+    assert(dim >= 64, s"fixture dim $dim < 64: the coord-49 plant needs 4 full bands")
+    val dir = new java.io.File("target/ann_gc_spec_plant").getAbsolutePath
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    import spark.implicits._
+    def vec(c49: Double) = (1 to dim).map(i => if (i == 49) c49 else 1.0).toArray
+    val oldV = Seq((99999983L, vec(1.0))).toDF("vec_id", "v")
+    val newV = Seq((99999983L, vec(-1.0))).toDF("vec_id", "v")
+    val corpus = ops.Extended.vecs(spark, sfDir)
+      .select(col("vec_id"), col("v"))
+      .unionByName(oldV)
+    ops.Extended.annGcStoreInit(spark, corpus, dir)
+    val before = rawRows(dir)
+    ops.Extended.annStoreUpsert(spark, oldV, newV, dir)
+    // exactly ONE slot moved: band 3's
+    val tombs = spark.read.parquet(s"$dir/_tombstones").collect()
+    assert(tombs.length === 1, s"expected 1 tombstone, got ${tombs.length}")
+    assert(tombs(0).getAs[Int]("band") === 3, "the moved slot was not band 3")
+    assert(rawRows(dir) === before + 1)
+    // view: the id still lives in all 4 bands, band 3 at the NEW code
+    val mine = ops.Extended.annStoreView(spark, dir)
+      .filter(col("vec_id") === 99999983L)
+      .orderBy(col("band")).collect()
+    assert(mine.length === 4, s"id lost a band slot: ${mine.length}")
+    val oldB3 = tombs(0).getAs[Long]("code")
+    assert(mine(3).getAs[Long]("code") !== oldB3, "band 3 still serves the old code")
+  }
 }

@@ -122,7 +122,7 @@ class ScaleSpec extends SparkSpec {
       // embedding near-dup banding — the scalar-subquery shape.
       "embed_near_dup", "embed_near_dup_strict", "ann_state_append",
       "ann_store_search", "ann_store_gc", "ann_store_search_live",
-      "paraphrase_pairs",
+      "ann_store_upsert", "paraphrase_pairs",
       "semantic_dedup", "curation_pipeline", "curation_funnel",
       // perplexity_interp/kneser_ney ride their one-row bigram-total /
       // bigram-type frames exactly like perplexity_unigram/bigram.
@@ -369,6 +369,8 @@ class ScaleSpec extends SparkSpec {
         "(band, vec_id) keyed anti-join; GC rewrites only trigger-crossing band partitions"),
       "ann_store_search_live" -> ("nbLadder pinned at the store's _layout version; probe-side " +
         "literals prune the scan; tombstone mask anti-joins only the probed rows"),
+      "ann_store_upsert" -> ("nbLadder pinned at the store's _layout version; only CHANGED " +
+        "(band, id) codes are written (tombstone old + append new); mask key carries code"),
       "paraphrase_pairs" -> "nbLadder (embCandidates consumer)",
       "semantic_dedup" -> "nbLadder (embCandidates consumer)",
       "semantic_decontaminate" -> "nbLadder (embCandidates consumer)",
@@ -434,7 +436,8 @@ class ScaleSpec extends SparkSpec {
       "schema_evolution_read", "schema_sniff_read", "xml_sink_roundtrip",
       "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
       "dedup_state_compact", "ann_state_append", "ann_store_search",
-      "ann_store_gc", "ann_store_search_live", "incremental_agg_maintain",
+      "ann_store_gc", "ann_store_search_live", "ann_store_upsert",
+      "incremental_agg_maintain",
       "grid_source_roundtrip",
       // bpeLoop truncates each round's lineage with a LAZY
       // localCheckpoint (the ccOverEdges discipline — without it
