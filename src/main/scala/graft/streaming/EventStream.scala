@@ -883,16 +883,31 @@ object EventStream {
       }
       .start()
 
+  /** Delta-dir budget for the ANN stream store: when a batch would be
+    * the AnnFoldEvery-th live add-delta, it FOLDS the resolved view
+    * into its own bid instead (the [[XmFoldEvery]] discipline) — the
+    * per-batch read fan-in stays bounded, and the state-sized rewrite
+    * amortizes to 1/AnnFoldEvery of batches.
+    */
+  private[graft] val AnnFoldEvery = 64
+
   /** One micro-batch of the ANN store maintenance fold (factored out so
     * the spec can drive and REPLAY batches directly). See
     * [[annStoreMaintainStream]]. Delta writes repartition(1): a
     * zero-event op still writes a schema-bearing part file, so the
-    * view's delta read never hits an unreadable empty dir.
+    * view's delta read never hits an unreadable empty dir (deltas are
+    * batch-sized; the FOLD write keeps natural partitioning — it is
+    * the state-sized rewrite the budget amortizes). GC runs against
+    * the newest fold at-or-below the PREDECESSOR bid: a replay of this
+    * batch re-reads only bids from that fold on, so everything older
+    * is superseded and safe to drop.
     */
   private[graft] def mergeAnnStoreBatch(
       batch: Dataset[org.apache.spark.sql.Row], stateDir: String,
-      id: Long): Unit = {
+      id: Long, foldEvery: Int = AnnFoldEvery): Unit = {
     val s = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
     val layout = s.read.parquet(s"$stateDir/base/_layout")
     def codesOf(vs: DataFrame): DataFrame =
       graft.ops.Extended.embBandCodesPinned(vs, layout)
@@ -909,35 +924,95 @@ object EventStream {
     val changed = upsOld.join(upsNew, Seq("vec_id", "band"))
       .filter(col("code_old") =!= col("code"))
       .localCheckpoint() // both delta sinks read it; batch-sized
-    adds.unionByName(changed.select(col("vec_id"), col("code"), col("band")))
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$stateDir/adds/bid=$id")
-    dels.unionByName(
-        changed.select(col("vec_id"), col("code_old").as("code"), col("band")))
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$stateDir/tombs/bid=$id")
+    val willFold =
+      xmLiveBids(s, s"$stateDir/adds", id).size + 1 >= foldEvery
+    if (!willFold) {
+      adds.unionByName(changed.select(col("vec_id"), col("code"), col("band")))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$stateDir/adds/bid=$id")
+      dels.unionByName(
+          changed.select(col("vec_id"), col("code_old").as("code"),
+            col("band")))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$stateDir/tombs/bid=$id")
+    } else {
+      // FOLD: resolve the pre-batch view (reads only bids < id — a
+      // crashed own write is never an input, so replaying the fold
+      // recomputes it bit-identically), apply this batch's net effect,
+      // land everything in THIS bid; the marker makes it supersede
+      // base and every earlier delta/tombstone.
+      val kill = dels.unionByName(
+        changed.select(col("vec_id"), col("code_old").as("code"),
+          col("band")))
+      annStoreStreamViewAt(s, stateDir, id)
+        .join(kill.select(col("band"), col("vec_id"), col("code")),
+          Seq("band", "vec_id", "code"), "left_anti")
+        .select(col("band"), col("code"), col("vec_id"))
+        .unionByName(adds.select(col("band"), col("code"), col("vec_id")))
+        .unionByName(changed.select(col("band"), col("code"), col("vec_id")))
+        .select(col("vec_id"), col("code"), col("band"))
+        .write.mode("overwrite").parquet(s"$stateDir/adds/bid=$id")
+      dels.limit(0).repartition(1)
+        .write.mode("overwrite").parquet(s"$stateDir/tombs/bid=$id")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$stateDir/adds/bid=$id/_folded"), true).close()
+    }
+    // GC, keyed on the committed predecessor's newest fold
+    snapshotIds(s, s"$stateDir/adds").filter(_ < id).maxOption.foreach { p =>
+      val folds = snapshotIds(s, s"$stateDir/adds").filter(i => i <= p &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$stateDir/adds/bid=$i/_folded")))
+      folds.maxOption.foreach { f =>
+        Seq("adds", "tombs").foreach { sub =>
+          snapshotIds(s, s"$stateDir/$sub").filter(_ < f).foreach { old =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$stateDir/$sub/bid=$old"), true)
+          }
+        }
+      }
+    }
   }
 
   /** The stream-maintained store's LIVE read view: base rows (bid −1)
-    * plus add-deltas, with temporal tombstone masking (see
+    * plus add-deltas from the newest FOLD on (a fold subsumes base and
+    * everything before it), with temporal tombstone masking (see
     * [[annStoreMaintainStream]]). The mask shuffles only
     * (band, vec_id, code, bid) keys — never vectors.
     */
   def annStoreStreamView(s: org.apache.spark.sql.SparkSession,
-      stateDir: String): DataFrame = {
-    val base = s.read.parquet(s"$stateDir/base")
-      .select(col("band").cast("int").as("band"), col("code"),
-        col("vec_id"), lit(-1L).as("bid"))
-    def deltas(sub: String): Option[DataFrame] = {
-      val ids = snapshotIds(s, s"$stateDir/$sub")
+      stateDir: String): DataFrame =
+    annStoreStreamViewAt(s, stateDir, Long.MaxValue)
+
+  /** The view at a bid bound (exclusive) — the fold computation reads
+    * its own predecessor state through this with bound = its bid.
+    */
+  private[graft] def annStoreStreamViewAt(
+      s: org.apache.spark.sql.SparkSession, stateDir: String,
+      bound: Long): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val addSub = s"$stateDir/adds"
+    val tombSub = s"$stateDir/tombs"
+    val addIds0 = snapshotIds(s, addSub).filter(_ < bound).sorted
+    val foldOpt = addIds0.filter(i => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$addSub/bid=$i/_folded"))).maxOption
+    val addIds = foldOpt.map(f => addIds0.filter(_ >= f)).getOrElse(addIds0)
+    def rd(sub: String, ids: Seq[Long]): Option[DataFrame] =
       if (ids.isEmpty) None
-      else Some(s.read.option("basePath", s"$stateDir/$sub")
-        .parquet(ids.map(i => s"$stateDir/$sub/bid=$i"): _*)
+      else Some(s.read.option("basePath", sub)
+        .parquet(ids.map(i => s"$sub/bid=$i"): _*)
         .select(col("band").cast("int").as("band"), col("code"),
           col("vec_id"), col("bid").cast("long").as("bid")))
-    }
-    val phys = deltas("adds").map(base.unionByName(_)).getOrElse(base)
-    deltas("tombs") match {
+    val baseOpt =
+      if (foldOpt.isDefined) None
+      else Some(s.read.parquet(s"$stateDir/base")
+        .select(col("band").cast("int").as("band"), col("code"),
+          col("vec_id"), lit(-1L).as("bid")))
+    val phys = (baseOpt.toSeq ++ rd(addSub, addIds).toSeq)
+      .reduce(_ unionByName _)
+    val tombIds = snapshotIds(s, tombSub).filter(_ < bound).sorted
+      .filter(i => foldOpt.forall(i >= _))
+    rd(tombSub, tombIds) match {
       case None => phys.select(col("band"), col("code"), col("vec_id"))
       case Some(t) =>
         val tmax = t.groupBy(col("band"), col("vec_id"), col("code"))

@@ -99,4 +99,79 @@ class AnnStoreStreamSpec extends SparkSpec {
     assert(canon(EventStream.annStoreStreamView(spark, dir)) === expect,
       "replaying a batch changed the view")
   }
+
+  test("fold at foldEvery=3: deltas collapse, GC after the next batch, replay around the fold") {
+    val dir = new java.io.File("target/ann_stream_fold_spec").getAbsolutePath
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+
+    val all = ops.Extended.vecs(spark, sfDir).select(col("vec_id"), col("v"))
+    val corpus = all.filter(col("vec_id") % 10 < 8)
+    ops.Extended.embBandCodesPinned(corpus, ops.Extended.embLayoutOf(corpus))
+      .select(col("vec_id"), col("code").cast("long").as("code"), col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/base")
+    ops.Extended.embLayoutOf(corpus)
+      .write.mode("overwrite").parquet(s"$dir/base/_layout")
+
+    val vmap = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def ev(op: String, id: Long, v: Seq[Double], vOld: Seq[Double] = null) =
+      AnnEv(op, id, v, vOld)
+    val delIds = vmap.keys.filter(i => i % 100 == 7 && i % 10 < 8).toSeq.sorted
+    val upsIds = vmap.keys.filter(_ % 100 == 11).toSeq.sorted
+    val resId = delIds.min
+    // b0 adds %10==8; b1 dels+ups; b2 adds %10==9 (the 3rd live delta → FOLD);
+    // b3 re-adds resId verbatim (resurrection THROUGH the fold)
+    val b0 = vmap.keys.filter(_ % 10 == 8).toSeq.sorted
+      .map(i => ev("add", i, vmap(i)))
+    val b1 = delIds.map(i => ev("del", i, vmap(i))) ++
+      upsIds.map(i => ev("ups", i, vmap(i).reverse, vmap(i)))
+    val b2 = vmap.keys.filter(_ % 10 == 9).toSeq.sorted
+      .map(i => ev("add", i, vmap(i)))
+    val b3 = Seq(ev("add", resId, vmap(resId)))
+
+    def fold3(b: Seq[AnnEv], id: Long) =
+      EventStream.mergeAnnStoreBatch(b.toDF(), dir, id, foldEvery = 3)
+    fold3(b0, 0L); fold3(b1, 1L); fold3(b2, 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/adds/bid=2/_folded")),
+      "3rd live delta did not fold")
+
+    val layout = spark.read.parquet(s"$dir/base/_layout")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("band").cast("int").as("band"),
+        col("code").cast("long").as("code"), col("vec_id"))
+      .orderBy(col("band"), col("code"), col("vec_id")).collect().toSeq
+    // net set: corpus + b0/b2 adds = ALL fixture ids, minus
+    // unresurrected deletes, with the upserts' reversal applied
+    def netAt(withRes: Boolean) = canon(ops.Extended.embBandCodesPinned(
+      all.filter(!(col("vec_id") % 100 === 7 && col("vec_id") % 10 < 8) ||
+          (if (withRes) col("vec_id") === resId else lit(false)))
+        .withColumn("v", when(col("vec_id") % 100 === 11,
+          reverse(col("v"))).otherwise(col("v"))), layout))
+    // parity at the fold (pre-resurrection)
+    assert(canon(EventStream.annStoreStreamView(spark, dir)) === netAt(false),
+      "folded view != net rebuild")
+    // replay the FOLD batch itself (crash-before-commit at the fold)
+    fold3(b2, 2L)
+    assert(canon(EventStream.annStoreStreamView(spark, dir)) === netAt(false),
+      "replaying the fold changed the view")
+    // pre-fold deltas survive until a LATER batch commits (its replay
+    // still needs them), then b3's GC drops them
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/adds/bid=0")))
+    fold3(b3, 3L)
+    Seq("adds", "tombs").foreach { sub =>
+      Seq(0, 1).foreach { old =>
+        assert(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/$sub/bid=$old")),
+          s"$sub/bid=$old not GC'd after the post-fold batch")
+      }
+    }
+    // resurrection THROUGH the fold: the bid-1 tombstone was resolved
+    // into the fold, so the verbatim re-add (same code) is served
+    assert(canon(EventStream.annStoreStreamView(spark, dir)) === netAt(true),
+      "post-fold view != net rebuild with resurrection")
+    // replay the post-fold batch: GC no-ops, view bit-identical
+    fold3(b3, 3L)
+    assert(canon(EventStream.annStoreStreamView(spark, dir)) === netAt(true),
+      "replaying the post-fold batch changed the view")
+  }
 }
