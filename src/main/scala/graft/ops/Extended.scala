@@ -2421,17 +2421,31 @@ object Extended {
   /** The search leg of [[annStoreSearch]], against an already-written
     * store at `dir` (factored out so AnnStateProbe can time search alone,
     * store build excluded). EAGER: collects the probe list (bounded by
-    * the fixed query batch — see the query scaladoc).
+    * the fixed query batch — see the query scaladoc). With
+    * `flipBits = n > 0` each query probes, per band, its own bucket
+    * plus every bucket one base-sign-bit away (1 + n probes — the
+    * multi-probe recall knob, [[annMultiprobeTopK]]'s exact
+    * perturbation set applied to the STORE path; probe-list size stays
+    * query-batch-bounded, ≤ (1+n)× the exact list).
     */
   private[graft] def annStoreSearchFrom(s: SparkSession, all: DataFrame,
-      dir: String): DataFrame = {
+      dir: String, flipBits: Int = 0): DataFrame = {
     val layout = s.read.parquet(s"$dir/_layout")
-    val qcodes = embBandCodesPinned(
+    val qraw = embBandCodesPinned(
         all.filter(col("vec_id") % 100 === 0 && col("vec_id") <= 20000),
         layout)
       .filter(col("band") < AnnProbeTables)
       .select(col("vec_id").as("q_id"), col("band"),
         col("code").cast("long").as("code"))
+    val qcodes =
+      if (flipBits == 0) qraw
+      else {
+        val flips = (Seq(0L) ++ (0 until flipBits).map(1L << _))
+          .mkString(", ")
+        qraw.select(col("q_id"), col("band"),
+          explode(expr(s"transform(array($flips), f -> code ^ f)"))
+            .as("code"))
+      }
     // the probe list: bounded by the fixed query batch (see scaladoc)
     val probe = qcodes.select(col("band"), col("code")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
@@ -2827,6 +2841,60 @@ object Extended {
       ORDER BY band, code, vec_id
     """),
     doc = "persisted ANN store upsert: changed-code tombstone+append == re-index over final vectors (independent oracle)")
+
+  /** Store-backed MULTI-PROBE search — the recall knob the corpus-coded
+    * path has ([[annMultiprobeTopK]], Lv et al. VLDB'07) brought to the
+    * persisted index: each query probes, per hash table, its own bucket
+    * plus every bucket whose code differs in ONE base sign bit (1 +
+    * EmbBits probes; for sign-LSH the 1-bit flip IS the adjacent
+    * bucket — the perturbation set is exact, no probe scoring). On a
+    * store this is the production trade: recall bought per PROBE — the
+    * probe list grows 9×, still query-batch-bounded and shipped as scan
+    * literals into the same partition-pruned, row-group-skipped read —
+    * never per hash table (each extra table is another full index copy)
+    * and never per corpus pass. At rungs above the fixture floor the
+    * code carries comparison-extension bits; the flips stay on the
+    * EmbBits base sign bits (the adjacent sign-buckets within the same
+    * extension shell), so the probe count is rung-independent. Fixture
+    * non-vacuity simulated in DuckDB before wiring (round-4 rule): vs
+    * exact store search, rows 14→25 / 20→25 / 100→100-with-different-
+    * ranks at the three SFs — the flips visibly recruit candidates.
+    * The ORACLE recomputes the multi-probe search from base tables (no
+    * store), proving store-backed ≡ fresh at the expanded probe set.
+    */
+  val annStoreSearchMp: QueryDef = QueryDef(
+    "ann_store_search_mp",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "ann_mp_store")
+      val all = vecs(s, d)
+      annSearchStoreWrite(s, all, dir)
+      annStoreSearchFrom(s, all, dir, flipBits = EmbBits)
+    },
+    Some(s"""
+      WITH vsrc AS ($sqlVecs),
+      nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
+                     ${nBandsLadder("count(*)")} AS nbands FROM vsrc),
+      eb AS (SELECT vec_id, band, CAST(code AS BIGINT) AS code
+             FROM ($sqlEmbBandCodesRaw) WHERE band < $AnnProbeTables),
+      qb AS (SELECT DISTINCT vec_id AS q_id, band, xor(code, f.f) AS code
+             FROM eb,
+             (SELECT unnest([${(Seq(0) ++ (0 until EmbBits).map(1 << _)).mkString(", ")}]) AS f) f
+             WHERE vec_id % 100 = 0 AND vec_id <= 20000),
+      cand AS (SELECT DISTINCT q.q_id, e.vec_id AS nn_id
+               FROM qb q JOIN eb e
+                 ON e.band = q.band AND e.code = q.code AND e.vec_id <> q.q_id),
+      scored AS (
+        SELECT c.q_id, c.nn_id,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM cand c
+        JOIN vsrc a ON a.vec_id = c.q_id
+        JOIN vsrc b ON b.vec_id = c.nn_id),
+      r AS (SELECT q_id, nn_id, cos6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
+            FROM scored)
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """),
+    doc = "multi-probe search FROM the persisted store: 1-bit-flip probe expansion, same pruned scan (independent fresh oracle)")
 
   /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
     * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
@@ -7093,7 +7161,8 @@ object Extended {
     docEntropy,
     cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
     embedNearDup, embedNearDupStrict, annStateAppend, annStoreSearch,
-    annStoreGcQ, annStoreSearchLive, annStoreUpsertQ, paraphrasePairs,
+    annStoreGcQ, annStoreSearchLive, annStoreUpsertQ, annStoreSearchMp,
+    paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,
