@@ -102,6 +102,26 @@ object AnnStateProbe {
     }
     println(f"[ann-state-probe] search/build ratio ${tQ / tB}%.2f " +
       "(a fresh-recode search pays ~the build row per query batch)")
+    // r17 multi-probe rows: recall@5 vs brute-force truth for the exact
+    // vs the 1-bit-flip probe set — the "recall bought per probe" knob,
+    // measured on the SAME store (probe list 9×, zero extra tables).
+    val brute = graft.ops.Extended.cosineTopKAt(spark, dir, 5)
+      .select(col("q_id"), col("nn_id")).localCheckpoint()
+    val nTruth = brute.count().toDouble
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      res.select(col("q_id"), col("nn_id"))
+        .join(brute, Seq("q_id", "nn_id"), "semi").count() / nTruth
+    val rEx = recallOf(
+      graft.ops.Extended.annStoreSearchFrom(spark, vecsAll, searchStore))
+    val tMp = time("store search, multi-probe (9x list)") {
+      println(s"[ann-state-probe]   mp top-5 rows=${
+        graft.ops.Extended.annStoreSearchFrom(spark, vecsAll, searchStore,
+          flipBits = graft.ops.Extended.EmbBits).count()}")
+    }
+    val rMp = recallOf(graft.ops.Extended.annStoreSearchFrom(
+      spark, vecsAll, searchStore, flipBits = graft.ops.Extended.EmbBits))
+    println(f"[ann-state-probe] recall@5 exact ${rEx}%.3f -> multi-probe ${rMp}%.3f " +
+      f"(mp/exact search time ${tMp / tQ}%.2f)")
     // r16 verdict task 3 — the GC rows: delete cost must track the
     // DELETED FRACTION. A below-trigger batch pays only the tombstone
     // append (batch-proportional, no data rewrite); the compacting batch
