@@ -2896,6 +2896,128 @@ object Extended {
     """),
     doc = "multi-probe search FROM the persisted store: 1-bit-flip probe expansion, same pruned scan (independent fresh oracle)")
 
+  /** SEARCH over the STREAM-maintained store — the consumer the
+    * streaming twin was missing (the same gap class r16 flagged for the
+    * batch store): build the base index over the corpus rung
+    * (vec_id % 10 < 8, pinned layout), drive TWO maintenance
+    * micro-batches through
+    * [[graft.streaming.EventStream.mergeAnnStoreBatch]] — batch 0 adds
+    * the % 10 == 8 ids, deletes the corpus's % 10 == 7 ids, and
+    * re-embeds % 100 == 11 to reverse(v); batch 1 adds the % 10 == 9
+    * ids and RE-ADDS the smallest deleted id verbatim (the
+    * resurrection only the temporal mask serves) — then answer the
+    * fixed ANN query batch from the stream view: probe codes collected
+    * (query-batch-bounded, the X1 class), the view filtered to the
+    * probed bands/codes (band-partition pruning on the base store; the
+    * temporal mask ships only keys), scoring against the NET vector
+    * set. Fixture non-vacuity simulated in DuckDB BEFORE wiring
+    * (round-4 rule): 7/6/46 of the top-5 rows differ from a
+    * no-maintenance search at the three SFs — deleted ids vacate
+    * 2/2/17 slots, added ids fill 3/5/25. The ORACLE is an INDEPENDENT
+    * fresh search over the net final vectors at the corpus-pinned
+    * layout, so the hash match proves two micro-batches of stream
+    * maintenance ≡ re-index + search. Driver-coordinated sink
+    * round-trip (ScaleSpec `eager`); the layout one-row frame
+    * broadcast-crosses in (`intended`).
+    */
+  val annStreamSearch: QueryDef = QueryDef(
+    "ann_stream_search",
+    (s, d) => {
+      val dir = graft.pipeline.Climate.sinkDir(d, "ann_stream_store")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val all = vecs(s, d)
+      val corpus = all.filter(col("vec_id") % 10 < 8)
+      embBandCodesPinned(corpus, embLayoutOf(corpus))
+        .select(col("vec_id"), col("code").cast("long").as("code"),
+          col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$dir/base")
+      embLayoutOf(corpus)
+        .write.mode("overwrite").parquet(s"$dir/base/_layout")
+      val nullV = lit(null).cast("array<double>")
+      def evs(src: DataFrame, op: String, newV: Column,
+          oldV: Column): DataFrame =
+        src.select(lit(op).as("op"), col("vec_id"), newV.as("v"),
+          oldV.as("v_old"))
+      val resId = corpus.filter(col("vec_id") % 10 === 7)
+        .agg(min(col("vec_id"))).head().getLong(0)
+      val b0 = evs(all.filter(col("vec_id") % 10 === 8), "add",
+          col("v"), nullV)
+        .unionByName(evs(corpus.filter(col("vec_id") % 10 === 7), "del",
+          col("v"), nullV))
+        .unionByName(evs(all.filter(col("vec_id") % 100 === 11), "ups",
+          reverse(col("v")), col("v")))
+      val b1 = evs(all.filter(col("vec_id") % 10 === 9 ||
+        col("vec_id") === resId), "add", col("v"), nullV)
+      graft.streaming.EventStream.mergeAnnStoreBatch(b0, dir, 0L)
+      graft.streaming.EventStream.mergeAnnStoreBatch(b1, dir, 1L)
+      // the NET vector set — what the maintained store now indexes
+      val finalVecs = all
+        .filter(col("vec_id") % 10 =!= 7 || col("vec_id") === resId)
+        .withColumn("v", when(col("vec_id") % 100 === 11,
+          reverse(col("v"))).otherwise(col("v")))
+        .withColumn("nrm", sqrt(expr(sqlSparkDot("v", "v"))))
+      val layout = s.read.parquet(s"$dir/base/_layout")
+      val qcodes = embBandCodesPinned(
+          finalVecs.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") <= 20000), layout)
+        .filter(col("band") < AnnProbeTables)
+        .select(col("vec_id").as("q_id"), col("band"),
+          col("code").cast("long").as("code"))
+      val probe = qcodes.select(col("band"), col("code")).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val hits = graft.streaming.EventStream.annStoreStreamView(s, dir)
+        .where(col("band").isin(probe.map(_._1).distinct.toSeq: _*) &&
+          col("code").isin(probe.map(_._2).distinct.toSeq: _*))
+        .join(broadcast(qcodes), Seq("band", "code"))
+      val cands = hits.filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")).distinct()
+      val scored = cands
+        .join(finalVecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")).hint("shuffle_hash"), Seq("q_id"))
+        .join(finalVecs.hint("shuffle_hash"), Seq("vec_id"))
+        .withColumn("cos6",
+          Text.hround(expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")),
+            6))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos6"),
+          col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""
+      WITH vraw AS ($sqlVecs),
+      nbv AS (SELECT ${nbLadder("count(*)")} AS nb,
+                     ${nBandsLadder("count(*)")} AS nbands
+              FROM vraw WHERE vec_id % 10 < 8),
+      resv AS (SELECT min(vec_id) AS rid FROM vraw WHERE vec_id % 10 = 7),
+      vsrc AS (SELECT vec_id,
+                      CASE WHEN vec_id % 100 = 11 THEN list_reverse(v) ELSE v END AS v,
+                      nrm FROM vraw
+               WHERE vec_id % 10 <> 7 OR vec_id = (SELECT rid FROM resv)),
+      eb AS (SELECT vec_id, band, CAST(code AS BIGINT) AS code
+             FROM ($sqlEmbBandCodesRaw) WHERE band < $AnnProbeTables),
+      qb AS (SELECT vec_id AS q_id, band, code FROM eb
+             WHERE vec_id % 100 = 0 AND vec_id <= 20000),
+      cand AS (SELECT DISTINCT q.q_id, e.vec_id AS nn_id
+               FROM qb q JOIN eb e
+                 ON e.band = q.band AND e.code = q.code AND e.vec_id <> q.q_id),
+      scored AS (
+        SELECT c.q_id, c.nn_id,
+               ${Text.sqlHround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos6
+        FROM cand c
+        JOIN vsrc a ON a.vec_id = c.q_id
+        JOIN vsrc b ON b.vec_id = c.nn_id),
+      r AS (SELECT q_id, nn_id, cos6,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, nn_id) AS rn
+            FROM scored)
+      SELECT q_id, nn_id, cos6, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5 ORDER BY q_id, rn
+    """),
+    doc = "search the STREAM-maintained store after two maintenance batches: view search == re-index + fresh search over the net vectors")
+
   /** Paraphrase detection — the dedup class LEXICAL near-dup cannot see:
     * pairs whose embeddings are close (cosine ≥ 0.35 over the banded
     * sign-LSH candidates — embed_near_dup's verified subplan) but whose
@@ -7162,7 +7284,7 @@ object Extended {
     cosineTopK, annLsh, hardNegativeMine, annIvf, annMultiprobe,
     embedNearDup, embedNearDupStrict, annStateAppend, annStoreSearch,
     annStoreGcQ, annStoreSearchLive, annStoreUpsertQ, annStoreSearchMp,
-    paraphrasePairs,
+    annStreamSearch, paraphrasePairs,
     semanticDedup, annRecall, annNdcg, annRecall20,
     textNormalize, topTerms, invertedIndex,
     tokenStats, langId, qualityScore, gopherRules, fingerprint, piiScrub,

@@ -122,7 +122,8 @@ class ScaleSpec extends SparkSpec {
       // embedding near-dup banding — the scalar-subquery shape.
       "embed_near_dup", "embed_near_dup_strict", "ann_state_append",
       "ann_store_search", "ann_store_gc", "ann_store_search_live",
-      "ann_store_upsert", "ann_store_search_mp", "paraphrase_pairs",
+      "ann_store_upsert", "ann_store_search_mp", "ann_stream_search",
+      "paraphrase_pairs",
       "semantic_dedup", "curation_pipeline", "curation_funnel",
       // perplexity_interp/kneser_ney ride their one-row bigram-total /
       // bigram-type frames exactly like perplexity_unigram/bigram.
@@ -373,6 +374,8 @@ class ScaleSpec extends SparkSpec {
         "(band, id) codes are written (tombstone old + append new); mask key carries code"),
       "ann_store_search_mp" -> ("nbLadder pinned at the store's _layout version; probe list " +
         "grows (1+EmbBits)x per query, still query-batch-bounded scan literals"),
+      "ann_stream_search" -> ("nbLadder pinned at the stream store's base _layout; maintenance " +
+        "batches code only their events; view mask ships keys; probe literals prune the base"),
       "paraphrase_pairs" -> "nbLadder (embCandidates consumer)",
       "semantic_dedup" -> "nbLadder (embCandidates consumer)",
       "semantic_decontaminate" -> "nbLadder (embCandidates consumer)",
@@ -439,7 +442,8 @@ class ScaleSpec extends SparkSpec {
       "bucketed_join", "leakage_safe_split", "dedup_state_roundtrip",
       "dedup_state_compact", "ann_state_append", "ann_store_search",
       "ann_store_gc", "ann_store_search_live", "ann_store_upsert",
-      "ann_store_search_mp", "incremental_agg_maintain",
+      "ann_store_search_mp", "ann_stream_search",
+      "incremental_agg_maintain",
       "grid_source_roundtrip",
       // bpeLoop truncates each round's lineage with a LAZY
       // localCheckpoint (the ccOverEdges discipline — without it
