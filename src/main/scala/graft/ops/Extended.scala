@@ -2774,12 +2774,16 @@ object Extended {
     val changed = oldC.join(newC, Seq("vec_id", "band"))
       .filter(col("code_old") =!= col("code_new"))
       .localCheckpoint() // two sinks + the stats fold read it; batch-sized
+    val appended = changed.groupBy(col("band")).agg(count(lit(1)).as("ap"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // an all-identical batch writes NOTHING — in particular no empty
+    // `_tombstones` dir, whose existence (schema-less) would break the
+    // view's sidecar read
+    if (appended.isEmpty) return
     changed.select(col("vec_id"), col("code_old").as("code"), col("band"))
       .write.mode("append").parquet(s"$dir/_tombstones")
     changed.select(col("vec_id"), col("code_new").as("code"), col("band"))
       .write.mode("append").partitionBy("band").parquet(dir)
-    val appended = changed.groupBy(col("band")).agg(count(lit(1)).as("ap"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     if (appended.nonEmpty) {
       import s.implicits._
       val statRows = s.read.parquet(s"$dir/_stats").collect()
