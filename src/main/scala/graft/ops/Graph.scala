@@ -582,9 +582,16 @@ object Graph {
       val hop1 = pick(fwd,
         Text.h32(concat(lit("rw1-"), col("c").cast("string"))))
         .select(col("c").as("origin"), col("sp"))
-      val hop2 = pick(hop1.join(bwd, Seq("sp")),
+      // the hop-2 seed hash depends only on WALKER state (origin, sp):
+      // computed on the |frontier| rows BEFORE the edge join, not on the
+      // Σ degree(frontier)-expanded join output (guide §2.3 "project
+      // before the exchange", applied to an md5 per row — the expanded
+      // frame is ~600× the frontier here). Identical expression on
+      // identical inputs; only the evaluation site moves.
+      val h2 = hop1.withColumn("hs",
         Text.h32(concat(lit("rw2-"), col("origin").cast("string"),
           lit("-"), col("sp").cast("string"))))
+      val hop2 = pick(h2.join(bwd, Seq("sp")), col("hs"))
         .select(col("origin"), col("c").as("dest"))
       val seg = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -668,14 +675,20 @@ object Graph {
       val hop1 = pick(fwd,
         Text.h32(concat(lit("w4h1-"), col("c").cast("string"))))
         .select(col("c").as("origin"), col("sp"))
-      val hop2 = pick(hop1.join(bwd, Seq("sp")),
-        seed(2, col("origin"), col("sp")))
+      // per-hop seed hashes depend only on WALKER state (hop, origin,
+      // current node): computed on the |frontier| rows BEFORE each edge
+      // join, not on the Σ degree(frontier)-expanded join output (guide
+      // §2.3; the expanded frame is ~600× the frontier at sf0.1, and
+      // the hash is an md5 — this was the dominant per-hop cost).
+      // Identical expressions on identical inputs; only the site moves.
+      val hop2 = pick(hop1.withColumn("hs", seed(2, col("origin"), col("sp")))
+          .join(bwd, Seq("sp")), col("hs"))
         .select(col("origin"), col("c").as("c2"))
-      val hop3 = pick(hop2.join(fwd, col("c") === col("c2")),
-        seed(3, col("origin"), col("c2")))
+      val hop3 = pick(hop2.withColumn("hs", seed(3, col("origin"), col("c2")))
+          .join(fwd, col("c") === col("c2")), col("hs"))
         .select(col("origin"), col("sp").as("sp2"))
-      val hop4 = pick(hop3.join(bwd, col("sp") === col("sp2")),
-        seed(4, col("origin"), col("sp2")))
+      val hop4 = pick(hop3.withColumn("hs", seed(4, col("origin"), col("sp2")))
+          .join(bwd, col("sp") === col("sp2")), col("hs"))
         .select(col("origin"), col("c").as("dest"))
       val seg = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))

@@ -778,7 +778,15 @@ object Learn {
     * session the 45M-pair expand at the sf10 probe runs once, and the
     * cache_tag keeps the plan from leaking into unrelated queries.
     */
-  private def matchupDir(s: SparkSession, d: String): DataFrame = {
+  /** The pinned frame is now the CANONICAL (i < j) matchup aggregate —
+    * half the rows of the old directed pin (454k vs 907k at sf0.1) for
+    * the same information; [[matchupDir]] derives the directed view
+    * row-locally from the cache. Bradley-Terry's per-round message pass
+    * reads THIS frame (one integer division per pair, not per directed
+    * edge — the MM term (n·T) DIV (wuᵢ+wuⱼ) is symmetric), and
+    * win_rate_matrix consumes it directly.
+    */
+  private def matchupCanon(s: SparkSession, d: String): DataFrame = {
     val osr = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       // exact integer cents per line (floor(x*100+0.5), the repo's
@@ -789,12 +797,15 @@ object Learn {
       // twin's LineEv.cents field (r14 ADVICE).
       .agg(sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)))
         .as("rev"))
-    val mp = matchupPairs(osr)
-    Pin.tagged(
-      mp.select(col("i").as("p"), col("j").as("o"), col("n"),
-          col("wi").as("w"))
-        .unionByName(mp.select(col("j").as("p"), col("i").as("o"),
-          col("n"), (col("n") - col("wi")).as("w"))))
+    Pin.tagged(matchupPairs(osr))
+  }
+
+  private def matchupDir(s: SparkSession, d: String): DataFrame = {
+    val mp = matchupCanon(s, d)
+    mp.select(col("i").as("p"), col("j").as("o"), col("n"),
+        col("wi").as("w"))
+      .unionByName(mp.select(col("j").as("p"), col("i").as("o"),
+        col("n"), (col("n") - col("wi")).as("w")))
   }
 
   lazy val bradleyTerry: QueryDef = {
@@ -804,30 +815,56 @@ object Learn {
     QueryDef(
       "bradley_terry_strength",
       (s, d) => {
+        val mp = matchupCanon(s, d)
         val dir = matchupDir(s, d)
         val pl = dir.groupBy(col("p"))
           .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
           .transform(Pin.pin)
-        // ghost opponent o = -1 (fixed strength 1.0): +1 win +1 loss
-        val e = dir.select(col("p"), col("o"), col("n"))
-          .unionByName(pl.select(col("p"), lit(-1L).as("o"),
-            lit(2L).as("n")))
         var w: DataFrame = pl
           .select(col("p"), expr(s"CAST($One AS BIGINT)").as("wu"))
           .localCheckpoint(false)
+        // Round shape (this optimization round, guide §2.3/§3.1): the
+        // message pass reads the CANONICAL pair frame — the MM term
+        // (n·T) DIV (wuᵢ+wuⱼ) is symmetric in (i, j), so one division
+        // per pair exploded to both endpoints replaces the old directed
+        // frame's one per directed edge (half the scanned rows, half
+        // the 64-bit divisions: the 0.35 s/round e-scan job measured as
+        // the round's dominant cost). prev is a lazily-checkpointed
+        // LogicalRDD with UNKNOWN size stats (defaultSizeInBytes), so
+        // the |players|-side joins carry explicit broadcast hints —
+        // without them both joins plan as shuffle joins and the pair
+        // frame is exchanged twice per round (24 shuffles total). The
+        // strength frame is |players| rows (16 B/row) — broadcastable
+        // to ~100M players; past that flip the hints to shuffle_hash.
+        // The ghost term ((2·T) DIV (wu+1e6), o = −1 at fixed strength
+        // 1.0) is row-local on prev itself — it never needed the join.
         def round(prev: DataFrame): DataFrame = {
-          val ssum = e.join(prev, Seq("p"))
-            .join(prev.select(col("p").as("o"), col("wu").as("owu")),
-              Seq("o"), "left")
-            .select(col("p"),
-              expr(s"(n * $Term) DIV (wu + coalesce(owu, CAST($One AS BIGINT)))")
-                .as("tq"))
+          val pairTq = mp
+            .join(broadcast(prev.select(col("p").as("i"), col("wu").as("wui"))),
+              Seq("i"))
+            .join(broadcast(prev.select(col("p").as("j"), col("wu").as("wuj"))),
+              Seq("j"))
+            .select(explode(array(col("i"), col("j"))).as("p"),
+              expr(s"(n * $Term) DIV (wui + wuj)").as("tq"))
+          val ghostTq = prev.select(col("p"),
+            expr(s"(2 * $Term) DIV (wu + CAST($One AS BIGINT))").as("tq"))
+          val ssum = pairTq.unionByName(ghostTq)
             .groupBy(col("p")).agg(sum(col("tq")).as("sq"))
-          val raw = pl.join(ssum, Seq("p"))
+          val raw = pl.join(broadcast(ssum), Seq("p"))
             .select(col("p"), expr(s"((wins + 1) * $Term) DIV sq").as("rawu"))
-          val tot = raw.agg(sum(col("rawu")).as("t"),
-            count(lit(1)).as("np"))
-          raw.crossJoin(broadcast(tot))
+          // normalization as an UNPARTITIONED window over the |players|
+          // frame (bounded domain — the round-11 score_calibration
+          // rule), not agg + crossJoin(broadcast): the broadcast form
+          // double-executes raw (once in the broadcast build, once in
+          // the consumer) and pays a blocking broadcast-build job per
+          // round; the window keeps the whole round in one job. Same
+          // integer ops (sum/count over all rows), bit-identical wu.
+          val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+          raw.select(col("p"), col("rawu"),
+              sum(col("rawu")).over(all).as("t"),
+              count(lit(1)).over(all).as("np"))
             .select(col("p"), expr(s"(rawu * np * $One) DIV t").as("wu"))
         }
         // ONE round per checkpoint. The ccOverEdges double-step was
