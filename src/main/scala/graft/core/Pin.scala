@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions.lit
   *     LRU-evictable under pressure anyway.
   *
   * Both entry points are the ONLY sanctioned persist() call sites in
-  * src/main (ScaleSpec's persist-discipline scan enforces this); the one
-  * allow-listed exception is ccOverEdges' iteration frame, which
-  * self-unpersists inside its driver loop.
+  * src/main (ScaleSpec's persist-discipline scan enforces this). Since
+  * round 17 ccOverEdges' symmetrized adjacency also goes through
+  * [[tagged]] (it was the one self-released bare-persist exemption):
+  * the CC family's callers hand it canonically identical edge plans,
+  * so the session-lived pin lets bench pass 2 and co-sharded family
+  * members skip the signature pipeline feeding it.
   */
 object Pin {
 

@@ -389,11 +389,17 @@ object Clustering {
           .select(lit(1).as("sel_order"), col("m.cid").as("cid"),
             col("m.cv").as("cv"), lit(null).cast("double").as("d6"))
           // each one-row selection is a subtree of EVERY later step's
-          // plan (step k embeds steps 1..k−1): pin them so the union
-          // evaluates K corpus passes, not K²/2 (lazy; populated during
-          // the one action — the pagerank edge-pin discipline, now via
-          // the Pin registry so Verify can release after the action)
-          .transform(Pin.pin)
+          // plan (step k embeds steps 1..k−1): a LAZY localCheckpoint
+          // truncates the LOGICAL tree too (the bpeLoop discipline) —
+          // the old Pin.pin kept execution at K corpus passes but the
+          // nested logical plan still grew ~2^K Catalyst nodes, and
+          // JobProfile measured 2.4 s of PURE DRIVER ANALYSIS per warm
+          // run (execution jobs: two × ≤40 ms). Checkpointed steps keep
+          // the one-row crossJoin(broadcast) shape (ScaleSpec
+          // `intended`) and the K-pass execution, at O(K) analysis;
+          // construction now runs the step jobs (ScaleSpec `eager`,
+          // exactly like bpe_encode — Bench times fn()+count together).
+          .localCheckpoint(false)
         val sels = (2 to K).foldLeft(Vector(sel1)) { (acc, k) =>
           val centers = acc.zipWithIndex
             .map { case (f, i) => f.select(col("cv").as(s"cv$i")) }
@@ -409,7 +415,7 @@ object Clustering {
               max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("mo"))
             .select(lit(k).as("sel_order"), col("m.cid").as("cid"),
               col("m.cv").as("cv"), col("mo.dmin").as("d6"))
-            .transform(Pin.pin)
+            .localCheckpoint(false)
           acc :+ sk
         }
         sels.map(_.select(col("sel_order"), col("cid"), col("d6")))

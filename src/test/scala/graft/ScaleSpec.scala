@@ -453,6 +453,11 @@ class ScaleSpec extends SparkSpec {
       // exactly like dup_clusters above. Bench times fn()+count()
       // together, so the eager work stays measured.
       "bpe_merge_rounds", "bpe_encode",
+      // kcenter_coreset's unrolled greedy steps moved from Pin.pin to
+      // the same lazy-localCheckpoint lineage truncation in round 17
+      // (the logical tree grew ~2^K nodes; 2.4 s of warm analysis per
+      // run) — construction now runs the step jobs like bpe above.
+      "kcenter_coreset",
       // preference_pairs embeds the same driver-coordinated CC fixpoint
       // as dup_clusters; bradley_terry_strength lazily localCheckpoints
       // each MM round (the bpe lineage discipline — checkpoint planning
@@ -517,7 +522,8 @@ class ScaleSpec extends SparkSpec {
     // session-wide CacheManager with no release path and no cache_tag
     // isolation (see graft.core.Pin's scaladoc for both failure modes).
     // Allow-listed: Pin itself (the sanctioned call sites) and
-    // ccOverEdges' iteration frame, which self-unpersists in its loop.
+    // (ccOverEdges' adjacency — the old self-released exemption — goes
+    // through Pin.tagged since round 17.)
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = Files.walk(root).iterator().asScala
@@ -551,7 +557,7 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
     core.Pin.releaseAll()
     assert(cacheEmpty, "cache not empty after clearCache")
-    val pinning = Seq("bpe_merge_rounds", "bpe_encode", "kcenter_coreset",
+    val pinning = Seq("bpe_merge_rounds", "bpe_encode",
       "pagerank_trade", "kcore_peel", "dup_span_runs", "ppjoin_jaccard",
       "lsh_recall_eval", "quality_logit", "score_calibration",
       "random_walk_pairs")
