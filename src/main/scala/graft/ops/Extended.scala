@@ -2485,10 +2485,20 @@ object Extended {
     val cands = live
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
-    val scored = cands
+    // scoring joins BROADCAST the candidate side (round 17, guide §3.1):
+    // cands is bounded by the fixed query batch × probed buckets (never
+    // corpus-sized — the round-13 capped-query-set rule), so the old
+    // shuffle_hash here exchanged the full VECTOR payload twice per
+    // search (at the 2M-vector probe that is ~2 GB of 530 B rows
+    // shuffled for a ~3k-row candidate list). Broadcasting cands (ids
+    // only), then cands+qv (≤ |cands| query vectors), streams the
+    // corpus without shuffling any vector — the §8 rule: move decisions
+    // on small rows, never re-shuffle the payload.
+    val scored = broadcast(cands)
       .join(all.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn")).hint("shuffle_hash"), Seq("q_id"))
-      .join(all.hint("shuffle_hash"), Seq("vec_id"))
+        col("nrm").as("qn")), Seq("q_id"))
+      .transform(df => broadcast(df))
+      .join(all, Seq("vec_id"))
       .withColumn("cos6",
         Text.hround(expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy(col("q_id"))
@@ -2991,10 +3001,14 @@ object Extended {
         .join(broadcast(qcodes), Seq("band", "code"))
       val cands = hits.filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id")).distinct()
-      val scored = cands
+      // broadcast the query-batch-bounded candidate side — the
+      // annStoreSearchFrom scoring shape (see its comment): vectors
+      // stream, never shuffle.
+      val scored = broadcast(cands)
         .join(finalVecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn")).hint("shuffle_hash"), Seq("q_id"))
-        .join(finalVecs.hint("shuffle_hash"), Seq("vec_id"))
+          col("nrm").as("qn")), Seq("q_id"))
+        .transform(df => broadcast(df))
+        .join(finalVecs, Seq("vec_id"))
         .withColumn("cos6",
           Text.hround(expr(sqlSparkDot("qv", "v")) / (col("qn") * col("nrm")),
             6))
