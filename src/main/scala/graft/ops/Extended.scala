@@ -85,8 +85,19 @@ object Extended {
         .as("hs"): _*)
   }
 
+  /** Pin.tagged at the HELPER level (round 17): every batch consumer of
+    * the shingle-hash frame — the minhash/ngram/containment/edit-
+    * distance/ppjoin family — hands Catalyst the identical (doc_id, hs)
+    * plan, so one session-lived cache entry extends the round-2
+    * "hash once" exchange-reuse property across QUERIES and across the
+    * bench's two passes (the sanctioned deliberate-sharing class). The
+    * frame is compact (ids + shingle hash arrays, never bodies); Verify
+    * releases it per query via the Pin registry. ppjoin/lsh_recall_eval
+    * previously tagged this exact frame locally — the helper-level tag
+    * subsumes those (double-tagging would cache the projection twice).
+    */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shingleHashesOf(docWords(s, d).select(col("doc_id"), col("w")))
+    Pin.tagged(shingleHashesOf(docWords(s, d).select(col("doc_id"), col("w"))))
 
   /** MinHash signature frame (doc_id, carry..., m0..m11) over any
     * (doc_id, w, carry...) frame.
@@ -6740,7 +6751,7 @@ object Extended {
     * 5.4 s in BENCH_r12).
     */
   private[graft] def exactPairsTruth(s: SparkSession, d: String): DataFrame = {
-    val sh = Pin.tagged(shingleHashes(s, d))
+    val sh = shingleHashes(s, d) // tagged in the helper (round 17)
     Pin.tagged(ppjoinPairsOf(
       sh.select(col("doc_id"), explode(col("hs")).as("h")).distinct()))
   }
@@ -6800,7 +6811,7 @@ object Extended {
       // ScaleSpec's ReusedExchange guard caught exactly that on
       // minhash_lsh_pairs (round 10; the discipline now lives in
       // graft.core.Pin, which also lets Verify release the pin).
-      val sh = Pin.tagged(shingleHashes(s, d))
+      val sh = shingleHashes(s, d) // tagged in the helper (round 17)
       // shared pinned ground truth (see exactPairsTruth): this tagged plan
       // is identical to ppjoin_jaccard's / er_recall_eval's → one cache
       // entry; the LSH leg below reuses the same tagged shingle parent

@@ -45,8 +45,11 @@ object JobProfile {
     (1 to reps).foreach { i =>
       verbose = i == reps // only the steady-state rep prints per-job lines
       val t = System.nanoTime()
-      fn(spark, sfDir).count()
-      println(f"ITER $i ${(System.nanoTime() - t) / 1e9}%.2f s")
+      val df = fn(spark, sfDir)
+      val tc = System.nanoTime()
+      df.count()
+      println(f"ITER $i ${(System.nanoTime() - t) / 1e9}%.2f s " +
+        f"(construct ${(tc - t) / 1e9}%.2f s)")
     }
     spark.stop()
   }

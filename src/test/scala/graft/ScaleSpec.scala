@@ -173,13 +173,18 @@ class ScaleSpec extends SparkSpec {
     // the Jaccard sets) — measured 10-50 s vs ~2 s at sf0.1 in round 2.
     // Guard the hash-once property: the exchange must be REUSED, not
     // re-executed, everywhere the signature/shingle subtree is consumed.
+    // Since round 17 the shingle-hash frame is Pin.tagged in the shared
+    // helper, so consumers may read it as an InMemoryTableScan (one
+    // cache fill per session — hash-once holds even more strongly);
+    // without the cache entry the repartition exchange must be reused.
     Seq(ops.Extended.minhashLsh, ops.Extended.ngramJaccard,
       ops.Extended.editDistancePairs, ops.Extended.containmentPairs)
       .foreach { q =>
       val plan = planOf(q.fn(spark, sfDir))
-      assert(plan.contains("ReusedExchange"),
-        s"${q.name}: shingle-hash exchange not reused — " +
-          s"the md5 chain is being recomputed per consumer:\n$plan")
+      assert(plan.contains("ReusedExchange") ||
+        plan.contains("InMemoryTableScan"),
+        s"${q.name}: shingle-hash frame neither cache-read nor " +
+          s"exchange-reused — the md5 chain is recomputed per consumer:\n$plan")
     }
     // simhash_near_dup needs no ReusedExchange since round 3: the full
     // signature rides along in the bucket collect_list struct, so the
